@@ -1,0 +1,89 @@
+"""Headline benchmark: dense 1080p Horn-Schunck flow, frames/s on one chip.
+
+The reference publishes no numbers (BASELINE.md); the baseline is the same
+algorithm executed by OpenCV's optimized C++ on the host CPU (filter2D
+box average + pointwise update, double precision exactly like the demo,
+HornSchunckOF/hornSchunck.cpp:43-75). vs_baseline = TPU fps / CPU fps.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+H, W = 1080, 1920
+ITERS = 100
+WINDOW = 5
+ALPHA = 1.0
+
+
+def bench_tpu(prev: np.ndarray, nxt: np.ndarray, repeats: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow.solvers import horn_schunck
+
+    p = jnp.asarray(prev, dtype=jnp.float32)
+    n = jnp.asarray(nxt, dtype=jnp.float32)
+    # Warmup / compile.
+    u, v = horn_schunck(p, n, WINDOW, ITERS, ALPHA)
+    jax.block_until_ready((u, v))
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        u, v = horn_schunck(p, n, WINDOW, ITERS, ALPHA)
+    jax.block_until_ready((u, v))
+    dt = (time.perf_counter() - t0) / repeats
+    return 1.0 / dt
+
+
+def bench_cpu_opencv(prev: np.ndarray, nxt: np.ndarray,
+                     sample_iters: int = 10) -> float:
+    """The reference demo's math via OpenCV C++ (double precision)."""
+    import cv2
+
+    prev = prev.astype(np.float64)
+    nxt = nxt.astype(np.float64)
+    gx = cv2.Sobel(prev, -1, 1, 0, ksize=3)
+    gy = cv2.Sobel(prev, -1, 0, 1, ksize=3)
+    gt = nxt - prev
+    denom = ALPHA**2 + gx * gx + gy * gy
+    k = np.ones((WINDOW, WINDOW), np.float64) / WINDOW**2
+    u = np.zeros_like(gt)
+    v = np.zeros_like(gt)
+    t0 = time.perf_counter()
+    for _ in range(sample_iters):
+        ub = cv2.filter2D(u, -1, k, borderType=cv2.BORDER_CONSTANT)
+        vb = cv2.filter2D(v, -1, k, borderType=cv2.BORDER_CONSTANT)
+        upd = (gx * ub + gy * vb + gt) / denom
+        u = ub - gx * upd
+        v = vb - gy * upd
+    dt = (time.perf_counter() - t0) / sample_iters * ITERS
+    return 1.0 / dt
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    prev = rng.uniform(0, 255, (H, W))
+    nxt = np.roll(prev, 2, axis=1) + rng.normal(0, 1, (H, W))
+
+    fps_tpu = bench_tpu(prev, nxt)
+    try:
+        fps_cpu = bench_cpu_opencv(prev, nxt)
+        vs = fps_tpu / fps_cpu
+    except Exception:
+        vs = float("nan")
+
+    print(json.dumps({
+        "metric": "hs_dense_1080p_fps",
+        "value": round(fps_tpu, 3),
+        "unit": "frames/s/chip (100-iter 5x5 Horn-Schunck, f32)",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Black-Anandan IRLS tests: sweep parity vs oracle, energy monotonicity,
+full pyramid smoke + accuracy on synthetic motion."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tests.oracles import (
+    gm_psi,
+    gm_rho,
+    irls_energy_oracle,
+    irls_sweep_oracle,
+)
+from tpuflow.core.config import MultipleMotionParam
+from tpuflow.solvers.black_anandan import (
+    LAMBDA_D,
+    LAMBDA_S,
+    irls_energy,
+    irls_grad,
+    irls_optical_flow_level,
+    irls_sup,
+    optical_flow_pyramid,
+)
+from tpuflow.solvers.mestimators import (
+    geman_mcclure_psi,
+    geman_mcclure_rho,
+    lorentzian_psi,
+    lorentzian_rho,
+)
+
+rng = np.random.default_rng(2)
+
+
+class TestMEstimators:
+    def test_geman_mcclure(self):
+        x = rng.normal(size=100)
+        np.testing.assert_allclose(geman_mcclure_rho(jnp.asarray(x), 0.5),
+                                   gm_rho(x, 0.5), rtol=1e-12)
+        np.testing.assert_allclose(geman_mcclure_psi(jnp.asarray(x), 0.5),
+                                   gm_psi(x, 0.5), rtol=1e-12)
+
+    def test_lorentzian(self):
+        x = rng.normal(size=50)
+        np.testing.assert_allclose(lorentzian_rho(jnp.asarray(x), 0.7),
+                                   np.log1p(0.5 * (x / 0.7) ** 2), rtol=1e-12)
+        np.testing.assert_allclose(lorentzian_psi(jnp.asarray(x), 0.7),
+                                   2 * x / (2 * 0.49 + x**2), rtol=1e-12)
+
+
+class TestIRLSSweep:
+    def setup_method(self):
+        self.h, self.w = 9, 11
+        self.gx = rng.normal(size=(self.h, self.w))
+        self.gy = rng.normal(size=(self.h, self.w))
+        self.it = 0.1 * rng.normal(size=(self.h, self.w))
+        self.u = 0.1 * rng.normal(size=(self.h, self.w))
+        self.v = 0.1 * rng.normal(size=(self.h, self.w))
+        self.sd, self.ss = 0.4, 0.2
+
+    def test_sweep_matches_oracle(self):
+        sup_x, sup_y = irls_sup(jnp.asarray(self.gx), jnp.asarray(self.gy),
+                                LAMBDA_D, LAMBDA_S, self.sd, self.ss)
+        dEx, dEy = irls_grad(jnp.asarray(self.u), jnp.asarray(self.v),
+                             jnp.asarray(self.gx), jnp.asarray(self.gy),
+                             jnp.asarray(self.it), LAMBDA_D, LAMBDA_S,
+                             self.sd, self.ss)
+        u1 = np.asarray(self.u - np.asarray(dEx) / float(sup_x))
+        v1 = np.asarray(self.v - np.asarray(dEy) / float(sup_y))
+        uo, vo = irls_sweep_oracle(self.u, self.v, self.gx, self.gy, self.it,
+                                   LAMBDA_D, LAMBDA_S, self.sd, self.ss,
+                                   float(sup_x), float(sup_y))
+        np.testing.assert_allclose(u1, uo, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(v1, vo, rtol=1e-10, atol=1e-12)
+
+    def test_energy_matches_oracle(self):
+        E = irls_energy(jnp.asarray(self.u), jnp.asarray(self.v),
+                        jnp.asarray(self.gx), jnp.asarray(self.gy),
+                        jnp.asarray(self.it), LAMBDA_D, LAMBDA_S,
+                        self.sd, self.ss)
+        Eo = irls_energy_oracle(self.u, self.v, self.gx, self.gy, self.it,
+                                LAMBDA_D, LAMBDA_S, self.sd, self.ss)
+        assert abs(float(E) - Eo) < 1e-8 * max(1.0, abs(Eo))
+
+    def test_energy_decreases(self):
+        """IRLS with the Lipschitz step must monotonically decrease energy
+        from a zero init (SURVEY.md §4c)."""
+        u0 = jnp.zeros((self.h, self.w))
+        gx, gy, it = (jnp.asarray(self.gx), jnp.asarray(self.gy),
+                      jnp.asarray(self.it))
+        sup_x, sup_y = irls_sup(gx, gy, LAMBDA_D, LAMBDA_S, self.sd, self.ss)
+        u, v = u0, u0
+        E_prev = float(irls_energy(u, v, gx, gy, it, LAMBDA_D, LAMBDA_S,
+                                   self.sd, self.ss))
+        for _ in range(20):
+            dEx, dEy = irls_grad(u, v, gx, gy, it, LAMBDA_D, LAMBDA_S,
+                                 self.sd, self.ss)
+            u = u - dEx / sup_x
+            v = v - dEy / sup_y
+            E = float(irls_energy(u, v, gx, gy, it, LAMBDA_D, LAMBDA_S,
+                                  self.sd, self.ss))
+            assert E <= E_prev + 1e-10
+            E_prev = E
+
+
+class TestPyramidFlow:
+    def test_level_runner_runs(self):
+        u0 = jnp.zeros((8, 8))
+        gx = jnp.asarray(rng.normal(size=(8, 8)))
+        gy = jnp.asarray(rng.normal(size=(8, 8)))
+        it = jnp.asarray(0.1 * rng.normal(size=(8, 8)))
+        u, v, E, n = irls_optical_flow_level(
+            u0, u0, gx, gy, it, LAMBDA_D, LAMBDA_S, 0.4, 0.2,
+            50, 1e-6, False)
+        assert np.isfinite(float(E))
+        assert int(n) <= 50
+
+    def test_full_pyramid_matches_oracle(self, small_pair):
+        """Golden parity: the full coarse-to-fine driver (annealing,
+        LevelDown warp, prolongation, stopping semantics) matches the
+        pinned NumPy oracle on a real-image crop."""
+        from tests.oracles import optical_flow_pyramid_oracle
+
+        prev, nxt = small_pair
+        prev = prev[:32, :40]
+        nxt = nxt[:32, :40]
+        u, v = optical_flow_pyramid(
+            jnp.asarray(prev), jnp.asarray(nxt), 255.0,
+            MultipleMotionParam(level=2), iter_scale=0.05)
+        uo, vo = optical_flow_pyramid_oracle(prev, nxt, 255.0, 2,
+                                             iter_scale=0.05)
+        np.testing.assert_allclose(np.asarray(u), uo, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(v), vo, rtol=1e-7, atol=1e-9)
+
+    def test_real_shift_direction(self, small_pair):
+        """On a real crop shifted by 1 px the flow points the right way
+        with a plausible magnitude (the reference's floor-warp prolongation
+        bias makes exact-magnitude tests meaningless)."""
+        prev, _ = small_pair
+        nxt = np.roll(prev, 1, axis=1)
+        u, v = optical_flow_pyramid(
+            jnp.asarray(prev), jnp.asarray(nxt), 255.0,
+            MultipleMotionParam(level=2), iter_scale=0.5)
+        interior = np.asarray(u)[8:-8, 8:-8]
+        assert np.median(interior) > 0.3
+        assert abs(np.median(np.asarray(v)[8:-8, 8:-8])) < \
+            np.median(interior)

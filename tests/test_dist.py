@@ -1,0 +1,125 @@
+"""Distributed-equivalence tests (SURVEY.md §4d): the N-device shard_map
+tiled solve must match the single-device solve on the 8-virtual-device CPU
+mesh set up in conftest.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuflow.dist import halo_pad_2d, make_mesh, mesh_factor
+from tpuflow.dist.solvers import horn_schunck_sharded, irls_level_sharded
+from tpuflow.solvers import horn_schunck
+from tpuflow.solvers.black_anandan import (
+    LAMBDA_D,
+    LAMBDA_S,
+    irls_optical_flow_level,
+)
+
+try:
+    from jax import shard_map as _sm
+
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:
+    from jax.experimental.shard_map import shard_map as _sm_old
+
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return _sm_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+rng = np.random.default_rng(3)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+class TestMesh:
+    def test_factor(self):
+        assert mesh_factor(8) == (2, 4)
+        assert mesh_factor(4) == (2, 2)
+        assert mesh_factor(7) == (1, 7)
+        assert mesh_factor(16) == (4, 4)
+
+    def test_make_mesh(self):
+        mesh = make_mesh(8)
+        assert mesh.devices.shape == (2, 4)
+        assert mesh.axis_names == ("ty", "tx")
+
+
+class TestHalo:
+    def test_halo_pad_matches_global_pad(self):
+        """shard_map halo_pad_2d == global zero-pad, tile for tile."""
+        mesh = make_mesh(8)
+        h, w, r = 16, 32, 2
+        x = jnp.asarray(rng.normal(size=(h, w)))
+        spec = P("ty", "tx")
+        xs = jax.device_put(x, NamedSharding(mesh, spec))
+
+        padded_tiles = jax.jit(_shard_map(
+            lambda t: halo_pad_2d(t, r), mesh,
+            in_specs=spec,
+            out_specs=spec,
+        ))(xs)
+        # Padded tiles concatenate to (h + 2*2r_y_tiles...) — instead check
+        # via direct per-tile comparison.
+        ty, tx = mesh.devices.shape
+        th, tw = h // ty, w // tx
+        gp = np.pad(np.asarray(x), r)
+        out = np.asarray(padded_tiles)
+        # out has shape (ty*(th+2r), tx*(tw+2r)) tiled blockwise.
+        for i in range(ty):
+            for j in range(tx):
+                tile = out[i * (th + 2 * r):(i + 1) * (th + 2 * r),
+                           j * (tw + 2 * r):(j + 1) * (tw + 2 * r)]
+                want = gp[i * th:i * th + th + 2 * r,
+                          j * tw:j * tw + tw + 2 * r]
+                np.testing.assert_array_equal(tile, want)
+
+
+class TestDistributedSolvers:
+    def test_horn_schunck_equivalence(self):
+        mesh = make_mesh(8)
+        prev = jnp.asarray(rng.uniform(0, 255, size=(32, 64)))
+        nxt = jnp.asarray(rng.uniform(0, 255, size=(32, 64)))
+        u1, v1 = horn_schunck(prev, nxt, window_size=5, max_iterations=10)
+        u8, v8 = horn_schunck_sharded(prev, nxt, mesh, window_size=5,
+                                      max_iterations=10)
+        np.testing.assert_allclose(np.asarray(u8), np.asarray(u1),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(v1),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_irls_level_equivalence(self):
+        mesh = make_mesh(8)
+        h, w = 16, 32
+        gx = jnp.asarray(rng.normal(size=(h, w)))
+        gy = jnp.asarray(rng.normal(size=(h, w)))
+        it = jnp.asarray(0.1 * rng.normal(size=(h, w)))
+        z = jnp.zeros((h, w))
+        sd, ss = 0.4, 0.2
+        u1, v1, _, _ = irls_optical_flow_level(
+            z, z, gx, gy, it, LAMBDA_D, LAMBDA_S, sd, ss, 30, 1e-6, False)
+        u8, v8 = irls_level_sharded(
+            z, z, gx, gy, it, mesh, LAMBDA_D, LAMBDA_S, sd, ss, 30, 1e-6,
+            False)
+        np.testing.assert_allclose(np.asarray(u8), np.asarray(u1),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(v1),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_irls_level0_cadence_equivalence(self):
+        mesh = make_mesh(4)
+        h, w = 16, 16
+        gx = jnp.asarray(rng.normal(size=(h, w)))
+        gy = jnp.asarray(rng.normal(size=(h, w)))
+        it = jnp.asarray(0.1 * rng.normal(size=(h, w)))
+        z = jnp.zeros((h, w))
+        u1, v1, _, _ = irls_optical_flow_level(
+            z, z, gx, gy, it, LAMBDA_D, LAMBDA_S, 0.14, 0.02, 70, 1e-6, True)
+        u4, v4 = irls_level_sharded(
+            z, z, gx, gy, it, mesh, LAMBDA_D, LAMBDA_S, 0.14, 0.02, 70, 1e-6,
+            True)
+        np.testing.assert_allclose(np.asarray(u4), np.asarray(u1),
+                                   rtol=1e-9, atol=1e-11)

@@ -1,0 +1,253 @@
+"""Farneback dense optical flow: polynomial expansion + displacement update.
+
+The reference calls OpenCV's ``calcOpticalFlowFarneback`` in three configs
+(``FarnebackOF/FarnebackOF.cpp:24`` (0.5,1,64,2,8,1.6),
+``VideoDenseOF/DenseFlow.cpp:37`` (0.4,1,48,2,8,1.2),
+``HornSchunckOF/main.cpp:111`` (0.5,3,15,3,5,1.2)). This module implements
+the *algorithm* from Farneback (2003, "Two-frame motion estimation based on
+polynomial expansion") with OpenCV's parameterization and conventions:
+
+- per-pixel quadratic expansion f(x) ~ x^T A x + b^T x + c via separable
+  Gaussian-weighted least squares over a (2 poly_n + 1)^2 window
+  (poly_n is the half-width, as in OpenCV);
+- displacement from averaged A and warped-b difference, aggregated over a
+  winsize^2 box (flags=0 path) and solved as per-pixel 2x2 systems;
+- image pyramid by Gaussian-smooth + bilinear resize with
+  sigma = (1/scale - 1)/2 per level, flow upscaled by 1/pyr_scale;
+- OpenCV's 5-px border down-weighting of the matrix updates.
+
+TPU design: everything is separable convolutions, bilinear gathers and
+pointwise 2x2 solves — no data-dependent shapes; the whole per-level
+iteration is jit-fused. Validated against cv2.calcOpticalFlowFarneback in
+tests/test_farneback.py (tolerance, not bitwise — OpenCV's internals use
+float32 with its own blur order).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.core import borders as bd
+from tpuflow.ops.filters import sep_conv2d
+
+_BORDER = 5  # OpenCV FarnebackUpdateMatrices border band
+
+
+def _poly_exp_matrices(n: int, sigma: float) -> tuple[np.ndarray, np.ndarray]:
+    """Gaussian applicability g and the 6x6 normal-equation inverse G^-1.
+
+    Basis ordering: [1, x, y, x^2, y^2, xy] (Farneback eq. 4.6 / OpenCV
+    FarnebackPrepareGaussian).
+    """
+    xs = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(xs**2) / (2.0 * sigma**2))
+    g /= g.sum()
+    X, Y = np.meshgrid(xs, xs)
+    w = np.outer(g, g)
+    basis = np.stack([np.ones_like(X), X, Y, X**2, Y**2, X * Y], axis=0)
+    G = np.einsum("iyx,jyx,yx->ij", basis, basis, w)
+    return g, np.linalg.inv(G)
+
+
+def poly_expansion(img: jnp.ndarray, poly_n: int, poly_sigma: float):
+    """Quadratic expansion coefficients (b1, b2, a11, a22, a12) per pixel.
+
+    f(x + dx) ~ c + b.dx + dx^T A dx with A = [[a11, a12], [a12, a22]].
+    Border: replicate (OpenCV PolyExp clamps source rows/cols).
+    """
+    n = poly_n
+    g, Ginv = _poly_exp_matrices(n, poly_sigma)
+    dt = img.dtype
+    xs = jnp.arange(-n, n + 1, dtype=dt)
+    g = jnp.asarray(g, dt)
+    gx = g * xs
+    gxx = g * xs * xs
+    one = jnp.zeros_like(g).at[n].set(1.0)
+
+    # Separable moments: rows then columns (correlation orientation; the
+    # kernels are symmetric/antisymmetric so orientation matters only for
+    # the odd ones — x of gx increases rightward like the basis).
+    def m(ky, kx):
+        return sep_conv2d(img, kx, ky, border=bd.CLAMP)
+
+    m00 = m(g, g)
+    m10 = m(g, gx)    # sum w * x * f
+    m01 = m(gx, g)    # sum w * y * f
+    m20 = m(g, gxx)
+    m02 = m(gxx, g)
+    m11 = m(gx, gx)
+    del one
+    moments = jnp.stack([m00, m10, m01, m20, m02, m11], axis=-1)
+    Ginv = jnp.asarray(Ginv, dt)
+    r = jnp.einsum("hwk,jk->hwj", moments, Ginv)
+    b1 = r[..., 1]
+    b2 = r[..., 2]
+    a11 = r[..., 3]
+    a22 = r[..., 4]
+    a12 = r[..., 5] * 0.5
+    return b1, b2, a11, a22, a12
+
+
+def _bilinear_all(fields, xq, yq):
+    """Bilinear-sample each (H, W) field at float (xq, yq), clamped."""
+    x0 = jnp.floor(xq).astype(jnp.int32)
+    y0 = jnp.floor(yq).astype(jnp.int32)
+    fx = xq - x0
+    fy = yq - y0
+    outs = []
+    for f in fields:
+        g = lambda yy, xx: bd.gather2d(f, xx, yy, bd.CLAMP)
+        outs.append((1 - fx) * (1 - fy) * g(y0, x0)
+                    + fx * (1 - fy) * g(y0, x0 + 1)
+                    + (1 - fx) * fy * g(y0 + 1, x0)
+                    + fx * fy * g(y0 + 1, x0 + 1))
+    return outs
+
+
+def update_matrices(R1, R2, u, v):
+    """Accumulate the 5-channel normal-equation field M (OpenCV
+    FarnebackUpdateMatrices): averaged A, flow-compensated db, border
+    down-weighting."""
+    b1_1, b2_1, a11_1, a22_1, a12_1 = R1
+    h, w = u.shape
+    dt = u.dtype
+    xs = jnp.arange(w, dtype=dt)[None, :]
+    ys = jnp.arange(h, dtype=dt)[:, None]
+    xq = xs + u
+    yq = ys + v
+    inb = (xq >= 0) & (xq < w) & (yq >= 0) & (yq < h)
+    b1_2, b2_2, a11_2, a22_2, a12_2 = _bilinear_all(R2, xq, yq)
+
+    a11 = (a11_1 + a11_2) * 0.5
+    a12 = (a12_1 + a12_2) * 0.5
+    a22 = (a22_1 + a22_2) * 0.5
+    db1 = (b1_1 - b1_2) * 0.5
+    db2 = (b2_1 - b2_2) * 0.5
+    # OpenCV: where the warped point leaves the image, A is halved (only
+    # frame-1 coefficients) and db is zeroed out of the average.
+    a11 = jnp.where(inb, a11, a11_1 * 0.5)
+    a12 = jnp.where(inb, a12, a12_1 * 0.5)
+    a22 = jnp.where(inb, a22, a22_1 * 0.5)
+    db1 = jnp.where(inb, db1, 0.0)
+    db2 = jnp.where(inb, db2, 0.0)
+    db1 = db1 + a11 * u + a12 * v
+    db2 = db2 + a12 * u + a22 * v
+
+    # Border scale: linear ramp from the image edge over _BORDER pixels.
+    dist = jnp.minimum(jnp.minimum(xs, w - 1 - xs),
+                       jnp.minimum(ys, h - 1 - ys))
+    scale = jnp.clip((dist + 1.0) / (_BORDER + 1.0), 0.0, 1.0)
+    scale = jnp.broadcast_to(scale, (h, w))
+    a11, a12, a22 = a11 * scale, a12 * scale, a22 * scale
+    db1, db2 = db1 * scale, db2 * scale
+
+    m11 = a11 * a11 + a12 * a12
+    m12 = a12 * (a11 + a22)
+    m22 = a12 * a12 + a22 * a22
+    h1 = a11 * db1 + a12 * db2
+    h2 = a12 * db1 + a22 * db2
+    return jnp.stack([m11, m12, m22, h1, h2], axis=0)
+
+
+def _box_blur(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
+    """Mean over winsize^2 with replicate borders (OpenCV _Blur path)."""
+    k = jnp.ones((winsize,), M.dtype) / winsize
+    return jnp.stack([sep_conv2d(c, k, k, border=bd.CLAMP) for c in M],
+                     axis=0)
+
+
+def _gaussian_blur_m(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
+    sigma = winsize * 0.3
+    xs = jnp.arange(winsize, dtype=M.dtype) - (winsize - 1) / 2.0
+    k = jnp.exp(-(xs**2) / (2 * sigma * sigma))
+    k = k / jnp.sum(k)
+    return jnp.stack([sep_conv2d(c, k, k, border=bd.CLAMP) for c in M],
+                     axis=0)
+
+
+def _solve_flow(M: jnp.ndarray):
+    m11, m12, m22, h1, h2 = M
+    det = m11 * m22 - m12 * m12
+    det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+    u = (m22 * h1 - m12 * h2) / det
+    v = (m11 * h2 - m12 * h1) / det
+    return u, v
+
+
+@partial(jax.jit, static_argnames=("levels", "winsize", "iterations",
+                                   "poly_n", "gaussian"))
+def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
+                    iterations, poly_n, poly_sigma, gaussian):
+    h, w = prev.shape
+    dt = prev.dtype
+    blur = _gaussian_blur_m if gaussian else _box_blur
+
+    u = v = None
+    for k in range(levels - 1, -1, -1):
+        scale = pyr_scale**k
+        wl = int(round(w * scale))
+        hl = int(round(h * scale))
+        sigma_im = (1.0 / scale - 1.0) * 0.5
+        if k == 0:
+            p_l, n_l = prev, nxt
+        else:
+            ksz = max(int(round(sigma_im * 5)) | 1, 3)
+            xs = jnp.arange(ksz, dtype=dt) - ksz // 2
+            g = jnp.exp(-(xs**2) / (2 * sigma_im**2))
+            g = g / jnp.sum(g)
+            p_s = sep_conv2d(prev, g, g, border=bd.REFLECT101)
+            n_s = sep_conv2d(nxt, g, g, border=bd.REFLECT101)
+            p_l = jax.image.resize(p_s, (hl, wl), method="linear")
+            n_l = jax.image.resize(n_s, (hl, wl), method="linear")
+
+        if u is None:
+            if u0 is not None:
+                u = jax.image.resize(u0, (hl, wl), method="linear") * scale
+                v = jax.image.resize(v0, (hl, wl), method="linear") * scale
+            else:
+                u = jnp.zeros((hl, wl), dt)
+                v = jnp.zeros((hl, wl), dt)
+        else:
+            u = jax.image.resize(u, (hl, wl), method="linear") / pyr_scale
+            v = jax.image.resize(v, (hl, wl), method="linear") / pyr_scale
+
+        R1 = poly_expansion(p_l, poly_n, poly_sigma)
+        R2 = poly_expansion(n_l, poly_n, poly_sigma)
+        M = update_matrices(R1, R2, u, v)
+        for i in range(iterations):
+            u, v = _solve_flow(blur(M, winsize))
+            if i < iterations - 1:
+                M = update_matrices(R1, R2, u, v)
+    return u, v
+
+
+def calc_optical_flow_farneback(
+    prev,
+    nxt,
+    flow: tuple | None = None,
+    pyr_scale: float = 0.5,
+    levels: int = 3,
+    winsize: int = 15,
+    iterations: int = 3,
+    poly_n: int = 5,
+    poly_sigma: float = 1.2,
+    flags: int = 0,
+):
+    """OpenCV-parameterized Farneback flow -> (u, v).
+
+    flags bit 0x100 (OPTFLOW_USE_INITIAL_FLOW) uses ``flow`` as init;
+    bit 0x200 (OPTFLOW_FARNEBACK_GAUSSIAN) switches the winsize
+    aggregation to Gaussian weighting.
+    """
+    prev = jnp.asarray(prev)
+    nxt = jnp.asarray(nxt)
+    use_init = bool(flags & 0x100) and flow is not None
+    u0 = jnp.asarray(flow[0], prev.dtype) if use_init else None
+    v0 = jnp.asarray(flow[1], prev.dtype) if use_init else None
+    gaussian = bool(flags & 0x200)
+    return _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
+                           iterations, poly_n, poly_sigma, gaussian)
