@@ -178,8 +178,9 @@ def _solve_flow(M: jnp.ndarray):
     return u, v
 
 
-@partial(jax.jit, static_argnames=("levels", "winsize", "iterations",
-                                   "poly_n", "gaussian"))
+@partial(jax.jit, static_argnames=("pyr_scale", "levels", "winsize",
+                                   "iterations", "poly_n", "poly_sigma",
+                                   "gaussian"))
 def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
                     iterations, poly_n, poly_sigma, gaussian):
     h, w = prev.shape
@@ -249,5 +250,6 @@ def calc_optical_flow_farneback(
     u0 = jnp.asarray(flow[0], prev.dtype) if use_init else None
     v0 = jnp.asarray(flow[1], prev.dtype) if use_init else None
     gaussian = bool(flags & 0x200)
-    return _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
-                           iterations, poly_n, poly_sigma, gaussian)
+    return _farneback_impl(prev, nxt, u0, v0, float(pyr_scale), levels,
+                           winsize, iterations, poly_n, float(poly_sigma),
+                           gaussian)
