@@ -1,0 +1,311 @@
+"""Segmentation, block matching and the flagship BM-flow driver.
+
+Covers the reconstruction of the missing ImgClass surface
+(Segmentation<Lab>, BlockMatching<Lab>, SURVEY.md §2.4) and the
+OpticalFlow_BlockMatching composition (§3.2).
+"""
+
+import numpy as np
+import pytest
+
+
+def _two_region_rgb(h=40, w=60, split=30, seed=0):
+    """Left region dark, right region bright, both with mild texture."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w, 3))
+    img[:, :split] = 60
+    img[:, split:] = 190
+    img += rng.uniform(-15, 15, (h, w, 3))
+    return np.clip(img, 0, 255)
+
+
+class TestMeanShift:
+    def test_filter_converges_within_regions(self):
+        import jax.numpy as jnp
+
+        from tpuflow.segmentation import mean_shift_filter
+
+        img = _two_region_rgb()
+        from tpuflow.core.color import srgb_to_lab
+
+        lab = np.asarray(srgb_to_lab(jnp.asarray(img / 255.0)))
+        pos, col = mean_shift_filter(jnp.asarray(lab), kernel_spatial=5,
+                                     kernel_intensity=16 / 255.0, iters=4)
+        pos = np.asarray(pos)
+        # Modes stay on their own side of the boundary.
+        assert pos[:, :25, 0].max() < 30.5
+        assert pos[:, 35:, 0].min() > 29.5
+
+    def test_segment_two_regions(self):
+        import jax.numpy as jnp
+
+        from tpuflow.core.color import srgb_to_lab
+        from tpuflow.segmentation import segment_meanshift
+
+        rng = np.random.default_rng(0)
+        img = np.zeros((40, 60, 3))
+        img[:, :30] = 60
+        img[:, 30:] = 190
+        img = np.clip(img + rng.uniform(-8, 8, (40, 60, 3)), 0, 255)
+        lab = np.asarray(srgb_to_lab(jnp.asarray(img / 255.0)))
+        seg = segment_meanshift(lab, kernel_spatial=5,
+                                kernel_intensity=16 / 255.0, iters=6,
+                                min_size=20)
+        # Essentially two regions; left and right pixels get different ids.
+        assert seg.n_regions >= 2
+        assert seg.labels[20, 5] != seg.labels[20, 55]
+        left = seg.labels[:, :25]
+        assert (left == left[0, 0]).mean() > 0.9
+        regions = seg.build_regions()
+        assert sum(len(r) for r in regions) == seg.labels.size
+
+
+class TestBlockMatching:
+    def test_grid_labels(self):
+        from tpuflow.blockmatching import grid_labels
+
+        lab = grid_labels(10, 16, 8)
+        assert lab[0, 0] == 0 and lab[0, 8] == 1
+        assert lab[8, 0] == 2 and lab[9, 15] == 3
+
+    def test_recovers_inverse_shift(self):
+        import jax.numpy as jnp
+
+        from tpuflow.blockmatching import block_matching_labels, grid_labels
+        from tpuflow.core.color import srgb_to_lab
+
+        rng = np.random.default_rng(5)
+        base = rng.uniform(0, 1, (48, 64, 3))
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = gf(base, (2, 2, 0))
+        prev = base[4:-4, 4:-4]
+        cur = base[6:-2, 5:-3]  # content moved by (-1, -2) prev->cur
+        prev_lab = np.asarray(srgb_to_lab(jnp.asarray(prev)))
+        cur_lab = np.asarray(srgb_to_lab(jnp.asarray(cur)))
+        labels = grid_labels(40, 56, 8)
+        res = block_matching_labels(cur_lab, prev_lab, labels,
+                                    int(labels.max()) + 1, search_range=9,
+                                    subpixel_scale=1)
+        # Inverse flow: vector points back to the prev-frame position,
+        # i.e. +(1, 2).
+        assert abs(np.median(res.u) - 1.0) < 0.51
+        assert abs(np.median(res.v) - 2.0) < 0.51
+
+    def test_subpixel_refinement(self):
+        import jax.numpy as jnp
+
+        from tpuflow.blockmatching import block_matching_labels, grid_labels
+        from scipy.ndimage import shift as ndshift
+
+        rng = np.random.default_rng(9)
+        base = rng.uniform(0, 1, (40, 48))
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = gf(base, 2)
+        cur = ndshift(base, (0.0, -1.5), order=3, mode="nearest")
+        prev_lab = np.stack([base] * 3, -1)
+        cur_lab = np.stack([cur] * 3, -1)
+        labels = grid_labels(40, 48, 16)
+        res = block_matching_labels(jnp.asarray(cur_lab),
+                                    jnp.asarray(prev_lab), labels,
+                                    int(labels.max()) + 1, search_range=7,
+                                    subpixel_scale=2)
+        # content moved by -1.5 px in x -> inverse vector +1.5; the x2
+        # subpixel grid quantizes to halves.
+        assert abs(np.median(res.u) - 1.5) < 0.26
+
+    def test_bidirectional_time_direction(self):
+        import jax.numpy as jnp
+
+        from tpuflow.blockmatching import (
+            block_matching_bidirectional,
+            grid_labels,
+        )
+
+        rng = np.random.default_rng(3)
+        base = rng.uniform(0, 1, (44, 60))
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = gf(base, 2)
+        prev = base[2:-6, :]
+        cur = base[4:-4, :]   # moving down->content moved up? prev->cur dy=-2
+        nxt = base[6:-2, :]
+        mk = lambda g: jnp.asarray(np.stack([g] * 3, -1))
+        labels = grid_labels(36, 60, 12)
+        r_prev, r_next, t = block_matching_bidirectional(
+            mk(cur), mk(prev), mk(nxt), labels, int(labels.max()) + 1,
+            search_range=7, subpixel_scale=1)
+        # Symmetric constant motion: prev match is -next match.
+        assert abs(np.median(r_prev.v) - 2.0) < 0.51
+        assert abs(np.median(r_next.v) + 2.0) < 0.51
+        assert set(np.unique(t)).issubset({-1, 1})
+
+
+class TestGradientMethod:
+    def test_descends_toward_inverse_flow(self):
+        """With the reference's default sigmas the IRLS step is ~1e-5 per
+        iteration (sup is dominated by 4*lambdaS/sigmaS^2 = 8.9e3) — the
+        reference budget IterMax=2048 yields a *small correction on top of
+        the BM vector*, not full shift recovery. Assert descent direction
+        and energy decrease instead."""
+        import jax.numpy as jnp
+
+        from tpuflow.solvers.bm_flow import (
+            gradient_method_grad,
+            gradient_method_dt,
+            irls_gradient_method,
+        )
+
+        rng = np.random.default_rng(1)
+        base = rng.uniform(0, 1, (60, 80))
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = gf(base, 3)
+        ref = base[4:-4, 4:-4]
+        interest = base[4:-4, 6:-2]  # content moved by (-2, 0)
+        labels = jnp.zeros((52, 72), jnp.int32)
+        z = jnp.zeros((52, 72))
+        gx, gy = gradient_method_grad(jnp.asarray(interest))
+        it = gradient_method_dt(jnp.asarray(ref), jnp.asarray(interest), z, z)
+        u, v, E1, _ = irls_gradient_method(
+            gx, gy, it, labels, 5.0, 1.0, 0.1414, 0.0212, 64, 1e-12)
+        u2, v2, E2, _ = irls_gradient_method(
+            gx, gy, it, labels, 5.0, 1.0, 0.1414, 0.0212, 1024, 1e-12)
+        # moves in the inverse-flow (+x) direction and keeps descending
+        assert float(jnp.median(u2)) > float(jnp.median(u)) > 0.0
+        assert float(E2) < float(E1)
+
+    def test_warm_start_fixed_point(self):
+        """Initialized at the true inverse flow the sweep stays there
+        (the data+smoothness gradient vanishes at the solution)."""
+        import jax.numpy as jnp
+
+        from tpuflow.solvers.bm_flow import (
+            gradient_method_grad,
+            gradient_method_dt,
+            irls_gradient_method,
+        )
+
+        rng = np.random.default_rng(4)
+        base = rng.uniform(0, 1, (60, 80))
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = gf(base, 3)
+        ref = base[4:-4, 4:-4]
+        interest = base[4:-4, 6:-2]  # true inverse flow (+2, 0)
+        labels = jnp.zeros((52, 72), jnp.int32)
+        z = jnp.zeros((52, 72))
+        gx, gy = gradient_method_grad(jnp.asarray(interest))
+        it = gradient_method_dt(jnp.asarray(ref), jnp.asarray(interest), z, z)
+        u0 = jnp.full((52, 72), 2.0)
+        u, v, _, _ = irls_gradient_method(
+            gx, gy, it, labels, 5.0, 1.0, 0.1414, 0.0212, 512, 1e-12,
+            u0, z)
+        ui = np.asarray(u)[10:-10, 10:-10]
+        assert abs(np.median(ui) - 2.0) < 0.2
+
+    def test_region_gate_blocks_smoothing(self):
+        """Two regions with different motion keep a sharp flow boundary."""
+        import jax.numpy as jnp
+
+        from tpuflow.solvers.bm_flow import irls_gradient_method
+
+        h, w = 32, 64
+        labels = np.zeros((h, w), np.int32)
+        labels[:, w // 2 :] = 1
+        gx = np.full((h, w), 0.5)
+        gy = np.zeros((h, w))
+        # data term wants u = -it/gx: -2 on the left, +2 on the right
+        it = np.where(labels == 0, 1.0, -1.0)
+        u, v, E, n = irls_gradient_method(
+            jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(it),
+            jnp.asarray(labels), 5.0, 1.0, 0.3, 0.1, 400, 1e-12)
+        u = np.asarray(u)
+        left = u[:, : w // 2 - 1].mean()
+        right = u[:, w // 2 + 1 :].mean()
+        assert left < -1.0 and right > 1.0
+        # Jump across the boundary stays sharp (no cross-region smoothing).
+        jump = u[:, w // 2].mean() - u[:, w // 2 - 1].mean()
+        assert jump > 1.5
+
+
+class TestAffineParametric:
+    def test_normalized_steps_recover_translation(self):
+        """The stabilized (mean-gradient) step recovers the per-region
+        translation; the reference's omega=1 summed-gradient step only
+        behaves on its small mean-shift segments."""
+        import jax.numpy as jnp
+
+        from tpuflow.solvers.bm_flow import affine_parametric_flow
+
+        rng = np.random.default_rng(8)
+        base = rng.uniform(0, 1, (60, 80))
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = gf(base, 3)
+        ref = base[4:-4, 4:-4]
+        interest = base[4:-4, 5:-3]  # content moved (-1, 0)
+        mk = lambda g: jnp.asarray(np.stack([g] * 3, -1))
+        labels = np.zeros((52, 72), np.int32)
+        z = jnp.zeros((52, 72))
+        a, u, v = affine_parametric_flow(mk(ref), mk(interest), z, z,
+                                         labels, 1, iter_max=3000,
+                                         normalize_steps=True)
+        assert np.asarray(a).shape == (1, 6)
+        ui = np.asarray(u)[10:-10, 10:-10]
+        assert abs(np.median(ui) - 1.0) < 0.5
+
+    def test_warm_start_fixed_point(self):
+        """Initialized at the true translation the reference scheme stays
+        near it (dE ~ 0 at the solution)."""
+        import jax.numpy as jnp
+
+        from tpuflow.solvers.bm_flow import affine_parametric_flow
+
+        rng = np.random.default_rng(8)
+        base = rng.uniform(0, 1, (60, 80))
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = gf(base, 3)
+        ref = base[4:-4, 4:-4]
+        interest = base[4:-4, 5:-3]
+        mk = lambda g: jnp.asarray(np.stack([g] * 3, -1))
+        labels = np.zeros((52, 72), np.int32)
+        z = jnp.zeros((52, 72))
+        a0 = jnp.zeros((1, 6)).at[0, 0].set(1.0)
+        a, u, v = affine_parametric_flow(mk(ref), mk(interest), z, z,
+                                         labels, 1, iter_max=50,
+                                         normalize_steps=True, a0=a0)
+        assert abs(float(np.asarray(a)[0, 0]) - 1.0) < 0.3
+
+
+class TestDriver:
+    def test_end_to_end_and_state(self):
+        from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+        rng = np.random.default_rng(2)
+        base = rng.uniform(0, 255, (52, 72, 3))
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = gf(base, (2, 2, 0))
+        f0 = base[2:-6, 2:-6]
+        f1 = base[4:-4, 4:-4]
+        f2 = base[6:-2, 6:-2]  # constant motion (-2, -2) per step
+
+        out1, state = optical_flow_block_matching(
+            f0, f1, 255.0, mode=0, iter_max=300, search_range=9,
+            kernel_spatial=5)
+        assert out1.u.shape == f0.shape[:2]
+        assert set(np.unique(out1.t)).issubset({-1, 1})
+        assert out1.quantized_rgb.dtype == np.uint8
+
+        out2, state = optical_flow_block_matching(
+            f1, f2, 255.0, mode=0, iter_max=300, search_range=9,
+            kernel_spatial=5, state=state)
+        # Bidirectional now: both time directions may appear, flow is the
+        # inverse motion ~ +2 in the winning direction for t=-1 pixels.
+        assert len(state.lab_frames) == 3
+        sel = out2.t < 0
+        if sel.any():
+            assert abs(np.median(out2.bm_u[sel]) - 2.0) < 1.1

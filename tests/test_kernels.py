@@ -1,0 +1,102 @@
+"""Pallas fused stencil kernels vs the reference jnp paths.
+
+Runs in interpreter mode on CPU (SURVEY.md §4d); on TPU the same code
+compiles via Mosaic. The contract is exact Jacobi equivalence: K fused
+in-VMEM iterations must match K one-op-per-iteration sweeps.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fields():
+    rng = np.random.default_rng(11)
+    h, w = 45, 70  # deliberately not tile-aligned
+    gx = rng.normal(size=(h, w))
+    gy = rng.normal(size=(h, w))
+    gt = 0.3 * rng.normal(size=(h, w))
+    return gx, gy, gt
+
+
+class TestHornSchunckPallas:
+    def _run(self, small_pair, iters, fuse):
+        import jax.numpy as jnp
+
+        from tpuflow.kernels import horn_schunck_pallas
+        from tpuflow.solvers import horn_schunck
+
+        prev, nxt = small_pair
+        p = jnp.asarray(prev)
+        n = jnp.asarray(nxt)
+        u_ref, v_ref = horn_schunck(p, n, 5, iters, 1.0)
+        u, v = horn_schunck_pallas(p, n, 5, iters, 1.0,
+                                   tile_h=32, tile_w=128, fuse=fuse,
+                                   interpret=True)
+        return np.asarray(u), np.asarray(v), np.asarray(u_ref), np.asarray(v_ref)
+
+    def test_single_iteration(self, small_pair):
+        u, v, u_ref, v_ref = self._run(small_pair, 1, 1)
+        np.testing.assert_allclose(u, u_ref, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(v, v_ref, rtol=0, atol=1e-12)
+
+    def test_fused_iterations(self, small_pair):
+        u, v, u_ref, v_ref = self._run(small_pair, 6, 3)
+        np.testing.assert_allclose(u, u_ref, rtol=0, atol=1e-10)
+        np.testing.assert_allclose(v, v_ref, rtol=0, atol=1e-10)
+
+    def test_remainder_iterations(self, small_pair):
+        """iters not divisible by fuse exercises the tail call."""
+        u, v, u_ref, v_ref = self._run(small_pair, 7, 3)
+        np.testing.assert_allclose(u, u_ref, rtol=0, atol=1e-10)
+        np.testing.assert_allclose(v, v_ref, rtol=0, atol=1e-10)
+
+
+class TestIrlsSweepPallas:
+    def test_matches_jnp_sweeps(self, fields):
+        import jax.numpy as jnp
+
+        from tpuflow.kernels import irls_sweep_pallas
+        from tpuflow.solvers import irls_grad, irls_sup
+
+        gx, gy, gt = (jnp.asarray(a) for a in fields)
+        ld, ls, sd, ss = 5.0, 1.0, 0.4, 0.2
+        sup_x, sup_y = irls_sup(gx, gy, ld, ls, sd, ss)
+        u = jnp.zeros_like(gx)
+        v = jnp.zeros_like(gx)
+        n_iters = 5
+        u_ref, v_ref = u, v
+        for _ in range(n_iters):
+            dx, dy = irls_grad(u_ref, v_ref, gx, gy, gt, ld, ls, sd, ss)
+            u_ref = u_ref - dx / sup_x
+            v_ref = v_ref - dy / sup_y
+        u_k, v_k = irls_sweep_pallas(
+            u, v, gx, gy, gt, sup_x, sup_y, n_iters,
+            lambda_d=ld, lambda_s=ls, sigma_d=sd, sigma_s=ss,
+            tile_h=16, tile_w=128, fuse=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                                   rtol=0, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
+                                   rtol=0, atol=1e-11)
+
+    def test_tile_decomposition_invariance(self, fields):
+        """Different tilings/fusings give the same answer."""
+        import jax.numpy as jnp
+
+        from tpuflow.kernels import irls_sweep_pallas
+        from tpuflow.solvers import irls_sup
+
+        gx, gy, gt = (jnp.asarray(a) for a in fields)
+        sup_x, sup_y = irls_sup(gx, gy, 5.0, 1.0, 0.4, 0.2)
+        u = jnp.zeros_like(gx)
+        v = jnp.zeros_like(gx)
+        args = dict(lambda_d=5.0, lambda_s=1.0, sigma_d=0.4, sigma_s=0.2,
+                    interpret=True)
+        u1, v1 = irls_sweep_pallas(u, v, gx, gy, gt, sup_x, sup_y, 4,
+                                   tile_h=48, tile_w=128, fuse=4, **args)
+        u2, v2 = irls_sweep_pallas(u, v, gx, gy, gt, sup_x, sup_y, 4,
+                                   tile_h=8, tile_w=128, fuse=1, **args)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                                   rtol=0, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=0, atol=1e-11)

@@ -1,0 +1,226 @@
+"""Block matching over regular blocks or arbitrary labeled regions.
+
+Reconstruction of the missing ``BlockMatching<Lab>`` submodule from its
+call sites (SURVEY.md §2.4; OpticalFlow_BlockMatching.cpp:96-219):
+
+- ``reset(prev, cur[, next], block_size, subpixel)``: fixed blocks — the
+  label map is the block grid (the reference builds exactly this map
+  itself at OpticalFlow_BlockMatching.cpp:103-108);
+- ``reset(prev, map_prev, cur, map_cur[, next, map_next], subpixel)``:
+  arbitrary regions from the mean-shift segmentation;
+- ``block_matching(search_range, coeff_MAD, coeff_ZNCC)``: per region,
+  exhaustive displacement search over a ``search_range``-wide window with
+  cost ``coeff_MAD * MAD - coeff_ZNCC * ZNCC`` (lower is better), then
+  ``subpixel``-scale refinement around the integer winner;
+- accessors ``get/get_prev/get_next``: per-pixel motion vector of the
+  pixel's region; bidirectional ``get`` returns the better-scoring of the
+  prev/next matches with the time direction t in {-1, +1}
+  (Vector_ST composition, OpticalFlow_BlockMatching.cpp:307-361).
+
+TPU design: regions are irregular, so the search is dense-masked — for
+each candidate displacement the whole frame is shifted once (static
+slices), the per-pixel Lab L1 error and ZNCC moments are reduced
+per-region with ``segment_sum`` (one-hot matmul onto the MXU via XLA),
+and ``lax.map`` scans the (2R+1)^2 candidate grid. No data-dependent
+shapes: the region count is a static argument (known after host-side
+labeling).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def grid_labels(h: int, w: int, block_size: int) -> np.ndarray:
+    """The reference's fixed-block domain map
+    (OpticalFlow_BlockMatching.cpp:103-108)."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    nbx = -(-w // block_size)
+    return (nbx * (ys // block_size) + xs // block_size).astype(np.int32)
+
+
+@dataclass
+class BlockMatchResult:
+    """Per-pixel motion vectors (+ per-region winners)."""
+
+    u: np.ndarray        # (H, W) x-displacement (toward the reference frame)
+    v: np.ndarray        # (H, W)
+    cost: np.ndarray     # (H, W) winning cost (per pixel via its region)
+    region_uv: np.ndarray    # (n_regions, 2)
+    region_cost: np.ndarray  # (n_regions,)
+
+
+def _shift_with_mask(img: jnp.ndarray, dx, dy):
+    """img sampled at (x + dx, y + dy) with validity mask, via roll +
+    out-of-bounds mask (dx, dy traced int32 scalars)."""
+    h, w = img.shape[:2]
+    shifted = jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    valid = ((xs + dx >= 0) & (xs + dx < w)
+             & (ys + dy >= 0) & (ys + dy < h))
+    return shifted, valid
+
+
+def _region_costs(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
+                  valid: jnp.ndarray, labels: jnp.ndarray, n_regions: int):
+    """cost_r = coeff_MAD * MAD_r - coeff_ZNCC * ZNCC_r for one candidate.
+
+    MAD over mean Lab L1 distance; ZNCC over the L channel.
+    Pixels whose match falls outside the frame are excluded.
+    """
+    m = valid.astype(cur.dtype)
+    lab_l1 = jnp.sum(jnp.abs(cur - ref_shifted), axis=-1) / 3.0
+    a = cur[..., 0]
+    b = ref_shifted[..., 0]
+    flat = labels.reshape(-1)
+
+    def seg(x):
+        return jax.ops.segment_sum(x.reshape(-1), flat,
+                                   num_segments=n_regions)
+
+    n = seg(m)
+    n_safe = jnp.maximum(n, 1.0)
+    mad = seg(m * lab_l1) / n_safe
+    sa = seg(m * a) / n_safe
+    sb = seg(m * b) / n_safe
+    saa = seg(m * a * a) / n_safe
+    sbb = seg(m * b * b) / n_safe
+    sab = seg(m * a * b) / n_safe
+    var_a = jnp.maximum(saa - sa * sa, 0.0)
+    var_b = jnp.maximum(sbb - sb * sb, 0.0)
+    denom = jnp.sqrt(var_a * var_b) + 1e-12
+    zncc = (sab - sa * sb) / denom
+    # Regions with no valid overlap get +inf cost.
+    big = jnp.asarray(jnp.inf, cur.dtype)
+    return jnp.where(n > 0, mad, big), zncc, n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_regions", "search_range", "subpixel_scale",
+                     "coeff_mad", "coeff_zncc"))
+def _match_one_direction(cur_lab, ref_lab, labels, n_regions: int,
+                         search_range: int, subpixel_scale: int,
+                         coeff_mad: float, coeff_zncc: float):
+    """Best (dx, dy, cost) per region matching cur against ref."""
+    R = search_range // 2
+    dt = cur_lab.dtype
+    cand = jnp.stack(
+        jnp.meshgrid(jnp.arange(-R, R + 1), jnp.arange(-R, R + 1),
+                     indexing="ij"), -1).reshape(-1, 2)  # (n, (dy, dx))
+
+    def eval_cand(d):
+        dy, dx = d[0], d[1]
+        shifted, valid = _shift_with_mask(ref_lab, dx, dy)
+        mad, zncc, _ = _region_costs(cur_lab, shifted, valid, labels,
+                                     n_regions)
+        return coeff_mad * mad - coeff_zncc * zncc
+
+    costs = jax.lax.map(eval_cand, cand)  # (n_cand, n_regions)
+    best = jnp.argmin(costs, axis=0)  # (n_regions,)
+    best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
+    best_d = cand[best].astype(dt)  # (n_regions, (dy, dx))
+
+    if subpixel_scale > 1:
+        # Refine around the integer winner on a 1/subpixel grid via
+        # bilinear interpolation of the reference frame.
+        s = 1.0 / subpixel_scale
+        sub = jnp.stack(
+            jnp.meshgrid(jnp.arange(-(subpixel_scale - 1), subpixel_scale),
+                         jnp.arange(-(subpixel_scale - 1), subpixel_scale),
+                         indexing="ij"), -1).reshape(-1, 2).astype(dt) * s
+        h, w = cur_lab.shape[:2]
+        xs = jnp.arange(w, dtype=dt)[None, :]
+        ys = jnp.arange(h, dtype=dt)[:, None]
+        dx_pix = best_d[labels][..., 1]  # (H, W)
+        dy_pix = best_d[labels][..., 0]
+
+        def eval_sub(d):
+            fy = dy_pix + d[0]
+            fx = dx_pix + d[1]
+            qx = xs + fx
+            qy = ys + fy
+            x0 = jnp.floor(qx).astype(jnp.int32)
+            y0 = jnp.floor(qy).astype(jnp.int32)
+            wx = qx - x0
+            wy = qy - y0
+            valid = (qx >= 0) & (qx <= w - 1) & (qy >= 0) & (qy <= h - 1)
+
+            def g(yy, xx):
+                yy = jnp.clip(yy, 0, h - 1)
+                xx = jnp.clip(xx, 0, w - 1)
+                return ref_lab[yy, xx]
+
+            interp = ((1 - wx)[..., None] * (1 - wy)[..., None] * g(y0, x0)
+                      + wx[..., None] * (1 - wy)[..., None] * g(y0, x0 + 1)
+                      + (1 - wx)[..., None] * wy[..., None] * g(y0 + 1, x0)
+                      + wx[..., None] * wy[..., None] * g(y0 + 1, x0 + 1))
+            mad, zncc, _ = _region_costs(cur_lab, interp, valid, labels,
+                                         n_regions)
+            return coeff_mad * mad - coeff_zncc * zncc
+
+        sub_costs = jax.lax.map(eval_sub, sub)  # (n_sub, n_regions)
+        sbest = jnp.argmin(sub_costs, axis=0)
+        best_cost = jnp.take_along_axis(sub_costs, sbest[None, :], axis=0)[0]
+        best_d = best_d + sub[sbest]
+
+    # (dx, dy) per region + per-pixel expansion.
+    uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
+    return uv, best_cost
+
+
+def block_matching_labels(
+    cur_lab,
+    ref_lab,
+    labels,
+    n_regions: int,
+    search_range: int = 61,
+    coeff_mad: float = 1.0,
+    coeff_zncc: float = 0.5,
+    subpixel_scale: int = 2,
+) -> BlockMatchResult:
+    """Match every region of ``cur`` against ``ref``; vectors point from
+    cur pixels toward their reference-frame position (inverse flow, like
+    the reference's get_prev)."""
+    cur_lab = jnp.asarray(cur_lab)
+    ref_lab = jnp.asarray(ref_lab)
+    labels_j = jnp.asarray(labels)
+    uv, cost = _match_one_direction(
+        cur_lab, ref_lab, labels_j, int(n_regions), int(search_range),
+        int(subpixel_scale), float(coeff_mad), float(coeff_zncc))
+    uv = np.asarray(uv)
+    cost = np.asarray(cost)
+    lab_np = np.asarray(labels)
+    return BlockMatchResult(
+        u=uv[lab_np][..., 0], v=uv[lab_np][..., 1], cost=cost[lab_np],
+        region_uv=uv, region_cost=cost)
+
+
+def block_matching_bidirectional(
+    cur_lab,
+    prev_lab,
+    next_lab,
+    labels,
+    n_regions: int,
+    search_range: int = 61,
+    coeff_mad: float = 1.0,
+    coeff_zncc: float = 0.5,
+    subpixel_scale: int = 2,
+):
+    """Bidirectional matching: returns (prev_result, next_result,
+    t (H, W) in {-1, +1}) with t = -1 where the prev match wins
+    (BlockMatching::get's Vector_ST time direction)."""
+    r_prev = block_matching_labels(cur_lab, prev_lab, labels, n_regions,
+                                   search_range, coeff_mad, coeff_zncc,
+                                   subpixel_scale)
+    r_next = block_matching_labels(cur_lab, next_lab, labels, n_regions,
+                                   search_range, coeff_mad, coeff_zncc,
+                                   subpixel_scale)
+    t = np.where(r_prev.cost <= r_next.cost, -1, 1).astype(np.int8)
+    return r_prev, r_next, t

@@ -1,0 +1,535 @@
+"""Segmentation-based block-matching flow — the reference's flagship path.
+
+TPU re-design of ``OpticalFlow/OpticalFlow_BlockMatching.cpp:13-362`` and
+``OpticalFlow/Affine_BlockMatching.cpp``:
+
+1. normalize sRGB by MaxInt, convert to CIE Lab
+   (OpticalFlow_BlockMatching.cpp:58-81);
+2. keep a <=4-frame history of Lab frames + segmentations — here an
+   *explicit* :class:`BMFlowState` carried by the caller instead of the
+   reference's function-local ``static`` deques (lines 16-22, 84-93;
+   SURVEY.md §5.4 makes warm state explicit);
+3. mean-shift segmentation of the newest frame
+   (:mod:`tpuflow.segmentation`), with segmentation-map /
+   color-quantized / shift-vector side outputs (lines 137-196);
+4. arbitrary-region block matching, bidirectional when >= 3 frames are
+   buffered (:mod:`tpuflow.blockmatching`, lines 198-219);
+5. per-pixel refinement around the BM prediction: either the
+   region-gated robust gradient method (Mode OPTICALFLOW, lines 367-590)
+   or per-region affine parametric motion (Mode AFFINE,
+   Affine_BlockMatching.cpp:12-199);
+6. compose BM vector + refinement into (u, v, t) with time direction
+   t in {-1, +1} (Vector_ST, lines 306-361).
+
+All dense compute (gradients, dt-under-warp, IRLS sweeps, affine moment
+reductions) is jitted; the IRLS sweep is the same Jacobi stencil as
+:mod:`tpuflow.solvers.black_anandan` plus a region gate and the
+direction-coherence weight 0.5 * (1 + cos theta) (lines 486-509).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.core.color import srgb_to_lab
+from tpuflow.core.config import (
+    MODE_OUTPUT_AFFINE_BLOCKMATCHING,
+    MultipleMotionParam,
+)
+from tpuflow.segmentation import SegmentationResult, segment_meanshift
+from tpuflow.blockmatching import (
+    block_matching_bidirectional,
+    block_matching_labels,
+)
+from tpuflow.solvers.mestimators import geman_mcclure_psi, geman_mcclure_rho
+
+LAMBDA_D = 5.0
+LAMBDA_S = 1.0
+SIGMA_D_BM = 0.2 / math.sqrt(2.0)   # OpticalFlow_BlockMatching.cpp:47
+SIGMA_S_BM = 0.03 / math.sqrt(2.0)  # OpticalFlow_BlockMatching.cpp:48
+SIGMA_AFFINE_BM = 0.2 / math.sqrt(2.0)  # Affine_BlockMatching.cpp:17
+HISTORY_MAX = 4
+
+
+# ---------------------------------------------------------------------------
+# Gradients and dt under the BM warp (mirror borders)
+
+
+def _mirror_shift(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """img.get_mirror(x + dx, y + dy) for small static offsets."""
+    h, w = img.shape
+    xs = jnp.arange(w) + dx
+    ys = jnp.arange(h) + dy
+    xs = jnp.where(xs >= w, 2 * w - 2 - xs, jnp.abs(xs))
+    ys = jnp.where(ys >= h, 2 * h - 2 - ys, jnp.abs(ys))
+    return img[ys][:, xs]
+
+
+@jax.jit
+def gradient_method_grad(interest_l: jnp.ndarray):
+    """2x2 forward-difference gradient of the interest frame's L channel
+    (OpticalFlow_BlockMatching.cpp:372-384)."""
+    i00 = interest_l
+    i10 = _mirror_shift(interest_l, 1, 0)
+    i01 = _mirror_shift(interest_l, 0, 1)
+    i11 = _mirror_shift(interest_l, 1, 1)
+    gx = ((i10 - i00) + (i11 - i01)) / 2.0
+    gy = ((i01 - i00) + (i11 - i10)) / 2.0
+    return gx, gy
+
+
+@jax.jit
+def gradient_method_dt(reference_l: jnp.ndarray, interest_l: jnp.ndarray,
+                       mv_u: jnp.ndarray, mv_v: jnp.ndarray):
+    """4-tap temporal difference under the floor(MV) warp
+    (OpticalFlow_BlockMatching.cpp:385-397)."""
+    h, w = reference_l.shape
+    xs = jnp.arange(w)[None, :]
+    ys = jnp.arange(h)[:, None]
+    xt = xs + jnp.floor(mv_u).astype(jnp.int32)
+    yt = ys + jnp.floor(mv_v).astype(jnp.int32)
+
+    def mirror(i, n):
+        i = jnp.abs(i)
+        period = 2 * n - 2 if n > 1 else 1
+        i = i % period
+        return jnp.where(i >= n, period - i, i)
+
+    def ref_at(ddx, ddy):
+        return reference_l[mirror(yt + ddy, h), mirror(xt + ddx, w)]
+
+    def int_at(ddx, ddy):
+        return _mirror_shift(interest_l, ddx, ddy)
+
+    return (ref_at(0, 0) - int_at(0, 0)
+            + ref_at(1, 0) - int_at(1, 0)
+            + ref_at(0, 1) - int_at(0, 1)
+            + ref_at(1, 1) - int_at(1, 1)) / 4.0
+
+
+# ---------------------------------------------------------------------------
+# Region-gated IRLS (OpticalFlow_GradientMethod)
+
+
+def _shift_field(f: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    return jnp.roll(f, shift=(-dy, -dx), axis=(0, 1))
+
+
+def _neighbor_terms(u, v, labels, sigma_s):
+    """Region-gated, direction-coherence-weighted neighbor sums
+    (Error_u_Block, OpticalFlow_BlockMatching.cpp:465-514).
+
+    coeff = 0.5 * (1 + u.un / (|u| |un|)); where either vector is zero the
+    cosine is undefined (the reference divides 0/0) — we take coeff = 1
+    (identical vectors are fully coherent), which is the zero-field limit.
+    """
+    h, w = u.shape
+    dt = u.dtype
+    norm_c = jnp.sqrt(u * u + v * v)
+    nx = jnp.zeros_like(u)
+    ny = jnp.zeros_like(v)
+    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        un = _shift_field(u, dx, dy)
+        vn = _shift_field(v, dx, dy)
+        ln = _shift_field(labels, dx, dy)
+        inb = jnp.ones((h, w), bool)
+        if dx == 1:
+            inb = inb.at[:, w - 1].set(False)
+        elif dx == -1:
+            inb = inb.at[:, 0].set(False)
+        if dy == 1:
+            inb = inb.at[h - 1, :].set(False)
+        elif dy == -1:
+            inb = inb.at[0, :].set(False)
+        gate = inb & (ln == labels)
+        nn = jnp.sqrt(un * un + vn * vn)
+        prod = norm_c * nn
+        cosang = jnp.where(prod > 0, (u * un + v * vn) / jnp.maximum(prod, 1e-30), 1.0)
+        coeff = 0.5 * (1.0 + cosang)
+        m = gate.astype(dt) * coeff
+        nx = nx + m * geman_mcclure_psi(u - un, sigma_s)
+        ny = ny + m * geman_mcclure_psi(v - vn, sigma_s)
+    return nx, ny
+
+
+def _neighbor_energy(u, v, labels, sigma_s):
+    h, w = u.shape
+    dt = u.dtype
+    norm_c = jnp.sqrt(u * u + v * v)
+    E = jnp.zeros_like(u)
+    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        un = _shift_field(u, dx, dy)
+        vn = _shift_field(v, dx, dy)
+        ln = _shift_field(labels, dx, dy)
+        inb = jnp.ones((h, w), bool)
+        if dx == 1:
+            inb = inb.at[:, w - 1].set(False)
+        elif dx == -1:
+            inb = inb.at[:, 0].set(False)
+        if dy == 1:
+            inb = inb.at[h - 1, :].set(False)
+        elif dy == -1:
+            inb = inb.at[0, :].set(False)
+        gate = inb & (ln == labels)
+        nn = jnp.sqrt(un * un + vn * vn)
+        prod = norm_c * nn
+        cosang = jnp.where(prod > 0, (u * un + v * vn) / jnp.maximum(prod, 1e-30), 1.0)
+        coeff = 0.5 * (1.0 + cosang)
+        m = gate.astype(dt) * coeff
+        E = E + m * (geman_mcclure_rho(u - un, sigma_s)
+                     + geman_mcclure_rho(v - vn, sigma_s))
+    return E
+
+
+@partial(jax.jit, static_argnames=("iter_max",))
+def irls_gradient_method(
+    gx, gy, it, labels,
+    lambda_d: float, lambda_s: float, sigma_d: float, sigma_s: float,
+    iter_max: int, error_min_threshold: float,
+    u0=None, v0=None,
+):
+    """IRLS_OpticalFlow_GradientMethod (OpticalFlow_BlockMatching.cpp:
+    412-462): Jacobi sweeps with the region-gated neighbor term, energy
+    check every 64 iterations, 3-strikes divergence stop."""
+    sup_x = lambda_d * jnp.max(gx * gx) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
+    sup_y = lambda_d * jnp.max(gy * gy) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
+
+    def energy(u, v):
+        center = geman_mcclure_rho(gx * u + gy * v + it, sigma_d)
+        return jnp.sum(lambda_d * center
+                       + lambda_s * _neighbor_energy(u, v, labels, sigma_s))
+
+    def cond(carry):
+        u, v, E, Eprev, inc, n, stop = carry
+        return jnp.logical_and(n < iter_max, jnp.logical_not(stop))
+
+    def body(carry):
+        u, v, E, Eprev, inc, n, _ = carry
+        psi_d = geman_mcclure_psi(gx * u + gy * v + it, sigma_d)
+        nx, ny = _neighbor_terms(u, v, labels, sigma_s)
+        u = u - (lambda_d * gx * psi_d + lambda_s * nx) / sup_x
+        v = v - (lambda_d * gy * psi_d + lambda_s * ny) / sup_y
+
+        def check(args):
+            u, v, E, Eprev, inc = args
+            E_new = energy(u, v)
+            inc_new = jnp.where(E_new > E, inc + 1, 0)
+            return E, E_new, inc_new
+
+        do_check = (n & 0x3F) == 0
+        Eprev2, E2, inc2 = jax.lax.cond(
+            do_check, check, lambda args: (args[3], args[2], args[4]),
+            (u, v, E, Eprev, inc))
+        stop = jnp.logical_and(
+            do_check,
+            jnp.logical_or(E2 < error_min_threshold, inc2 > 3))
+        return u, v, E2, Eprev2, inc2, n + 1, stop
+
+    z_u = jnp.zeros_like(gx) if u0 is None else u0
+    z_v = jnp.zeros_like(gx) if v0 is None else v0
+    E0 = jnp.asarray(0.0, gx.dtype)
+    u, v, E, _, _, n, _ = jax.lax.while_loop(
+        cond, body,
+        (z_u, z_v, E0, E0, jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
+    return u, v, E, n
+
+
+def gradient_method_flow(
+    reference_lab: jnp.ndarray,
+    interest_lab: jnp.ndarray,
+    mv_u: jnp.ndarray,
+    mv_v: jnp.ndarray,
+    labels: jnp.ndarray,
+    lambda_d: float = LAMBDA_D,
+    lambda_s: float = LAMBDA_S,
+    sigma_d: float = SIGMA_D_BM,
+    sigma_s: float = SIGMA_S_BM,
+    iter_max: int = 2048,
+    error_min_threshold: float = 1.0e-6,
+    u0=None,
+    v0=None,
+):
+    """OpticalFlow_GradientMethod (OpticalFlow_BlockMatching.cpp:367-409).
+
+    NOTE: the reference zeroes MV before refinement ("for DEBUG",
+    lines 291-293) — callers decide whether to warp (pass zeros to
+    reproduce the reference exactly). ``u0``/``v0`` warm-start the IRLS
+    (streaming pipelines; the reference always starts from zero).
+    """
+    gx, gy = gradient_method_grad(interest_lab[..., 0])
+    it = gradient_method_dt(reference_lab[..., 0], interest_lab[..., 0],
+                            mv_u, mv_v)
+    u, v, _, _ = irls_gradient_method(
+        gx, gy, it, jnp.asarray(labels),
+        lambda_d, lambda_s, sigma_d, sigma_s,
+        int(iter_max), error_min_threshold, u0, v0)
+    return u, v
+
+
+# ---------------------------------------------------------------------------
+# Per-region affine parametric motion (AffineParametric)
+
+
+@partial(jax.jit, static_argnames=("n_regions", "iter_max",
+                                   "normalize_steps"))
+def _irls_affine_regions(gx, gy, it, labels, n_regions: int,
+                         sigma: float, iter_max: int,
+                         error_min_threshold: float,
+                         normalize_steps: bool = False,
+                         a0=None):
+    """All regions' 6-parameter IRLS at once: the per-region moment sums
+    are segment reductions, the parameter update is elementwise over the
+    (n_regions, 6) table (IRLS_AffineParametric_region,
+    Affine_BlockMatching.cpp:84-116; omega = 1.0)."""
+    h, w = gx.shape
+    dt = gx.dtype
+    x = jnp.arange(w, dtype=dt)[None, :] * jnp.ones((h, 1), dt)
+    y = jnp.arange(h, dtype=dt)[:, None] * jnp.ones((1, w), dt)
+    basis = jnp.stack([gx, gx * x, gx * y, gy, gy * x, gy * y], axis=0)
+    flat = labels.reshape(-1)
+
+    def seg(f):
+        return jax.ops.segment_sum(f.reshape(-1), flat,
+                                   num_segments=n_regions)
+
+    def seg_max(f):
+        return jax.ops.segment_max(f.reshape(-1), flat,
+                                   num_segments=n_regions)
+
+    # sup_i per region: 2 * max_site (basis_i^2) / sigma^2
+    # (sup_Error_aa_region).
+    sup = jnp.stack([2.0 * seg_max(basis[i] ** 2) / sigma**2
+                     for i in range(6)], axis=-1)  # (n_regions, 6)
+    omega = 1.0
+    tiny = jnp.abs(sup) < 1.0e-10
+    step = jnp.where(tiny, omega * 1.0e10 * jnp.where(sup >= 0, 1.0, -1.0),
+                     omega / jnp.where(tiny, 1.0, sup))
+    if normalize_steps:
+        # Stabilized extension (not in the reference): the gradient dE is
+        # a *sum* over the region while sup is a per-site max, so the
+        # reference's omega=1 step overshoots on regions much larger than
+        # its typical mean-shift segments. Dividing by the region size
+        # restores a mean-gradient step.
+        counts = jax.ops.segment_sum(jnp.ones_like(flat, dtype=dt), flat,
+                                     num_segments=n_regions)
+        step = step / jnp.maximum(counts, 1.0)[:, None]
+
+    def flow_of(a):
+        a_pix = a[labels]  # (H, W, 6)
+        u = a_pix[..., 0] + a_pix[..., 1] * x + a_pix[..., 2] * y
+        v = a_pix[..., 3] + a_pix[..., 4] * x + a_pix[..., 5] * y
+        return u, v
+
+    def energy_of(a):
+        u, v = flow_of(a)
+        r = geman_mcclure_rho(gx * u + gy * v + it, sigma)
+        return seg(r)  # (n_regions,)
+
+    def body(n, carry):
+        a, done = carry
+        u, v = flow_of(a)
+        psi = geman_mcclure_psi(gx * u + gy * v + it, sigma)
+        dE = jnp.stack([seg(basis[i] * psi) for i in range(6)], axis=-1)
+        a_new = a - step * dE
+        a = jnp.where(done[:, None], a, a_new)
+        E = energy_of(a)
+        done = jnp.logical_or(done, E < error_min_threshold)
+        return a, done
+
+    if a0 is None:
+        a0 = jnp.zeros((n_regions, 6), dt)
+    done0 = jnp.zeros((n_regions,), bool)
+    a, _ = jax.lax.fori_loop(0, iter_max, body, (a0, done0))
+    u, v = flow_of(a)
+    return a, u, v
+
+
+def affine_parametric_flow(
+    reference_lab: jnp.ndarray,
+    interest_lab: jnp.ndarray,
+    mv_u: jnp.ndarray,
+    mv_v: jnp.ndarray,
+    labels: np.ndarray,
+    n_regions: int,
+    sigma: float = SIGMA_AFFINE_BM,
+    iter_max: int = 256,
+    error_min_threshold: float = 1.0e-6,
+    normalize_steps: bool = False,
+    a0=None,
+):
+    """AffineParametric (Affine_BlockMatching.cpp:11-77): per-region
+    6-parameter robust fit of the residual motion under the BM warp.
+    Returns (a (n_regions, 6), u, v).
+
+    ``normalize_steps=True`` selects the stabilized step (mean gradient
+    instead of the reference's summed gradient) — recommended for large
+    regions; False reproduces the reference exactly.
+    """
+    gx, gy = gradient_method_grad(interest_lab[..., 0])
+    it = gradient_method_dt(reference_lab[..., 0], interest_lab[..., 0],
+                            jnp.asarray(mv_u), jnp.asarray(mv_v))
+    return _irls_affine_regions(gx, gy, it, jnp.asarray(labels),
+                                int(n_regions), float(sigma), int(iter_max),
+                                error_min_threshold, normalize_steps, a0)
+
+
+# ---------------------------------------------------------------------------
+# Driver with explicit history state
+
+
+@dataclass
+class BMFlowState:
+    """The reference's static deques made explicit (newest first)."""
+
+    lab_frames: list = field(default_factory=list)
+    rgb_frames: list = field(default_factory=list)
+    segmentations: list = field(default_factory=list)
+
+    def push(self, lab, rgb, seg):
+        self.lab_frames.insert(0, lab)
+        self.rgb_frames.insert(0, rgb)
+        self.segmentations.insert(0, seg)
+        if len(self.lab_frames) >= HISTORY_MAX:
+            self.lab_frames.pop()
+            self.rgb_frames.pop()
+            self.segmentations.pop()
+
+
+@dataclass
+class BMFlowOutput:
+    u: np.ndarray            # (H, W) composed flow x
+    v: np.ndarray            # (H, W)
+    t: np.ndarray            # (H, W) int8 time direction in {-1, +1}
+    segmentation: SegmentationResult
+    quantized_rgb: np.ndarray        # (H, W, 3) uint8 side output
+    shift_vector: np.ndarray         # (H, W, 2) mean-shift spatial shifts
+    bm_u: np.ndarray
+    bm_v: np.ndarray
+
+
+def _quantize_colors(rgb_norm: np.ndarray, seg: SegmentationResult) -> np.ndarray:
+    """Per-region mean color, x255, clipped (the color-quantized side
+    output, OpticalFlow_BlockMatching.cpp:154-181)."""
+    h, w = seg.labels.shape
+    flat = seg.labels.reshape(-1)
+    sums = np.zeros((seg.n_regions, 3))
+    np.add.at(sums, flat, rgb_norm.reshape(-1, 3))
+    counts = np.maximum(np.bincount(flat, minlength=seg.n_regions), 1)
+    means = np.clip(sums / counts[:, None] * 255.0, 0, 255)
+    return means[seg.labels].astype(np.uint8)
+
+
+def optical_flow_block_matching(
+    it_rgb: np.ndarray,
+    itp1_rgb: np.ndarray,
+    max_int: float = 255.0,
+    param: MultipleMotionParam | None = None,
+    mode: int = 0,
+    iter_max: int = 2048,
+    state: BMFlowState | None = None,
+    search_range: int = 61,
+    kernel_spatial: int = 20,
+    kernel_intensity: float = 16.0 / 255.0,
+    subpixel_scale: int = 2,
+) -> tuple[BMFlowOutput, BMFlowState]:
+    """The flagship driver (OpticalFlow_BlockMatching.cpp:13-362).
+
+    Returns INVERSE flow: vectors point from current-frame pixels to
+    where they came from/go to in the reference frame, with t = -1
+    (previous) or +1 (next). Pass the returned state back in for
+    bidirectional matching on subsequent frames.
+    """
+    if param is None:
+        param = MultipleMotionParam()
+    if state is None:
+        state = BMFlowState()
+
+    def to_lab(rgb):
+        if rgb.ndim == 2:
+            rgb = np.stack([rgb] * 3, axis=-1)
+        norm = jnp.asarray(rgb, jnp.float32) / max_int
+        return norm, srgb_to_lab(norm)
+
+    if not state.lab_frames:
+        it_norm, it_lab = to_lab(np.asarray(it_rgb))
+        seg_it = segment_meanshift(np.asarray(it_lab), kernel_spatial,
+                                   kernel_intensity)
+        state.push(it_lab, np.asarray(it_norm), seg_it)
+    itp1_norm, itp1_lab = to_lab(np.asarray(itp1_rgb))
+    seg_new = segment_meanshift(np.asarray(itp1_lab), kernel_spatial,
+                                kernel_intensity)
+    state.push(itp1_lab, np.asarray(itp1_norm), seg_new)
+
+    bidirectional = len(state.lab_frames) >= 3
+    if bidirectional:
+        interest_lab = state.lab_frames[1]
+        seg = state.segmentations[1]
+        ref_prev = state.lab_frames[2]
+        ref_next = state.lab_frames[0]
+        r_prev, r_next, t = block_matching_bidirectional(
+            interest_lab, ref_prev, ref_next, seg.labels, seg.n_regions,
+            search_range, subpixel_scale=subpixel_scale)
+    else:
+        interest_lab = state.lab_frames[0]
+        seg = state.segmentations[0]
+        ref_prev = state.lab_frames[1]
+        r_prev = block_matching_labels(
+            interest_lab, ref_prev, seg.labels, seg.n_regions,
+            search_range, subpixel_scale=subpixel_scale)
+        r_next = None
+        t = np.full(seg.labels.shape, -1, np.int8)
+
+    labels_j = jnp.asarray(seg.labels)
+    zeros = jnp.zeros_like(jnp.asarray(interest_lab)[..., 0])
+
+    def refine(reference_lab, mv_u, mv_v):
+        if mode == MODE_OUTPUT_AFFINE_BLOCKMATCHING:
+            _, u, v = affine_parametric_flow(
+                reference_lab, interest_lab, mv_u, mv_v,
+                seg.labels, seg.n_regions,
+                iter_max=min(iter_max, 256),
+                error_min_threshold=param.error_min_threshold)
+            return u, v
+        # The reference zeroes MV before the gradient method
+        # (OpticalFlow_BlockMatching.cpp:291-293) — reproduced here.
+        return gradient_method_flow(
+            reference_lab, interest_lab, zeros, zeros, labels_j,
+            iter_max=iter_max,
+            error_min_threshold=param.error_min_threshold)
+
+    refs = [(ref_prev, r_prev)]
+    if bidirectional:
+        refs.append((ref_next, r_next))
+    refined = [tuple(np.asarray(a) for a in refine(
+        rl, jnp.asarray(r.u), jnp.asarray(r.v))) for rl, r in refs]
+
+    # Compose Vector_ST: BM vector + matching-direction refinement
+    # (OpticalFlow_BlockMatching.cpp:307-331).
+    if bidirectional:
+        u_bm = np.where(t < 0, r_prev.u, r_next.u)
+        v_bm = np.where(t < 0, r_prev.v, r_next.v)
+        u_out = u_bm + np.where(t < 0, refined[0][0], refined[1][0])
+        v_out = v_bm + np.where(t < 0, refined[0][1], refined[1][1])
+    else:
+        u_bm = r_prev.u
+        v_bm = r_prev.v
+        u_out = u_bm + refined[0][0]
+        v_out = v_bm + refined[0][1]
+
+    rgb_for_quant = state.rgb_frames[0]
+    xy = np.mgrid[0 : seg.labels.shape[0], 0 : seg.labels.shape[1]]
+    shift = np.stack([seg_new.shift_spatial[..., 0] - xy[1],
+                      seg_new.shift_spatial[..., 1] - xy[0]], axis=-1)
+    out = BMFlowOutput(
+        u=np.asarray(u_out), v=np.asarray(v_out), t=t,
+        segmentation=seg,
+        quantized_rgb=_quantize_colors(rgb_for_quant, seg_new),
+        shift_vector=shift,
+        bm_u=u_bm, bm_v=v_bm)
+    return out, state
