@@ -25,16 +25,31 @@ def bench_tpu(prev: np.ndarray, nxt: np.ndarray, repeats: int = 5) -> float:
     import jax
     import jax.numpy as jnp
 
-    from tpuflow.solvers import horn_schunck
-
     p = jnp.asarray(prev, dtype=jnp.float32)
     n = jnp.asarray(nxt, dtype=jnp.float32)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        # Production path: the fused Pallas stencil kernel (10 Jacobi
+        # iterations per HBM round-trip; ~90x the one-XLA-op-per-iteration
+        # formulation on v5e).
+        from tpuflow.kernels import horn_schunck_pallas
+
+        def run():
+            return horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA,
+                                       tile_h=128, tile_w=1024, fuse=10)
+    else:
+        from tpuflow.solvers import horn_schunck
+
+        def run():
+            return horn_schunck(p, n, WINDOW, ITERS, ALPHA)
+
     # Warmup / compile.
-    u, v = horn_schunck(p, n, WINDOW, ITERS, ALPHA)
+    u, v = run()
     jax.block_until_ready((u, v))
     t0 = time.perf_counter()
     for _ in range(repeats):
-        u, v = horn_schunck(p, n, WINDOW, ITERS, ALPHA)
+        u, v = run()
     jax.block_until_ready((u, v))
     dt = (time.perf_counter() - t0) / repeats
     return 1.0 / dt

@@ -194,6 +194,33 @@ def read_affine(path: str | Path) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# HOG binary format
+
+
+def write_hog(path: str | Path, hog: np.ndarray, signed: bool) -> None:
+    """HOG file: b"signed\\nW H\\nbins\\n" + row-major doubles per
+    (y, x, bin) (HOG_write, HOG/HOG.cpp:295-332)."""
+    hog = np.asarray(hog, dtype="<f8")
+    h, w, bins = hog.shape
+    with open(path, "wb") as f:
+        f.write(f"{int(signed)}\n{w} {h}\n{bins}\n".encode("ascii"))
+        f.write(hog.tobytes())
+
+
+def read_hog(path: str | Path) -> tuple[np.ndarray, bool]:
+    data = Path(path).read_bytes()
+    p1 = data.index(b"\n")
+    p2 = data.index(b"\n", p1 + 1)
+    p3 = data.index(b"\n", p2 + 1)
+    signed = bool(int(data[:p1]))
+    w, h = (int(t) for t in data[p1 + 1 : p2].split())
+    bins = int(data[p2 + 1 : p3])
+    arr = np.frombuffer(data, dtype="<f8", offset=p3 + 1,
+                        count=w * h * bins).reshape(h, w, bins)
+    return arr.copy(), signed
+
+
+# ---------------------------------------------------------------------------
 # Matrix text dump (HS demo FileStorage-equivalent)
 
 
