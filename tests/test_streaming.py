@@ -1,0 +1,102 @@
+"""Streaming drivers (VideoDenseOF / VideoFeaturesOF equivalents)."""
+
+import numpy as np
+import pytest
+
+
+class TestSources:
+    def test_synthetic_source_motion(self):
+        from tpuflow.pipeline.streaming import SyntheticSource
+
+        frames = list(SyntheticSource(n_frames=3, h=40, w=50, dx=2.0))
+        assert len(frames) == 3
+        assert frames[0].shape == (40, 50)
+        # frame k+1 content equals frame k shifted left by dx
+        np.testing.assert_allclose(frames[1][:, :-4], frames[0][:, 2:-2],
+                                   atol=1e-6)
+
+    def test_image_sequence_source(self, tmp_path):
+        from tpuflow.core.io import write_pnm
+        from tpuflow.pipeline.streaming import ImageSequenceSource
+
+        for i in range(3):
+            write_pnm(tmp_path / f"f_{i:03d}.pgm",
+                      np.full((8, 10), i, np.uint8))
+        frames = list(ImageSequenceSource(str(tmp_path / "f_%03d.pgm"), 0, 2))
+        assert len(frames) == 3
+        assert frames[2][0, 0] == 2
+
+
+class TestDenseStream:
+    def test_recovers_constant_motion(self):
+        from tpuflow.pipeline.streaming import SyntheticSource, dense_flow_stream
+
+        src = SyntheticSource(n_frames=4, h=100, w=140, dx=2.0, dy=0.0)
+        outs = list(dense_flow_stream(
+            src, working_size=None, pyr_scale=0.5, levels=2, winsize=15,
+            iterations=3, poly_n=5, poly_sigma=1.2))
+        assert len(outs) == 3  # first frame only primes the state
+        for gray, u, v in outs:
+            # content moves by -dx per frame (the source pans right)
+            assert abs(np.median(u[20:-20, 20:-20]) + 2.0) < 0.3
+            assert abs(np.median(v[20:-20, 20:-20])) < 0.3
+
+    def test_warm_start_carries_flow(self):
+        from tpuflow.pipeline.streaming import (
+            DenseStreamState,
+            SyntheticSource,
+            dense_flow_stream,
+        )
+
+        src = SyntheticSource(n_frames=3, h=80, w=100, dx=1.0)
+        state = DenseStreamState()
+        outs = list(dense_flow_stream(
+            src, working_size=None, levels=1, winsize=15, iterations=2,
+            poly_n=5, poly_sigma=1.2, warm_start_flow=True, state=state))
+        assert state.prev_flow is not None
+        assert len(outs) == 2
+
+    def test_working_size_resize(self):
+        from tpuflow.pipeline.streaming import SyntheticSource, dense_flow_stream
+
+        src = SyntheticSource(n_frames=2, h=90, w=120, dx=1.0)
+        outs = list(dense_flow_stream(src, working_size=(64, 48),
+                                      winsize=15, poly_n=5))
+        gray, u, v = outs[0]
+        assert gray.shape == (48, 64)
+        assert u.shape == (48, 64)
+
+
+class TestFeatureTracking:
+    def test_tracks_constant_motion(self):
+        from tpuflow.pipeline.streaming import (
+            SyntheticSource,
+            feature_tracking_stream,
+        )
+
+        src = SyntheticSource(n_frames=3, h=100, w=140, dx=3.0, seed=2)
+        outs = list(feature_tracking_stream(src, max_count=80))
+        assert len(outs) == 2
+        gray, pts, prev_pts, accept = outs[-1]
+        assert len(pts) > 10
+        d = pts - prev_pts
+        # content moves left by 3 -> tracked points move by dx = -3
+        assert abs(np.median(d[:, 0]) + 3.0) < 0.3
+        assert abs(np.median(d[:, 1])) < 0.3
+
+    def test_reseeds_when_few_tracks(self):
+        from tpuflow.pipeline.streaming import (
+            SyntheticSource,
+            TrackingState,
+            feature_tracking_stream,
+        )
+
+        # dx=0 -> all tracks rejected by the |dx|+|dy| > 2 rule -> the
+        # tracker must re-seed every frame instead of dying.
+        src = SyntheticSource(n_frames=3, h=80, w=100, dx=0.0, seed=3)
+        state = TrackingState()
+        outs = list(feature_tracking_stream(src, max_count=50, state=state))
+        assert len(outs) == 2
+        for gray, pts, prev_pts, accept in outs:
+            assert len(pts) == 0  # static scene: nothing passes the rule
+        assert state.prev_gray is not None

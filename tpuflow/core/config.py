@@ -104,8 +104,8 @@ class HogParam:
     """HOG_PARAM (HOG/HOG_struct.h, Bins=16 default)."""
 
     bins: int = 16
-    dense: bool = False
-    signed_orientation: bool = False
+    dense: bool = True          # --HOG_densely is the default (main.cpp:55)
+    signed_orientation: bool = True  # --HOG_signed is the default (main.cpp:57)
 
 
 @dataclass
@@ -119,7 +119,7 @@ class PlotParam:
     center_y: float = 0.0
     center_z: float = 0.0
     scale: float = 1.0
-    plot_z_scale: float = 1.0
+    plot_z_scale: float = 0.1   # DEFAULT_PLOT_Z_SCALE (Plot_X11.h:17)
     rotate_switch: int = 0
     mode_switch: int = 0
     fill_switch: int = 0

@@ -97,6 +97,10 @@ def block_normalize(hog: jnp.ndarray, blocksize: tuple[int, int] = BLOCKSIZE,
     my = (bh - 1) // 2 * dy
     oh = ch - 2 * my
     ow = cw - 2 * mx
+    if oh <= 0 or ow <= 0:
+        raise ValueError(
+            f"HOG grid {ch}x{cw} too small for block normalization "
+            f"(needs > {2 * my}x{2 * mx}); use dense=True on small images")
     taps = []
     for m in range(bh):
         for n in range(bw):

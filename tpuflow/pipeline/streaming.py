@@ -1,0 +1,220 @@
+"""Streaming drivers — the Video*OF demos re-designed as generators.
+
+- :func:`dense_flow_stream` — VideoDenseOF (``DenseFlow.cpp:12-59``):
+  per frame: resize to the working resolution (640x480 in the demo),
+  grayscale, dense Farneback against the previous frame
+  ((0.4, 1, 48, 2, 8, 1.2), line 37), quiver overlay. The previous gray
+  frame is the carried warm state (line 51); optionally the previous
+  *flow* seeds the next solve (OPTFLOW_USE_INITIAL_FLOW) — the explicit
+  warm-start config of BASELINE.md §4.
+- :func:`feature_tracking_stream` — VideoFeaturesOF
+  (``FeaturesOpticalFlow.cpp:44-130``) and the LucasKanadeOF pair demo:
+  goodFeaturesToTrack seeding (maxCount 500, quality 0.01, minDist 10),
+  pyramidal LK tracking, accept rule ``status && |dx|+|dy| > 2``,
+  re-seed when <= 10 tracks survive.
+
+Frame sources: the reference consumes ``highway.mov`` which is absent
+from its snapshot (SURVEY.md §0); :class:`ImageSequenceSource` (printf
+patterns over the bundled KITTI pairs) and :class:`SyntheticSource`
+(moving-texture generator) stand in, and any iterator of (H, W[,3])
+arrays works. State objects are explicit and picklable (checkpoint /
+resume, SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterable, Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.core import io as tio
+from tpuflow.core.color import rgb_to_gray
+from tpuflow.core.resample import resize_zero_order_hold
+from tpuflow.utils.telemetry import get_telemetry
+
+
+# ---------------------------------------------------------------------------
+# Frame sources
+
+
+class ImageSequenceSource:
+    """Frames from a printf-style filename pattern (``%0Nd``)."""
+
+    def __init__(self, pattern: str, start: int, end: int):
+        self.pattern = pattern
+        self.start = start
+        self.end = end
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for num in range(self.start, self.end + 1):
+            frame, _ = tio.read_image(tio.expand_frame_pattern(
+                self.pattern, num))
+            yield frame
+
+
+class SyntheticSource:
+    """Moving smoothed-noise texture with constant (dx, dy) per frame."""
+
+    def __init__(self, n_frames: int = 10, h: int = 120, w: int = 160,
+                 dx: float = 2.0, dy: float = 0.0, seed: int = 0):
+        from scipy.ndimage import gaussian_filter
+
+        rng = np.random.default_rng(seed)
+        margin = int(abs(dx) * n_frames + abs(dy) * n_frames) + 4
+        base = rng.uniform(0, 255, (h + 2 * margin, w + 2 * margin))
+        self.base = gaussian_filter(base, 2.0)
+        self.n_frames = n_frames
+        self.h, self.w = h, w
+        self.dx, self.dy = dx, dy
+        self.margin = margin
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        from scipy.ndimage import shift as ndshift
+
+        for i in range(self.n_frames):
+            ox = self.margin + self.dx * i
+            oy = self.margin + self.dy * i
+            f = ndshift(self.base, (-oy, -ox), order=1)[: self.h, : self.w]
+            yield f
+
+
+def video_source(path: str | Path) -> Iterator[np.ndarray]:
+    """Frames from a video file via OpenCV, if available."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield frame[..., ::-1]  # BGR -> RGB
+    finally:
+        cap.release()
+
+
+# ---------------------------------------------------------------------------
+# Dense streaming flow
+
+
+@dataclass
+class DenseStreamState:
+    prev_gray: np.ndarray | None = None
+    prev_flow: tuple | None = None
+
+
+def dense_flow_stream(
+    frames: Iterable[np.ndarray],
+    working_size: tuple[int, int] | None = (640, 480),
+    pyr_scale: float = 0.4,
+    levels: int = 1,
+    winsize: int = 48,
+    iterations: int = 2,
+    poly_n: int = 8,
+    poly_sigma: float = 1.2,
+    warm_start_flow: bool = False,
+    state: DenseStreamState | None = None,
+):
+    """Yields (gray_frame, u, v) per frame after the first
+    (DenseFlow.cpp's loop; parameters from line 37)."""
+    from tpuflow.solvers import calc_optical_flow_farneback
+
+    if state is None:
+        state = DenseStreamState()
+    tel = get_telemetry()
+    for i, frame in enumerate(frames):
+        if frame.ndim == 3:
+            gray = np.asarray(rgb_to_gray(jnp.asarray(frame, jnp.float32)))
+        else:
+            gray = np.asarray(frame, np.float32)
+        if working_size is not None:
+            gray = np.asarray(resize_zero_order_hold(
+                jnp.asarray(gray), working_size))
+        if state.prev_gray is not None:
+            flags = 0x100 if (warm_start_flow and state.prev_flow) else 0
+            u, v = calc_optical_flow_farneback(
+                jnp.asarray(state.prev_gray), jnp.asarray(gray),
+                state.prev_flow if flags else None,
+                pyr_scale, levels, winsize, iterations, poly_n, poly_sigma,
+                flags)
+            u = np.asarray(u)
+            v = np.asarray(v)
+            state.prev_flow = (u, v)
+            tel.event("stream.dense", frame=i, mean_u=float(u.mean()),
+                      mean_v=float(v.mean()))
+            yield gray, u, v
+        state.prev_gray = gray
+
+
+# ---------------------------------------------------------------------------
+# Sparse feature tracking
+
+
+@dataclass
+class TrackingState:
+    points: np.ndarray | None = None       # (N, 2) active tracks
+    initial: np.ndarray | None = None      # seed positions of the tracks
+    prev_gray: np.ndarray | None = None
+
+
+def feature_tracking_stream(
+    frames: Iterable[np.ndarray],
+    max_count: int = 500,
+    quality_level: float = 0.01,
+    min_distance: float = 10.0,
+    min_track_count: int = 10,
+    min_motion: float = 2.0,
+    win: int = 21,
+    max_level: int = 3,
+    state: TrackingState | None = None,
+):
+    """Yields (gray, points, prev_points, status) per tracked frame
+    (VideoFeaturesOF tracking(), FeaturesOpticalFlow.cpp:85-130)."""
+    from tpuflow.solvers import (
+        accept_tracked_point,
+        good_features_to_track,
+        track_points,
+    )
+
+    if state is None:
+        state = TrackingState()
+    tel = get_telemetry()
+    for i, frame in enumerate(frames):
+        if frame.ndim == 3:
+            gray = np.asarray(rgb_to_gray(jnp.asarray(frame, jnp.float64)))
+        else:
+            gray = np.asarray(frame, np.float64)
+
+        n_active = 0 if state.points is None else len(state.points)
+        if n_active <= min_track_count:
+            # addNewPoints (LucasKanadeOF.cpp:104-109)
+            seeds = good_features_to_track(
+                jnp.asarray(gray), max_count, quality_level, min_distance)
+            if state.points is None or n_active == 0:
+                state.points = seeds
+                state.initial = seeds.copy()
+            elif len(seeds):
+                state.points = np.concatenate([state.points, seeds])[:max_count]
+                state.initial = np.concatenate(
+                    [state.initial, seeds])[:max_count]
+            tel.event("stream.reseed", frame=i, count=len(state.points))
+
+        if state.prev_gray is not None and state.points is not None \
+                and len(state.points):
+            new_pts, status = track_points(
+                jnp.asarray(state.prev_gray), jnp.asarray(gray),
+                state.points, win=win, max_level=max_level)
+            new_pts = np.asarray(new_pts)
+            accept = np.asarray(accept_tracked_point(
+                state.points, new_pts, status, min_motion))
+            prev_pts = state.points
+            state.points = new_pts[accept]
+            state.initial = state.initial[accept]
+            tel.event("stream.track", frame=i, kept=int(accept.sum()),
+                      total=len(new_pts))
+            yield gray, state.points, prev_pts[accept], accept
+        state.prev_gray = gray
