@@ -1,0 +1,89 @@
+"""Native C++ I/O runtime (PNM/flow codecs + prefetcher) vs the Python
+implementations."""
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("tpuflow.native")
+
+try:
+    native.load_library()
+except Exception as e:  # pragma: no cover - toolchain missing
+    pytest.skip(f"native build unavailable: {e}", allow_module_level=True)
+
+
+class TestNativeCodecs:
+    def test_pnm_roundtrip_gray(self, tmp_path):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (30, 40)).astype(np.float64)
+        native.write_pnm(tmp_path / "g.pgm", img)
+        back, maxval = native.read_pnm(tmp_path / "g.pgm")
+        assert maxval == 255
+        np.testing.assert_array_equal(back, img)
+
+    def test_pnm_roundtrip_rgb_16bit(self, tmp_path):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 60000, (12, 17, 3)).astype(np.float64)
+        native.write_pnm(tmp_path / "c.ppm", img, maxval=65535)
+        back, maxval = native.read_pnm(tmp_path / "c.ppm")
+        assert maxval == 65535
+        np.testing.assert_array_equal(back, img)
+
+    def test_cross_compatible_with_python_codec(self, tmp_path):
+        from tpuflow.core.io import read_pnm as py_read
+        from tpuflow.core.io import write_pnm as py_write
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (20, 25)).astype(np.uint8)
+        py_write(tmp_path / "p.pgm", img)
+        nat, _ = native.read_pnm(tmp_path / "p.pgm")
+        np.testing.assert_array_equal(nat, img.astype(np.float64))
+
+        native.write_pnm(tmp_path / "n.pgm", img.astype(np.float64))
+        py, _ = py_read(tmp_path / "n.pgm")
+        np.testing.assert_array_equal(py, img)
+
+    def test_flow_roundtrip_and_cross(self, tmp_path):
+        from tpuflow.core.io import read_flow as py_read_flow
+
+        rng = np.random.default_rng(3)
+        u = rng.normal(size=(9, 13))
+        v = rng.normal(size=(9, 13))
+        native.write_flow(tmp_path / "f.flow", u, v)
+        bu, bv = native.read_flow(tmp_path / "f.flow")
+        np.testing.assert_array_equal(bu, u)
+        np.testing.assert_array_equal(bv, v)
+        pu, pv = py_read_flow(tmp_path / "f.flow")
+        np.testing.assert_array_equal(pu, u)
+
+    def test_flow_with_score(self, tmp_path):
+        rng = np.random.default_rng(4)
+        u = rng.normal(size=(5, 6))
+        v = rng.normal(size=(5, 6))
+        s = rng.normal(size=(5, 6))
+        native.write_flow(tmp_path / "s.flow", u, v, s)
+        bu, bv, bs = native.read_flow(tmp_path / "s.flow", components=3)
+        np.testing.assert_array_equal(bs, s)
+
+
+class TestPrefetcher:
+    def test_ordered_delivery(self, tmp_path):
+        paths = []
+        for i in range(12):
+            img = np.full((16, 20), i, np.float64)
+            p = tmp_path / f"f_{i:03d}.pgm"
+            native.write_pnm(p, img)
+            paths.append(p)
+        with native.FramePrefetcher(paths, threads=4, capacity=3) as pf:
+            frames = [(f, m) for f, m in pf]
+        assert len(frames) == 12
+        for i, (f, m) in enumerate(frames):
+            assert f[0, 0] == i, f"frame {i} out of order"
+
+    def test_context_cleanup(self, tmp_path):
+        img = np.zeros((8, 8))
+        p = tmp_path / "one.pgm"
+        native.write_pnm(p, img)
+        pf = native.FramePrefetcher([p, p], threads=2)
+        next(iter(pf))
+        pf.close()  # early close with frames outstanding must not hang

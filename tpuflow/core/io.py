@@ -114,9 +114,21 @@ def write_pnm(path: str | Path, img: np.ndarray, maxval: int = 255,
 
 
 def read_image(path: str | Path) -> tuple[np.ndarray, int]:
-    """Read PNG/PNM/JPEG... -> (array, maxval). Gray (H,W) or RGB (H,W,3)."""
+    """Read PNG/PNM/JPEG... -> (array, maxval). Gray (H,W) or RGB (H,W,3).
+
+    Binary PNM goes through the native C++ codec when available
+    (:mod:`tpuflow.native`); ASCII PNM and other formats use the Python
+    paths."""
     path = Path(path)
     if path.suffix.lower() in (".pgm", ".ppm", ".pnm"):
+        try:
+            magic = open(path, "rb").read(2)
+            if magic in (b"P5", b"P6"):
+                from tpuflow import native
+
+                return native.read_pnm(path)
+        except Exception:
+            pass  # fall back to the Python codec
         return read_pnm(path)
     from PIL import Image
 

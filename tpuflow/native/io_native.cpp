@@ -1,0 +1,263 @@
+// Native I/O runtime for tpuflow: PNM codec, flow-file codec, and a
+// multi-threaded prefetching frame loader.
+//
+// The reference's I/O layer is the C++ pnm_lib_cpp submodule (absent from
+// its snapshot; behavior reconstructed in SURVEY.md §2.4) feeding a
+// synchronous frame loop. For a TPU pipeline the loader must run ahead of
+// the device: this library decodes frames on worker threads into a
+// bounded ring so the host->device feed never stalls on disk or parsing.
+//
+// Formats:
+//  - PNM P5/P6 binary, 8/16-bit (16-bit big-endian per spec)
+//  - flow files: "W H\n" header + row-major little-endian f64 (x, y)
+//    pairs (OpticalFlow/OpticalFlow.cpp:400-417)
+//
+// C ABI only (ctypes-friendly); all buffers are caller-owned or returned
+// via tf_free().
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <atomic>
+#include <condition_variable>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+struct TfImage {
+    int32_t width;
+    int32_t height;
+    int32_t channels;   // 1 or 3
+    int32_t maxval;
+    double* data;       // H*W*C doubles, row-major
+};
+
+// ---------------------------------------------------------------------------
+// PNM codec
+
+static bool read_file(const char* path, std::vector<uint8_t>& out) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    std::fseek(f, 0, SEEK_END);
+    long n = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    out.resize(size_t(n));
+    size_t got = n > 0 ? std::fread(out.data(), 1, size_t(n), f) : 0;
+    std::fclose(f);
+    return got == size_t(n);
+}
+
+static int parse_int(const std::vector<uint8_t>& d, size_t& pos) {
+    while (pos < d.size() &&
+           (d[pos] == ' ' || d[pos] == '\n' || d[pos] == '\r' ||
+            d[pos] == '\t' || d[pos] == '#')) {
+        if (d[pos] == '#') {
+            while (pos < d.size() && d[pos] != '\n') pos++;
+        } else {
+            pos++;
+        }
+    }
+    int v = 0;
+    while (pos < d.size() && d[pos] >= '0' && d[pos] <= '9') {
+        v = v * 10 + (d[pos] - '0');
+        pos++;
+    }
+    return v;
+}
+
+TfImage* tf_read_pnm(const char* path) {
+    std::vector<uint8_t> d;
+    if (!read_file(path, d) || d.size() < 10) return nullptr;
+    if (d[0] != 'P' || (d[1] != '5' && d[1] != '6')) return nullptr;
+    int channels = d[1] == '6' ? 3 : 1;
+    size_t pos = 2;
+    int w = parse_int(d, pos);
+    int h = parse_int(d, pos);
+    int maxval = parse_int(d, pos);
+    pos++;  // single whitespace after maxval
+    size_t count = size_t(w) * h * channels;
+    bool wide = maxval > 255;
+    if (d.size() < pos + count * (wide ? 2 : 1)) return nullptr;
+    TfImage* img = new TfImage{w, h, channels, maxval, nullptr};
+    img->data = static_cast<double*>(std::malloc(count * sizeof(double)));
+    const uint8_t* p = d.data() + pos;
+    if (wide) {
+        for (size_t i = 0; i < count; i++)
+            img->data[i] = double((uint16_t(p[2 * i]) << 8) | p[2 * i + 1]);
+    } else {
+        for (size_t i = 0; i < count; i++) img->data[i] = double(p[i]);
+    }
+    return img;
+}
+
+int tf_write_pnm(const char* path, const double* data, int32_t width,
+                 int32_t height, int32_t channels, int32_t maxval) {
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return -1;
+    std::fprintf(f, "P%c\n%d %d\n%d\n", channels == 3 ? '6' : '5', width,
+                 height, maxval);
+    size_t count = size_t(width) * height * channels;
+    bool wide = maxval > 255;
+    std::vector<uint8_t> buf(count * (wide ? 2 : 1));
+    for (size_t i = 0; i < count; i++) {
+        double v = data[i];
+        if (v < 0) v = 0;
+        if (v > maxval) v = maxval;
+        long q = long(v + 0.5);
+        if (wide) {
+            buf[2 * i] = uint8_t(q >> 8);
+            buf[2 * i + 1] = uint8_t(q & 0xFF);
+        } else {
+            buf[i] = uint8_t(q);
+        }
+    }
+    size_t put = std::fwrite(buf.data(), 1, buf.size(), f);
+    std::fclose(f);
+    return put == buf.size() ? 0 : -1;
+}
+
+void tf_free_image(TfImage* img) {
+    if (img) {
+        std::free(img->data);
+        delete img;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Flow-file codec (reference binary format)
+
+int tf_write_flow(const char* path, const double* u, const double* v,
+                  const double* score, int32_t width, int32_t height) {
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return -1;
+    std::fprintf(f, "%d %d\n", width, height);
+    size_t n = size_t(width) * height;
+    int comps = score ? 3 : 2;
+    std::vector<double> inter(n * comps);
+    for (size_t i = 0; i < n; i++) {
+        inter[comps * i] = u[i];
+        inter[comps * i + 1] = v[i];
+        if (score) inter[comps * i + 2] = score[i];
+    }
+    size_t put = std::fwrite(inter.data(), sizeof(double), inter.size(), f);
+    std::fclose(f);
+    return put == inter.size() ? 0 : -1;
+}
+
+// Reads into caller-allocated u/v (and score if non-null). Returns 0 on
+// success; tf_flow_size queries dimensions first.
+int tf_flow_size(const char* path, int32_t* width, int32_t* height) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    int w = 0, h = 0;
+    int got = std::fscanf(f, "%d %d", &w, &h);
+    std::fclose(f);
+    if (got != 2) return -1;
+    *width = w;
+    *height = h;
+    return 0;
+}
+
+int tf_read_flow(const char* path, double* u, double* v, double* score,
+                 int32_t width, int32_t height) {
+    std::vector<uint8_t> d;
+    if (!read_file(path, d)) return -1;
+    size_t pos = 0;
+    while (pos < d.size() && d[pos] != '\n') pos++;
+    pos++;
+    int comps = score ? 3 : 2;
+    size_t n = size_t(width) * height;
+    if (d.size() < pos + n * comps * sizeof(double)) return -1;
+    const double* p = reinterpret_cast<const double*>(d.data() + pos);
+    for (size_t i = 0; i < n; i++) {
+        u[i] = p[comps * i];
+        v[i] = p[comps * i + 1];
+        if (score) score[i] = p[comps * i + 2];
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Prefetching frame loader
+
+struct Prefetcher {
+    std::vector<std::string> paths;
+    std::queue<std::pair<size_t, TfImage*>> ready;
+    std::mutex mu;
+    std::condition_variable cv_ready;
+    std::condition_variable cv_space;
+    size_t next_submit = 0;   // next index a worker may claim
+    size_t next_emit = 0;     // next index the consumer expects
+    size_t capacity = 4;
+    std::atomic<bool> stop{false};
+    std::vector<std::thread> workers;
+    // Out-of-order completion buffer (ordered delivery).
+    std::vector<TfImage*> done;
+    std::vector<uint8_t> done_mask;
+
+    void work() {
+        for (;;) {
+            size_t idx;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_space.wait(lk, [&] {
+                    return stop.load() ||
+                           (next_submit < paths.size() &&
+                            next_submit - next_emit < capacity);
+                });
+                if (stop.load() || next_submit >= paths.size()) return;
+                idx = next_submit++;
+            }
+            TfImage* img = tf_read_pnm(paths[idx].c_str());
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                done[idx] = img;
+                done_mask[idx] = 1;
+                cv_ready.notify_all();
+            }
+        }
+    }
+};
+
+Prefetcher* tf_prefetcher_create(const char** paths, int32_t n_paths,
+                                 int32_t n_threads, int32_t capacity) {
+    Prefetcher* p = new Prefetcher;
+    for (int i = 0; i < n_paths; i++) p->paths.emplace_back(paths[i]);
+    p->capacity = capacity > 0 ? size_t(capacity) : 4;
+    p->done.assign(p->paths.size(), nullptr);
+    p->done_mask.assign(p->paths.size(), 0);
+    int nt = n_threads > 0 ? n_threads : 2;
+    for (int i = 0; i < nt; i++)
+        p->workers.emplace_back([p] { p->work(); });
+    return p;
+}
+
+// Blocks until the next frame (in submission order) is decoded.
+// Returns nullptr at end of sequence or on decode failure.
+TfImage* tf_prefetcher_next(Prefetcher* p) {
+    std::unique_lock<std::mutex> lk(p->mu);
+    if (p->next_emit >= p->paths.size()) return nullptr;
+    size_t idx = p->next_emit;
+    p->cv_ready.wait(lk, [&] { return p->done_mask[idx] != 0; });
+    TfImage* img = p->done[idx];
+    p->done[idx] = nullptr;
+    p->next_emit++;
+    p->cv_space.notify_all();
+    return img;
+}
+
+void tf_prefetcher_destroy(Prefetcher* p) {
+    if (!p) return;
+    p->stop.store(true);
+    p->cv_space.notify_all();
+    for (auto& t : p->workers) t.join();
+    for (auto* img : p->done) tf_free_image(img);
+    delete p;
+}
+
+}  // extern "C"

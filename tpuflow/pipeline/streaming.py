@@ -42,17 +42,40 @@ from tpuflow.utils.telemetry import get_telemetry
 
 
 class ImageSequenceSource:
-    """Frames from a printf-style filename pattern (``%0Nd``)."""
+    """Frames from a printf-style filename pattern (``%0Nd``).
 
-    def __init__(self, pattern: str, start: int, end: int):
+    ``prefetch=True`` decodes ahead on native worker threads
+    (:class:`tpuflow.native.FramePrefetcher`) for binary PNM sequences so
+    the device never waits on disk; other formats stream synchronously.
+    """
+
+    def __init__(self, pattern: str, start: int, end: int,
+                 prefetch: bool = False, threads: int = 2):
         self.pattern = pattern
         self.start = start
         self.end = end
+        self.prefetch = prefetch
+        self.threads = threads
+
+    def _paths(self):
+        return [tio.expand_frame_pattern(self.pattern, num)
+                for num in range(self.start, self.end + 1)]
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        for num in range(self.start, self.end + 1):
-            frame, _ = tio.read_image(tio.expand_frame_pattern(
-                self.pattern, num))
+        paths = self._paths()
+        if self.prefetch and all(
+                str(p).lower().endswith((".pgm", ".ppm")) for p in paths):
+            try:
+                from tpuflow.native import FramePrefetcher
+
+                with FramePrefetcher(paths, threads=self.threads) as pf:
+                    for frame, _ in pf:
+                        yield frame
+                return
+            except Exception:
+                pass  # fall back to synchronous reads
+        for p in paths:
+            frame, _ = tio.read_image(p)
             yield frame
 
 
