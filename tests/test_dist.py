@@ -123,3 +123,90 @@ class TestDistributedSolvers:
             True)
         np.testing.assert_allclose(np.asarray(u4), np.asarray(u1),
                                    rtol=1e-9, atol=1e-11)
+
+
+class TestFusedSharded:
+    def test_fused_matches_unfused(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.solvers import (
+            horn_schunck_sharded,
+            horn_schunck_sharded_fused,
+        )
+        from tpuflow.solvers import horn_schunck
+
+        mesh = make_mesh(8)
+        ty, tx = mesh.devices.shape
+        h, w = 24 * ty, 24 * tx
+        rng = np.random.default_rng(4)
+        prev = jnp.asarray(rng.uniform(0, 255, (h, w)))
+        nxt = jnp.asarray(np.roll(np.asarray(prev), 1, axis=1))
+        u_ref, v_ref = horn_schunck(prev, nxt, 5, 12, 1.0)
+        u_f, v_f = horn_schunck_sharded_fused(prev, nxt, mesh, 5, 12, 1.0,
+                                              fuse=4)
+        np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_ref),
+                                   rtol=0, atol=1e-10)
+        u_s, v_s = horn_schunck_sharded(prev, nxt, mesh, 5, 12)
+        np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_s),
+                                   rtol=0, atol=1e-10)
+
+    def test_fused_remainder(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.solvers import horn_schunck_sharded_fused
+        from tpuflow.solvers import horn_schunck
+
+        mesh = make_mesh(4)
+        ty, tx = mesh.devices.shape
+        h, w = 24 * ty, 24 * tx
+        rng = np.random.default_rng(5)
+        prev = jnp.asarray(rng.uniform(0, 255, (h, w)))
+        nxt = jnp.asarray(rng.uniform(0, 255, (h, w)))
+        u_ref, v_ref = horn_schunck(prev, nxt, 5, 7, 1.0)
+        u_f, _ = horn_schunck_sharded_fused(prev, nxt, mesh, 5, 7, 1.0,
+                                            fuse=3)
+        np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_ref),
+                                   rtol=0, atol=1e-10)
+
+
+class TestDistributedPyramid:
+    def test_matches_single_device(self, small_pair):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpuflow.core.config import MultipleMotionParam
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.pyramid import optical_flow_pyramid_sharded
+        from tpuflow.solvers import optical_flow_pyramid
+
+        prev, nxt = small_pair
+        mesh = make_mesh(4)
+        param = MultipleMotionParam(level=2)
+        u_ref, v_ref = optical_flow_pyramid(
+            jnp.asarray(prev), jnp.asarray(nxt), 255.0, param,
+            iter_scale=0.02)
+        u_d, v_d = optical_flow_pyramid_sharded(
+            jnp.asarray(prev), jnp.asarray(nxt), mesh, 255.0, param,
+            iter_scale=0.02)
+        np.testing.assert_allclose(np.asarray(u_d), np.asarray(u_ref),
+                                   rtol=0, atol=5e-8)
+        np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_ref),
+                                   rtol=0, atol=5e-8)
+
+
+class TestWeakScaling:
+    def test_report_structure(self):
+        from tpuflow.dist.scaling import weak_scaling_report
+
+        rep = weak_scaling_report(tile_hw=(32, 32), iterations=4,
+                                  fuse=2, repeats=1)
+        assert rep["runs"][0]["devices"] == 1
+        assert rep["runs"][0]["efficiency"] == 1.0
+        assert len(rep["runs"]) >= 2  # 8 virtual devices available
+        for r in rep["runs"]:
+            assert r["seconds"] > 0

@@ -1,2 +1,9 @@
 from tpuflow.dist.mesh import make_mesh, mesh_factor  # noqa: F401
 from tpuflow.dist.halo import halo_pad_2d, shift_along  # noqa: F401
+from tpuflow.dist.solvers import (  # noqa: F401
+    horn_schunck_sharded,
+    horn_schunck_sharded_fused,
+    irls_level_sharded,
+)
+from tpuflow.dist.pyramid import optical_flow_pyramid_sharded  # noqa: F401
+from tpuflow.dist.scaling import weak_scaling_report  # noqa: F401

@@ -100,6 +100,103 @@ def horn_schunck_sharded(
     return f(gx, gy, gt)
 
 
+def horn_schunck_sharded_fused(
+    prev: jnp.ndarray,
+    next: jnp.ndarray,
+    mesh: Mesh,
+    window_size: int = 5,
+    max_iterations: int = 100,
+    alpha: float = 1.0,
+    fuse: int = 5,
+):
+    """Horn-Schunck with k sweeps per halo exchange.
+
+    Exchanges a (fuse * r)-wide halo once per block of ``fuse``
+    iterations and runs the sweeps on statically shrinking regions (the
+    same overlapped-tiling scheme as the Pallas kernel,
+    tpuflow/kernels/hs_stencil.py) — cutting ppermute latency count by
+    ``fuse`` while staying bitwise-equivalent Jacobi: an inside-image
+    mask from global tile coordinates re-zeroes u, v outside the frame
+    after every sweep, preserving BORDER_CONSTANT semantics through the
+    halo zone.
+    """
+    h, w = prev.shape
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    spec = P("ty", "tx")
+    sharding = NamedSharding(mesh, spec)
+    prev = jax.device_put(prev, sharding)
+    next = jax.device_put(next, sharding)
+    r = window_size // 2
+    halo = fuse * r
+    if h // ty <= halo or w // tx <= halo:
+        raise ValueError("tile smaller than the fused halo; lower fuse")
+
+    gx, gy, gt = jax.jit(hs_gradients)(prev, next)
+    n_blocks, rem = divmod(max_iterations, fuse)
+
+    def tile_body(gx_t, gy_t, gt_t):
+        th, tw = gx_t.shape
+        inv_denom = 1.0 / (alpha * alpha + gx_t * gx_t + gy_t * gy_t)
+        iy = lax.axis_index("ty")
+        ix = lax.axis_index("tx")
+
+        def run_block(u, v, k):
+            hk = k * r
+            u_p = halo_pad_2d(u, hk)
+            v_p = halo_pad_2d(v, hk)
+            gx_p = halo_pad_2d(gx_t, hk)
+            gy_p = halo_pad_2d(gy_t, hk)
+            gt_p = halo_pad_2d(gt_t, hk)
+            inv_p = halo_pad_2d(inv_denom, hk)
+            hh = th + 2 * hk
+            hw = tw + 2 * hk
+            # Global image coords of each halo'd-local cell.
+            xg = ix * tw + jnp.arange(hw)[None, :] - hk
+            yg = iy * th + jnp.arange(hh)[:, None] - hk
+            mask = ((xg >= 0) & (xg < w) & (yg >= 0)
+                    & (yg < h)).astype(u.dtype)
+            uu = u_p * mask
+            vv = v_p * mask
+            for t in range(k):
+                o = r * (t + 1)
+                sh = hh - 2 * o
+                sw = hw - 2 * o
+                ub = _box_shrink(uu, window_size)
+                vb = _box_shrink(vv, window_size)
+                c = (slice(o, o + sh), slice(o, o + sw))
+                upd = (gx_p[c] * ub + gy_p[c] * vb + gt_p[c]) * inv_p[c]
+                uu = (ub - gx_p[c] * upd) * mask[c]
+                vv = (vb - gy_p[c] * upd) * mask[c]
+            return uu, vv
+
+        u = jnp.zeros_like(gt_t)
+        v = jnp.zeros_like(gt_t)
+        if n_blocks:
+            u, v = lax.fori_loop(
+                0, n_blocks, lambda _, uv: run_block(*uv, fuse), (u, v))
+        if rem:
+            u, v = run_block(u, v, rem)
+        return u, v
+
+    f = jax.jit(shard_map(tile_body, mesh, in_specs=(spec, spec, spec),
+                          out_specs=(spec, spec)))
+    return f(gx, gy, gt)
+
+
+def _box_shrink(a: jnp.ndarray, taps: int) -> jnp.ndarray:
+    """Separable box *mean* over taps x taps; output shrinks by taps-1."""
+    h, w = a.shape
+    rows = a[0 : h - taps + 1, :]
+    for d in range(1, taps):
+        rows = rows + a[d : h - taps + 1 + d, :]
+    out = rows[:, 0 : w - taps + 1]
+    for d in range(1, taps):
+        out = out + rows[:, d : w - taps + 1 + d]
+    return out / (taps * taps)
+
+
 # ---------------------------------------------------------------------------
 # Distributed Black-Anandan IRLS level
 
