@@ -47,10 +47,16 @@ def bench_tpu(prev: np.ndarray, nxt: np.ndarray, repeats: int = 5) -> float:
     # Warmup / compile.
     u, v = run()
     jax.block_until_ready((u, v))
+    np.asarray(u)
+    # Amortized timing over a long queue; end with a device-to-host value
+    # fetch — on the tunneled axon backend block_until_ready can return
+    # before execution completes, a fetch cannot.
+    repeats = max(repeats, 20)
     t0 = time.perf_counter()
     for _ in range(repeats):
         u, v = run()
     jax.block_until_ready((u, v))
+    np.asarray(u)
     dt = (time.perf_counter() - t0) / repeats
     return 1.0 / dt
 

@@ -1,0 +1,46 @@
+"""Demo driver parity (HornSchunckOF / FarnebackOF / LucasKanadeOF)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+PAIR = (REFERENCE / "HornSchunckOF/img/leftimage/000050_10.png",
+        REFERENCE / "HornSchunckOF/img/leftimage/000050_11.png")
+
+
+@pytest.mark.skipif(not PAIR[0].exists(), reason="reference corpus absent")
+class TestDemos:
+    def test_horn_schunck_demo_outputs(self, tmp_path):
+        from tpuflow.pipeline.demos import demo_horn_schunck
+
+        prefix = str(tmp_path) + "/"
+        # Crop via pre-saved images for speed: use the bundled pair but
+        # few iterations.
+        u, v = demo_horn_schunck(*PAIR, prefix, max_iterations=10)
+        assert (tmp_path / "uMatrixHS.txt").exists()
+        assert (tmp_path / "vMatrixHS.txt").exists()
+        assert (tmp_path / "hsbresenhamLineFlow.png").exists()
+        assert u.shape == (375, 1242)
+        first = (tmp_path / "uMatrixHS.txt").read_text().splitlines()[0]
+        assert "rows=375" in first
+
+    def test_farneback_demo_outputs(self, tmp_path):
+        from tpuflow.pipeline.demos import demo_farneback_pair
+
+        prefix = str(tmp_path) + "/"
+        u, v = demo_farneback_pair(*PAIR, prefix, winsize=33, iterations=1,
+                                   write_matrices=True)
+        assert (tmp_path / "Farneback-33.png").exists()
+        assert (tmp_path / "uMatrixFB.txt").exists()
+        assert u.shape == (375, 1242)
+
+    def test_lucas_kanade_demo(self, tmp_path):
+        from tpuflow.pipeline.demos import demo_lucas_kanade
+
+        pts, new_pts, accept = demo_lucas_kanade(
+            *PAIR, save_path=str(tmp_path / "lk.png"), max_count=80)
+        assert len(pts) > 20
+        assert accept.sum() > 5  # KITTI ego-motion moves most features
+        assert (tmp_path / "lk.png").exists()

