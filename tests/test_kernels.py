@@ -100,3 +100,31 @@ class TestIrlsSweepPallas:
                                    rtol=0, atol=1e-11)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    rtol=0, atol=1e-11)
+
+
+class TestBlackAnandanFast:
+    def test_matches_equivalence_path(self, small_pair):
+        """Fixed small iteration budget, no early stop triggers: the
+        fused-kernel pyramid must match the jnp pyramid bitwise-ish."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpuflow.core.config import MultipleMotionParam
+        from tpuflow.solvers import optical_flow_pyramid
+        from tpuflow.solvers.black_anandan_fast import (
+            optical_flow_pyramid_fast,
+        )
+
+        prev, nxt = small_pair
+        param = MultipleMotionParam(level=2, error_min_threshold=0.0)
+        u_ref, v_ref = optical_flow_pyramid(
+            jnp.asarray(prev), jnp.asarray(nxt), 255.0, param,
+            iter_max=8, iter_scale=1.0)
+        u_f, v_f = optical_flow_pyramid_fast(
+            jnp.asarray(prev), jnp.asarray(nxt), 255.0, param,
+            iter_max=8, iter_scale=1.0, fuse=4, tile_h=32, tile_w=128,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_ref),
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_ref),
+                                   rtol=0, atol=1e-10)

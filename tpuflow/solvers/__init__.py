@@ -14,6 +14,9 @@ from tpuflow.solvers.affine import (  # noqa: F401
     affine_flow_field,
     multiple_motion_affine,
 )
+from tpuflow.solvers.black_anandan_fast import (  # noqa: F401
+    optical_flow_pyramid_fast,
+)
 from tpuflow.solvers.farneback import calc_optical_flow_farneback  # noqa: F401
 from tpuflow.solvers.lucas_kanade import (  # noqa: F401
     accept_tracked_point,
