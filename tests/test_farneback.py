@@ -101,3 +101,17 @@ def test_farneback_reference_config_on_kitti(small_pair):
                                        nxt.astype(np.float32), None, **params)
     u, v = calc_optical_flow_farneback(prev, nxt, None, **params)
     assert _epe(u, v, ref) < 0.3
+
+
+def test_farneback_even_winsize(shifted_pair):
+    """Even winsize (the streaming demo uses 48, DenseFlow.cpp:37)."""
+    prev, nxt = shifted_pair
+    params = dict(pyr_scale=0.5, levels=1, winsize=48, iterations=2,
+                  poly_n=8, poly_sigma=1.2, flags=0)
+    from tpuflow.solvers import calc_optical_flow_farneback
+
+    ref = cv2.calcOpticalFlowFarneback(prev, nxt, None, **params)
+    u, v = calc_optical_flow_farneback(prev.astype(np.float64),
+                                       nxt.astype(np.float64), None, **params)
+    assert u.shape == prev.shape
+    assert _epe(u, v, ref, margin=30) < 0.6

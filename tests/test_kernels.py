@@ -128,3 +128,37 @@ class TestBlackAnandanFast:
                                    rtol=0, atol=1e-10)
         np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_ref),
                                    rtol=0, atol=1e-10)
+
+
+class TestSepConvPallas:
+    @pytest.mark.parametrize("taps", [(5, 5), (17, 17), (48, 48), (3, 21)])
+    def test_matches_jnp_valid(self, taps):
+        import jax.numpy as jnp
+
+        from tpuflow.kernels.sepconv import sep_conv2d_valid_pallas
+        from tpuflow.ops.filters import _conv2d_valid
+
+        nky, nkx = taps
+        rng = np.random.default_rng(0)
+        hp, wp = 70 + nky - 1, 150 + nkx - 1
+        padded = jnp.asarray(rng.normal(size=(hp, wp)), jnp.float32)
+        ky = rng.normal(size=nky)
+        kx = rng.normal(size=nkx)
+        ref = _conv2d_valid(padded, jnp.asarray(ky[:, None] * kx[None, :],
+                                                jnp.float32))
+        out = sep_conv2d_valid_pallas(
+            padded, tuple(float(v) for v in ky), tuple(float(v) for v in kx),
+            tile_h=32, tile_w=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_dispatch_falls_back_on_cpu(self):
+        """On the CPU backend sep_conv2d keeps the jnp path (f64 oracle
+        parity); the pallas path is TPU-only."""
+        import jax.numpy as jnp
+
+        from tpuflow.ops.filters import _sep_conv_use_pallas
+
+        img = jnp.zeros((16, 16), jnp.float32)
+        k = jnp.ones(5)
+        assert not _sep_conv_use_pallas(img, k, k)

@@ -72,8 +72,8 @@ def _irls_kernel(supx_ref, supy_ref,
         c.wait()
 
     dt = us.dtype
-    sup_x = supx_ref[0]
-    sup_y = supy_ref[0]
+    sup_x = supx_ref[0, 0]
+    sup_y = supy_ref[0, 0]
     sd = sigma_d
     ss = sigma_s
 
@@ -85,10 +85,19 @@ def _irls_kernel(supx_ref, supy_ref,
 
     # Global image coords of every cropped-local cell (image pixel (y, x)
     # sits at padded (y + halo); cropped l -> image row row0 + l - need).
+    # The neighbor-validity masks are materialized as FLOAT arrays here and
+    # sliced per iteration below: Mosaic crashes on strided slices of i32
+    # iota values (vector_extract_strided_slice internal check), while
+    # float slices lower fine.
     ly = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
     lx = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
     gy_img = row0 + ly - need
     gx_img = col0 + lx - need
+    nb_masks = {}
+    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        nb_ok = ((gy_img + dy >= 0) & (gy_img + dy < img_h)
+                 & (gx_img + dx >= 0) & (gx_img + dx < img_w))
+        nb_masks[(dx, dy)] = nb_ok.astype(dt)
 
     u = us[crop]
     v = vs[crop]
@@ -109,8 +118,6 @@ def _irls_kernel(supx_ref, supy_ref,
         gxc = gxa[o : o + s_h - 2, o : o + s_w - 2]
         gyc = gya[o : o + s_h - 2, o : o + s_w - 2]
         itc = ita[o : o + s_h - 2, o : o + s_w - 2]
-        ymc = gy_img[o : o + s_h - 2, o : o + s_w - 2]
-        xmc = gx_img[o : o + s_h - 2, o : o + s_w - 2]
 
         psi_d = _psi_gm(gxc * uc + gyc * vc + itc, sd)
         nx = jnp.zeros_like(uc)
@@ -118,9 +125,7 @@ def _irls_kernel(supx_ref, supy_ref,
         for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
             un = u[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
             vn = v[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
-            nb_ok = ((ymc + dy >= 0) & (ymc + dy < img_h)
-                     & (xmc + dx >= 0) & (xmc + dx < img_w))
-            m = nb_ok.astype(dt)
+            m = nb_masks[(dx, dy)][o : o + s_h - 2, o : o + s_w - 2]
             nx = nx + m * _psi_gm(uc - un, ss)
             ny = ny + m * _psi_gm(vc - vn, ss)
         u = uc - (lambda_d * gxc * psi_d + lambda_s * nx) / sup_x
@@ -167,8 +172,8 @@ def irls_sweep_pallas(
     hp = n_i * tile_h
     wp = n_j * tile_w
 
-    supx = jnp.asarray(sup_x, dt).reshape(1)
-    supy = jnp.asarray(sup_y, dt).reshape(1)
+    supx = jnp.asarray(sup_x, dt).reshape(1, 1)
+    supy = jnp.asarray(sup_y, dt).reshape(1, 1)
 
     def run_block(u, v, k):
         need = k

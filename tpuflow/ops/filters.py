@@ -77,6 +77,25 @@ def conv2d(
     return _conv2d_valid(padded, kernel)
 
 
+def _sep_conv_use_pallas(img, kx, ky) -> bool:
+    """Route through the Pallas separable kernel on TPU backends: XLA's
+    conv lowering is pathologically slow there for filter shapes (see
+    tpuflow/kernels/sepconv.py), and the jnp path below materializes the
+    full ky*kx outer-product kernel. Static taps are required."""
+    import os
+
+    if os.environ.get("TPUFLOW_NO_PALLAS"):
+        return False
+    if img.ndim != 2 or img.dtype != jnp.float32:
+        return False
+    if isinstance(kx, jax.core.Tracer) or isinstance(ky, jax.core.Tracer):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def sep_conv2d(
     img: jnp.ndarray,
     kx: jnp.ndarray,
@@ -87,6 +106,16 @@ def sep_conv2d(
     kx = jnp.asarray(kx)
     ky = jnp.asarray(ky)
     rx, ry = kx.shape[0] // 2, ky.shape[0] // 2
+    if _sep_conv_use_pallas(img, kx, ky):
+        import numpy as _np
+
+        from tpuflow.kernels.sepconv import sep_conv2d_valid_pallas
+
+        padded = bd.pad2d(img, (ry, ry, rx, rx), border)
+        return sep_conv2d_valid_pallas(
+            padded,
+            tuple(float(x) for x in _np.asarray(ky)),
+            tuple(float(x) for x in _np.asarray(kx)))
     padded = bd.pad2d(img, (ry, ry, rx, rx), border)
     out = _conv2d_valid(padded, ky[:, None].astype(img.dtype)
                         * kx[None, :].astype(img.dtype))

@@ -15,9 +15,9 @@ parameters, same output artifacts (SURVEY.md §2.1):
 - Streaming demos (VideoDenseOF / VideoFeaturesOF) are the generators in
   :mod:`tpuflow.pipeline.streaming`.
 
-Note the reference's "fb" branch swaps u/v in its plot call
-(main.cpp:119, SURVEY.md #2) — reproduced only behind
-``reproduce_uv_swap=True``; the default plots correctly.
+Note: the reference's HS-demo "fb" branch accidentally swaps u/v in its
+plot call (main.cpp:119, SURVEY.md #2) — that bug is NOT reproduced; the
+overlay here plots (u, v) in the correct order.
 """
 
 from __future__ import annotations
@@ -146,3 +146,30 @@ def demo_lucas_kanade(
         quiver = plot_quiver(overlay, u, v, delta=1, scale=1.0, outlier=0)
         write_image(save_path, quiver)
     return pts, new_pts, accept
+
+
+def main(argv=None) -> int:
+    """``python -m tpuflow.pipeline.demos {hs,fb,lk} prev next out_prefix``
+    — the demo binaries' command line."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="tpuflow-demos")
+    p.add_argument("algo", choices=["hs", "fb", "lk"])
+    p.add_argument("prev")
+    p.add_argument("next")
+    p.add_argument("out_prefix")
+    args = p.parse_args(argv)
+    if args.algo == "hs":
+        demo_horn_schunck(args.prev, args.next, args.out_prefix)
+    elif args.algo == "fb":
+        demo_farneback_pair(args.prev, args.next, args.out_prefix)
+    else:
+        demo_lucas_kanade(args.prev, args.next,
+                          args.out_prefix + "lk_tracks.png")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    sys.exit(main())

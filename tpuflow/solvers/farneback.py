@@ -153,11 +153,20 @@ def update_matrices(R1, R2, u, v):
     return jnp.stack([m11, m12, m22, h1, h2], axis=0)
 
 
+def _blur_same(c: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Separable blur at the input size. For even kernels sep_conv2d pads
+    k//2 on both sides (one extra output row/col); cropping the tail
+    reproduces OpenCV's anchor-(k/2, k/2) convention (the streaming demo
+    uses the even winsize 48, DenseFlow.cpp:37)."""
+    h, w = c.shape
+    out = sep_conv2d(c, k, k, border=bd.CLAMP)
+    return out[:h, :w]
+
+
 def _box_blur(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
     """Mean over winsize^2 with replicate borders (OpenCV _Blur path)."""
     k = jnp.ones((winsize,), M.dtype) / winsize
-    return jnp.stack([sep_conv2d(c, k, k, border=bd.CLAMP) for c in M],
-                     axis=0)
+    return jnp.stack([_blur_same(c, k) for c in M], axis=0)
 
 
 def _gaussian_blur_m(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
@@ -165,8 +174,7 @@ def _gaussian_blur_m(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
     xs = jnp.arange(winsize, dtype=M.dtype) - (winsize - 1) / 2.0
     k = jnp.exp(-(xs**2) / (2 * sigma * sigma))
     k = k / jnp.sum(k)
-    return jnp.stack([sep_conv2d(c, k, k, border=bd.CLAMP) for c in M],
-                     axis=0)
+    return jnp.stack([_blur_same(c, k) for c in M], axis=0)
 
 
 def _solve_flow(M: jnp.ndarray):
