@@ -87,3 +87,29 @@ class TestPrefetcher:
         pf = native.FramePrefetcher([p, p], threads=2)
         next(iter(pf))
         pf.close()  # early close with frames outstanding must not hang
+
+
+class TestNativeQuiver:
+    def test_matches_python_rasterizer(self):
+        import tpuflow.viz.quiver as q
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+        u = rng.normal(scale=3, size=(60, 80))
+        v = rng.normal(scale=3, size=(60, 80))
+
+        nat = native.draw_quiver(img, u, v, delta=10, scale=2.0, outlier=5.0)
+
+        # Pure-Python reference path (bypass the native dispatch).
+        out = np.ascontiguousarray(img.copy())
+        h, w = u.shape
+        for y0 in range(0, h, 10):
+            for x0 in range(0, w, 10):
+                du, dv = u[y0, x0], v[y0, x0]
+                x1 = int(x0 + du * 2.0)
+                y1 = int(y0 + dv * 2.0)
+                if abs(du) < 5.0 and abs(dv) < 5.0:
+                    q._draw_line(out, x0, y0, x1, y1, (0, 255, 0))
+                if 0 <= x1 < w - 1 and 0 <= y1 < h - 1:
+                    out[y1, x1] = (255, 0, 0)
+        np.testing.assert_array_equal(nat, out)

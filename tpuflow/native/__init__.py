@@ -71,6 +71,12 @@ def load_library() -> ctypes.CDLL:
     lib.tf_read_flow.argtypes = [ctypes.c_char_p] \
         + [ctypes.POINTER(ctypes.c_double)] * 3 \
         + [ctypes.c_int32, ctypes.c_int32]
+    lib.tf_draw_quiver.restype = None
+    lib.tf_draw_quiver.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
     lib.tf_prefetcher_create.restype = ctypes.c_void_p
     lib.tf_prefetcher_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_int32,
@@ -200,3 +206,24 @@ class FramePrefetcher:
             raise IOError(
                 f"prefetcher failed to decode {self.paths[self._emitted - 1]}")
         return _image_to_numpy(self.lib, ptr)
+
+
+def draw_quiver(img_rgb: np.ndarray, u: np.ndarray, v: np.ndarray,
+                delta: int = 10, scale: float = 1.0,
+                outlier: float = 0.0,
+                line_color=(0, 255, 0), tip_color=(255, 0, 0)) -> np.ndarray:
+    """Native Bresenham quiver rasterization (plotFlow.cpp semantics);
+    returns a new (H, W, 3) uint8 array."""
+    lib = load_library()
+    out = np.ascontiguousarray(img_rgb, dtype=np.uint8).copy()
+    u = np.ascontiguousarray(u, dtype=np.float64)
+    v = np.ascontiguousarray(v, dtype=np.float64)
+    h, w = u.shape
+    lc = (ctypes.c_uint8 * 3)(*line_color)
+    tc = (ctypes.c_uint8 * 3)(*tip_color)
+    lib.tf_draw_quiver(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        delta, scale, outlier, lc, tc)
+    return out

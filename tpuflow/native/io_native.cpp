@@ -183,6 +183,60 @@ int tf_read_flow(const char* path, double* u, double* v, double* score,
 }
 
 // ---------------------------------------------------------------------------
+// Quiver rasterization (plotFlow.cpp:43-88 Bresenham walk)
+
+static void draw_line_rgb(uint8_t* img, int h, int w, int x0, int y0,
+                          int x1, int y1, const uint8_t color[3]) {
+    int dx = x1 - x0, dy = y1 - y0;
+    int sx = (dx > 0) - (dx < 0), sy = (dy > 0) - (dy < 0);
+    dx = dx < 0 ? -dx : dx;
+    dy = dy < 0 ? -dy : dy;
+    int n = dx > dy ? dx : dy;
+    if (n == 0) return;
+    int x = x0, y = y0;
+    double r = n / 2.0;
+    if (dx > dy) {
+        for (int i = 0; i < n; i++) {
+            if (x >= 0 && x < w - 1 && y >= 0 && y < h - 1)
+                std::memcpy(img + 3 * (size_t(y) * w + x), color, 3);
+            x += sx;
+            r += dy;
+            if (r >= dx) { y += sy; r -= dx; }
+        }
+    } else {
+        for (int i = 0; i < n; i++) {
+            if (x >= 0 && x < w - 1 && y >= 0 && y < h - 1)
+                std::memcpy(img + 3 * (size_t(y) * w + x), color, 3);
+            y += sy;
+            r += dx;
+            if (r >= dy) { x += sx; r -= dy; }
+        }
+    }
+}
+
+// img: H*W*3 uint8 RGB modified in place; u/v: H*W doubles.
+void tf_draw_quiver(uint8_t* img, int32_t height, int32_t width,
+                    const double* u, const double* v, int32_t delta,
+                    double scale, double outlier,
+                    const uint8_t* line_color, const uint8_t* tip_color) {
+    for (int y0 = 0; y0 < height; y0 += delta) {
+        for (int x0 = 0; x0 < width; x0 += delta) {
+            double du = u[size_t(y0) * width + x0];
+            double dv = v[size_t(y0) * width + x0];
+            int x1 = int(x0 + du * scale);
+            int y1 = int(y0 + dv * scale);
+            bool in_bound = outlier <= 0.0 ||
+                (du < outlier && dv < outlier && du > -outlier &&
+                 dv > -outlier);
+            if (in_bound)
+                draw_line_rgb(img, height, width, x0, y0, x1, y1, line_color);
+            if (x1 >= 0 && x1 < width - 1 && y1 >= 0 && y1 < height - 1)
+                std::memcpy(img + 3 * (size_t(y1) * width + x1), tip_color, 3);
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Prefetching frame loader
 
 struct Prefetcher {

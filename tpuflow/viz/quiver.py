@@ -70,6 +70,13 @@ def plot_quiver(
     img = np.asarray(image)
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
+    try:
+        from tpuflow import native
+
+        return native.draw_quiver(img, u, v, delta, scale, outlier,
+                                  line_color, tip_color)
+    except Exception:
+        pass  # pure-Python fallback below
     out = np.ascontiguousarray(img.astype(np.uint8).copy())
     h, w = u.shape
     for y0 in range(0, h, delta):
