@@ -62,17 +62,18 @@ def poly_expansion(img: jnp.ndarray, poly_n: int, poly_sigma: float):
     n = poly_n
     g, Ginv = _poly_exp_matrices(n, poly_sigma)
     dt = img.dtype
-    xs = jnp.arange(-n, n + 1, dtype=dt)
-    g = jnp.asarray(g, dt)
+    # Kernel taps stay host-side NumPy (concrete at trace time) so
+    # sep_conv2d can take the static-tap Pallas fast path on TPU.
+    xs = np.arange(-n, n + 1, dtype=np.float64)
     gx = g * xs
     gxx = g * xs * xs
-    one = jnp.zeros_like(g).at[n].set(1.0)
 
     # Separable moments: rows then columns (correlation orientation; the
     # kernels are symmetric/antisymmetric so orientation matters only for
     # the odd ones — x of gx increases rightward like the basis).
     def m(ky, kx):
-        return sep_conv2d(img, kx, ky, border=bd.CLAMP)
+        return sep_conv2d(img, jnp.asarray(kx, dt), jnp.asarray(ky, dt),
+                          border=bd.CLAMP)
 
     m00 = m(g, g)
     m10 = m(g, gx)    # sum w * x * f
@@ -80,7 +81,6 @@ def poly_expansion(img: jnp.ndarray, poly_n: int, poly_sigma: float):
     m20 = m(g, gxx)
     m02 = m(gxx, g)
     m11 = m(gx, gx)
-    del one
     moments = jnp.stack([m00, m10, m01, m20, m02, m11], axis=-1)
     Ginv = jnp.asarray(Ginv, dt)
     r = jnp.einsum("hwk,jk->hwj", moments, Ginv)
@@ -165,16 +165,17 @@ def _blur_same(c: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 def _box_blur(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
     """Mean over winsize^2 with replicate borders (OpenCV _Blur path)."""
-    k = jnp.ones((winsize,), M.dtype) / winsize
+    k = jnp.asarray(np.full(winsize, 1.0 / winsize), M.dtype)
     return jnp.stack([_blur_same(c, k) for c in M], axis=0)
 
 
 def _gaussian_blur_m(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
     sigma = winsize * 0.3
-    xs = jnp.arange(winsize, dtype=M.dtype) - (winsize - 1) / 2.0
-    k = jnp.exp(-(xs**2) / (2 * sigma * sigma))
-    k = k / jnp.sum(k)
-    return jnp.stack([_blur_same(c, k) for c in M], axis=0)
+    xs = np.arange(winsize, dtype=np.float64) - (winsize - 1) / 2.0
+    k = np.exp(-(xs**2) / (2 * sigma * sigma))
+    k = k / k.sum()
+    return jnp.stack([_blur_same(c, jnp.asarray(k, M.dtype)) for c in M],
+                     axis=0)
 
 
 def _solve_flow(M: jnp.ndarray):
@@ -205,9 +206,9 @@ def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
             p_l, n_l = prev, nxt
         else:
             ksz = max(int(round(sigma_im * 5)) | 1, 3)
-            xs = jnp.arange(ksz, dtype=dt) - ksz // 2
-            g = jnp.exp(-(xs**2) / (2 * sigma_im**2))
-            g = g / jnp.sum(g)
+            xs = np.arange(ksz, dtype=np.float64) - ksz // 2
+            g = np.exp(-(xs**2) / (2 * sigma_im**2))
+            g = jnp.asarray(g / g.sum(), dt)
             p_s = sep_conv2d(prev, g, g, border=bd.REFLECT101)
             n_s = sep_conv2d(nxt, g, g, border=bd.REFLECT101)
             p_l = jax.image.resize(p_s, (hl, wl), method="linear")
