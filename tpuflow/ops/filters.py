@@ -79,9 +79,12 @@ def conv2d(
 
 def _sep_conv_use_pallas(img, kx, ky) -> bool:
     """Route through the Pallas separable kernel on TPU backends: XLA's
-    conv lowering is pathologically slow there for filter shapes (see
-    tpuflow/kernels/sepconv.py), and the jnp path below materializes the
-    full ky*kx outer-product kernel. Static taps are required."""
+    conv lowering is pathologically slow there for filter shapes (95 s for
+    ONE 17-tap separable pass at 1080p on the v5e — see
+    tpuflow/kernels/sepconv.py). The taps must be *concrete* — NumPy
+    arrays, Python sequences, or closed-over concrete jax arrays; taps
+    built with jnp ops inside a jit are Tracers and fall back (build taps
+    host-side, see solvers/farneback.py)."""
     import os
 
     if os.environ.get("TPUFLOW_NO_PALLAS"):
@@ -103,19 +106,23 @@ def sep_conv2d(
     border: str = bd.ZERO,
 ) -> jnp.ndarray:
     """Separable correlation: rows with ky then columns with kx (odd taps)."""
-    kx = jnp.asarray(kx)
-    ky = jnp.asarray(ky)
-    rx, ry = kx.shape[0] // 2, ky.shape[0] // 2
+    # Dispatch BEFORE any jnp conversion: jnp.asarray inside a jit trace
+    # yields Tracers and would defeat the concrete-taps check.
     if _sep_conv_use_pallas(img, kx, ky):
         import numpy as _np
 
         from tpuflow.kernels.sepconv import sep_conv2d_valid_pallas
 
+        ky_np = _np.asarray(ky, dtype=_np.float64)
+        kx_np = _np.asarray(kx, dtype=_np.float64)
+        rx, ry = kx_np.shape[0] // 2, ky_np.shape[0] // 2
         padded = bd.pad2d(img, (ry, ry, rx, rx), border)
         return sep_conv2d_valid_pallas(
-            padded,
-            tuple(float(x) for x in _np.asarray(ky)),
-            tuple(float(x) for x in _np.asarray(kx)))
+            padded, tuple(float(x) for x in ky_np),
+            tuple(float(x) for x in kx_np))
+    kx = jnp.asarray(kx)
+    ky = jnp.asarray(ky)
+    rx, ry = kx.shape[0] // 2, ky.shape[0] // 2
     padded = bd.pad2d(img, (ry, ry, rx, rx), border)
     out = _conv2d_valid(padded, ky[:, None].astype(img.dtype)
                         * kx[None, :].astype(img.dtype))

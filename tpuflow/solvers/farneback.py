@@ -72,8 +72,7 @@ def poly_expansion(img: jnp.ndarray, poly_n: int, poly_sigma: float):
     # kernels are symmetric/antisymmetric so orientation matters only for
     # the odd ones — x of gx increases rightward like the basis).
     def m(ky, kx):
-        return sep_conv2d(img, jnp.asarray(kx, dt), jnp.asarray(ky, dt),
-                          border=bd.CLAMP)
+        return sep_conv2d(img, kx, ky, border=bd.CLAMP)
 
     m00 = m(g, g)
     m10 = m(g, gx)    # sum w * x * f
@@ -153,11 +152,12 @@ def update_matrices(R1, R2, u, v):
     return jnp.stack([m11, m12, m22, h1, h2], axis=0)
 
 
-def _blur_same(c: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """Separable blur at the input size. For even kernels sep_conv2d pads
-    k//2 on both sides (one extra output row/col); cropping the tail
-    reproduces OpenCV's anchor-(k/2, k/2) convention (the streaming demo
-    uses the even winsize 48, DenseFlow.cpp:37)."""
+def _blur_same(c: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
+    """Separable blur at the input size (k: host-side NumPy taps so the
+    Pallas path engages). For even kernels sep_conv2d pads k//2 on both
+    sides (one extra output row/col); cropping the tail reproduces
+    OpenCV's anchor-(k/2, k/2) convention (the streaming demo uses the
+    even winsize 48, DenseFlow.cpp:37)."""
     h, w = c.shape
     out = sep_conv2d(c, k, k, border=bd.CLAMP)
     return out[:h, :w]
@@ -165,7 +165,7 @@ def _blur_same(c: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 def _box_blur(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
     """Mean over winsize^2 with replicate borders (OpenCV _Blur path)."""
-    k = jnp.asarray(np.full(winsize, 1.0 / winsize), M.dtype)
+    k = np.full(winsize, 1.0 / winsize)
     return jnp.stack([_blur_same(c, k) for c in M], axis=0)
 
 
@@ -174,8 +174,7 @@ def _gaussian_blur_m(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
     xs = np.arange(winsize, dtype=np.float64) - (winsize - 1) / 2.0
     k = np.exp(-(xs**2) / (2 * sigma * sigma))
     k = k / k.sum()
-    return jnp.stack([_blur_same(c, jnp.asarray(k, M.dtype)) for c in M],
-                     axis=0)
+    return jnp.stack([_blur_same(c, k) for c in M], axis=0)
 
 
 def _solve_flow(M: jnp.ndarray):
@@ -208,7 +207,7 @@ def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
             ksz = max(int(round(sigma_im * 5)) | 1, 3)
             xs = np.arange(ksz, dtype=np.float64) - ksz // 2
             g = np.exp(-(xs**2) / (2 * sigma_im**2))
-            g = jnp.asarray(g / g.sum(), dt)
+            g = g / g.sum()
             p_s = sep_conv2d(prev, g, g, border=bd.REFLECT101)
             n_s = sep_conv2d(nxt, g, g, border=bd.REFLECT101)
             p_l = jax.image.resize(p_s, (hl, wl), method="linear")
