@@ -180,7 +180,7 @@ def horn_schunck_pallas(
             img_h=h, img_w=w)
         hh = tile_h + 2 * halo_y
         hw = tile_w + 2 * halo_x
-        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
         out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
         u_new, v_new = pl.pallas_call(

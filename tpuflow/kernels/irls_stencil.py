@@ -192,7 +192,7 @@ def irls_sweep_pallas(
             sigma_s=float(sigma_s))
         hh = tile_h + 2 * halo_y
         hw = tile_w + 2 * halo_x
-        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)

@@ -97,12 +97,18 @@ def sep_conv2d_valid_pallas(
     out = pl.pallas_call(
         kern,
         grid=(n_i, n_j),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hop, wop), dt),
         scratch_shapes=[pltpu.VMEM((tile_h + m_y, tile_w + m_x), dt),
                         pltpu.SemaphoreType.DMA],
+        # XLA's scoped-vmem assignment tries to park the whole operand +
+        # result of mid-sized custom calls in VMEM and trips its 16 MB
+        # stack budget; raise the cap so assignment succeeds (the kernel
+        # itself only ever holds one tile + margins).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(in_arr)
     return out[:ho, :wo]

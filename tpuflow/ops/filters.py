@@ -169,6 +169,19 @@ def gaussian_filter(img: jnp.ndarray, size_wh: tuple[int, int],
                     sigma: float) -> jnp.ndarray:
     """Reference ``Gaussian``: direct conv, zero-pad borders (ImgVector::get
     out-of-range reads resolve to 0 — submodule behavior, SURVEY.md §2.4)."""
+    w, h = size_wh
+    if w % 2 == 1 and h % 2 == 1:
+        # Square odd kernels are exactly separable: 1-D host-side taps,
+        # so the TPU Pallas sep-conv path applies. Normalizing the outer
+        # product to sum 1 equals normalizing each factor by its own sum.
+        import numpy as np
+
+        xs = np.arange(w, dtype=np.float64) - w // 2
+        ysv = np.arange(h, dtype=np.float64) - h // 2
+        kx1 = np.exp(-(xs**2) / (2.0 * sigma**2))
+        ky1 = np.exp(-(ysv**2) / (2.0 * sigma**2))
+        return sep_conv2d(img, kx1 / kx1.sum(), ky1 / ky1.sum(),
+                          border=bd.ZERO)
     k = gaussian_kernel(size_wh, sigma, dtype=img.dtype)
     # Reference loops  img.get(n + x, m + y) * Gauss.get(x + w2, y + h2)
     # which is a correlation with the (symmetric) kernel.

@@ -92,19 +92,28 @@ def poly_expansion(img: jnp.ndarray, poly_n: int, poly_sigma: float):
 
 
 def _bilinear_all(fields, xq, yq):
-    """Bilinear-sample each (H, W) field at float (xq, yq), clamped."""
+    """Bilinear-sample each (H, W) field at float (xq, yq), clamped.
+
+    All fields are stacked and sampled with shared indices — 4 gathers
+    total instead of 4 per field (gathers dominate the TPU cost of the
+    warp step)."""
+    h, w = xq.shape
     x0 = jnp.floor(xq).astype(jnp.int32)
     y0 = jnp.floor(yq).astype(jnp.int32)
-    fx = xq - x0
-    fy = yq - y0
-    outs = []
-    for f in fields:
-        g = lambda yy, xx: bd.gather2d(f, xx, yy, bd.CLAMP)
-        outs.append((1 - fx) * (1 - fy) * g(y0, x0)
-                    + fx * (1 - fy) * g(y0, x0 + 1)
-                    + (1 - fx) * fy * g(y0 + 1, x0)
-                    + fx * fy * g(y0 + 1, x0 + 1))
-    return outs
+    fx = (xq - x0)[..., None]
+    fy = (yq - y0)[..., None]
+    stacked = jnp.stack(fields, axis=-1)  # (H, W, C)
+
+    def g(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return stacked[yy, xx]
+
+    out = ((1 - fx) * (1 - fy) * g(y0, x0)
+           + fx * (1 - fy) * g(y0, x0 + 1)
+           + (1 - fx) * fy * g(y0 + 1, x0)
+           + fx * fy * g(y0 + 1, x0 + 1))
+    return [out[..., i] for i in range(len(fields))]
 
 
 def update_matrices(R1, R2, u, v):
