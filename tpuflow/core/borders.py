@@ -77,6 +77,17 @@ def pad2d(img: jnp.ndarray, pad: int | tuple[int, int, int, int], mode: str) -> 
     raise ValueError(f"unknown border mode: {mode}")
 
 
+def _take2d(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """img[..., ys, xs] for in-range index arrays, as a flat axis-0-style
+    take — the gather pattern XLA lowers best on TPU (a 2-D fancy-index
+    gather is ~4x slower there)."""
+    h, w = img.shape[-2], img.shape[-1]
+    ys, xs = jnp.broadcast_arrays(ys, xs)
+    flat_idx = ys * w + xs
+    flat = img.reshape(*img.shape[:-2], h * w)
+    return jnp.take(flat, flat_idx, axis=-1)
+
+
 def gather2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, mode: str) -> jnp.ndarray:
     """Read img[y, x] (x = column, y = row) under a border policy.
 
@@ -89,12 +100,12 @@ def gather2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, mode: str) -> jnp
         valid = (x >= 0) & (x < w) & (y >= 0) & (y < h)
         xs = jnp.clip(x, 0, w - 1)
         ys = jnp.clip(y, 0, h - 1)
-        vals = img[..., ys, xs]
+        vals = _take2d(img, ys, xs)
         return jnp.where(valid, vals, jnp.zeros((), img.dtype))
     if mode == MIRROR:
-        return img[..., mirror_index(y, h), mirror_index(x, w)]
+        return _take2d(img, mirror_index(y, h), mirror_index(x, w))
     if mode == REFLECT101:
-        return img[..., reflect101_index(y, h), reflect101_index(x, w)]
+        return _take2d(img, reflect101_index(y, h), reflect101_index(x, w))
     if mode == CLAMP:
-        return img[..., clamp_index(y, h), clamp_index(x, w)]
+        return _take2d(img, clamp_index(y, h), clamp_index(x, w))
     raise ValueError(f"unknown border mode: {mode}")

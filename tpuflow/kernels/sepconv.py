@@ -108,7 +108,7 @@ def sep_conv2d_valid_pallas(
         # stack budget; raise the cap so assignment succeeds (the kernel
         # itself only ever holds one tile + margins).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(in_arr)
     return out[:ho, :wo]

@@ -102,12 +102,14 @@ def _bilinear_all(fields, xq, yq):
     y0 = jnp.floor(yq).astype(jnp.int32)
     fx = (xq - x0)[..., None]
     fy = (yq - y0)[..., None]
-    stacked = jnp.stack(fields, axis=-1)  # (H, W, C)
+    # Row gather on a (H*W, C) operand: one gather serves every field,
+    # and axis-0 gathers are the pattern XLA handles best on TPU.
+    flat = jnp.stack(fields, axis=-1).reshape(h * w, len(fields))
 
     def g(yy, xx):
         yy = jnp.clip(yy, 0, h - 1)
         xx = jnp.clip(xx, 0, w - 1)
-        return stacked[yy, xx]
+        return jnp.take(flat, yy * w + xx, axis=0)
 
     out = ((1 - fx) * (1 - fy) * g(y0, x0)
            + fx * (1 - fy) * g(y0, x0 + 1)
