@@ -162,3 +162,21 @@ class TestSepConvPallas:
         img = jnp.zeros((16, 16), jnp.float32)
         k = jnp.ones(5)
         assert not _sep_conv_use_pallas(img, k, k)
+
+
+class TestHornSchunckResident:
+    def test_matches_tiled_and_jnp(self, small_pair):
+        import jax.numpy as jnp
+
+        from tpuflow.kernels import horn_schunck_pallas_resident
+        from tpuflow.solvers import horn_schunck
+
+        prev, nxt = small_pair
+        p = jnp.asarray(prev)
+        n = jnp.asarray(nxt)
+        u_ref, v_ref = horn_schunck(p, n, 5, 9, 1.0)
+        u, v = horn_schunck_pallas_resident(p, n, 5, 9, 1.0, interpret=True)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                                   rtol=0, atol=1e-10)

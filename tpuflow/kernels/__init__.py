@@ -11,5 +11,9 @@ traffic by ~K while preserving bit-level Jacobi semantics (the halo is
 deep enough that no stale value is ever read).
 """
 
-from tpuflow.kernels.hs_stencil import horn_schunck_pallas  # noqa: F401
+from tpuflow.kernels.hs_stencil import (  # noqa: F401
+    horn_schunck_pallas,
+    horn_schunck_pallas_resident,
+)
 from tpuflow.kernels.irls_stencil import irls_sweep_pallas  # noqa: F401
+from tpuflow.kernels.sepconv import sep_conv2d_valid_pallas  # noqa: F401

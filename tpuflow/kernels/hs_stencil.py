@@ -125,6 +125,93 @@ def _hs_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
     vo_ref[:] = v
 
 
+def _hs_resident_kernel(gx_ref, gy_ref, gt_ref, uo_ref, vo_ref,
+                        *, window: int, iterations: int,
+                        img_h: int, img_w: int, alpha: float):
+    """Whole-frame VMEM-resident solve: every field lives in VMEM for the
+    entire run, the iteration loop is a lax.fori_loop inside the kernel —
+    zero HBM traffic between iterations. VMEM is the binding constraint
+    (v5e: 128 MB), so the box filter pads one axis at a time and the
+    update denominator is recomputed per iteration rather than stored
+    (3 inputs + 2 carries + ~5 transient frames ~ 90 MB at 1080p f32).
+    """
+    r = window // 2
+    inv_area = 1.0 / (window * window)
+    gx = gx_ref[:]
+    gy = gy_ref[:]
+    gt = gt_ref[:]
+    h, w = img_h, img_w
+    zc = jnp.zeros((h, r), gx.dtype)
+    zr = jnp.zeros((r, w), gx.dtype)
+
+    def box(a):
+        # BORDER_CONSTANT box mean; pad per axis to keep peak VMEM low.
+        ap = jnp.concatenate([zr, a, zr], axis=0)  # (h + 2r, w)
+        rows = ap[0:h, :]
+        for d in range(1, window):
+            rows = rows + ap[d : d + h, :]
+        rp = jnp.concatenate([zc, rows, zc], axis=1)  # (h, w + 2r)
+        out = rp[:, 0:w]
+        for d in range(1, window):
+            out = out + rp[:, d : d + w]
+        return out * inv_area
+
+    uo_ref[:] = jnp.zeros((h, w), gx.dtype)
+    vo_ref[:] = jnp.zeros((h, w), gx.dtype)
+
+    def body(_, carry):
+        # Mutate the output refs in place: ub/vb/upd are fully computed
+        # before either ref is written, preserving Jacobi semantics while
+        # avoiding a second carried frame pair (VMEM is the binding
+        # constraint).
+        ub = box(uo_ref[:])
+        vb = box(vo_ref[:])
+        upd = (gx * ub + gy * vb + gt) \
+            / (alpha * alpha + gx * gx + gy * gy)
+        uo_ref[:] = ub - gx * upd
+        vo_ref[:] = vb - gy * upd
+        return carry
+
+    jax.lax.fori_loop(0, iterations, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window_size", "max_iterations",
+                                    "alpha", "interpret"))
+def horn_schunck_pallas_resident(
+    prev: jnp.ndarray,
+    next: jnp.ndarray,
+    window_size: int = 5,
+    max_iterations: int = 100,
+    alpha: float = 1.0,
+    interpret: bool = False,
+):
+    """Horn-Schunck with the whole problem VMEM-resident (one kernel, the
+    iteration loop on-chip). Valid when ~6 * H * W * 4 bytes fits VMEM
+    (e.g. 1080p f32 on v5e); use :func:`horn_schunck_pallas` beyond that."""
+    from tpuflow.solvers.horn_schunck import hs_gradients
+
+    gx, gy, gt = hs_gradients(prev, next)
+    dt = gx.dtype
+    h, w = prev.shape
+
+    kern = functools.partial(_hs_resident_kernel, window=window_size,
+                             iterations=max_iterations, img_h=h, img_w=w,
+                             alpha=float(alpha))
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    u, v = pl.pallas_call(
+        kern,
+        in_specs=[vspec] * 3,
+        out_specs=(vspec, vspec),
+        out_shape=(jax.ShapeDtypeStruct((h, w), dt),
+                   jax.ShapeDtypeStruct((h, w), dt)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(127.75 * 1024 * 1024)),
+        interpret=interpret,
+    )(gx, gy, gt)
+    return u, v
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("window_size", "max_iterations", "tile_h", "tile_w",

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from tpuflow.core import borders as bd
 from tpuflow.core.config import ANGLE_MAX
@@ -22,12 +23,15 @@ from tpuflow.ops.filters import conv2d, filterer
 
 DERIVATIVE_MINIMUM = 0.0  # Scratch_MeaningfulMotion.h:123
 
-_SOBEL_X = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-_SOBEL_Y = jnp.array([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]])
+# Module-level kernel taps stay NumPy: concrete at every trace (so the
+# Pallas sep-conv dispatch can fire) and immune to aborted-trace tracer
+# poisoning that device-resident module constants suffer.
+_SOBEL_X = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+_SOBEL_Y = np.array([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]])
 
 # Reference Derivator kernels (ImgLibrary.cpp:314-317), conv orientation.
-_DIFF_X = jnp.array([[-0.5, 0.5], [-0.5, 0.5]])
-_DIFF_Y = jnp.array([[-0.5, -0.5], [0.5, 0.5]])
+_DIFF_X = np.array([[-0.5, 0.5], [-0.5, 0.5]])
+_DIFF_Y = np.array([[-0.5, -0.5], [0.5, 0.5]])
 _SOBEL_QX = 0.25 * _SOBEL_X
 _SOBEL_QY = 0.25 * _SOBEL_Y
 

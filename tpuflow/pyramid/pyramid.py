@@ -28,11 +28,12 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpuflow.core import borders as bd
 
 _A = 0.4
-_W5 = jnp.array([_A / 2, 0.5, _A, 0.5, _A / 2]) / (1.0 + 2 * _A)
+_W5 = np.array([_A / 2, 0.5, _A, 0.5, _A / 2]) / (1.0 + 2 * _A)
 # sum = a/2 + .5 + a + .5 + a/2 = 1 + 2a = 1.8; the reference divides by it.
 
 

@@ -31,6 +31,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpuflow.core import borders as bd
 from tpuflow.ops.derivatives import sobel_opencv
@@ -72,7 +73,7 @@ def horn_schunck(
     return jax.lax.fori_loop(0, max_iterations, body, (u0, v0))
 
 
-_HS_LAPLACIAN = jnp.array(
+_HS_LAPLACIAN = np.array(
     [[1 / 12, 1 / 6, 1 / 12], [1 / 6, 0.0, 1 / 6], [1 / 12, 1 / 6, 1 / 12]]
 )
 
