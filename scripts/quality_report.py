@@ -1,0 +1,113 @@
+"""Accuracy report: tpuflow solvers vs the pinned NumPy oracle / OpenCV.
+
+Produces one JSON document on stdout (BASELINE.md target 1: EPE within
+1e-2 of the reference math on the bundled pairs). Runs on the CPU
+backend in f64 so the comparison isolates algorithmic fidelity from f32
+rounding.
+
+Usage: python scripts/quality_report.py [--pair NNNNNN]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+REFERENCE = Path("/root/reference/HornSchunckOF/img/leftimage")
+
+
+def _gray(a: np.ndarray) -> np.ndarray:
+    if a.ndim == 3:
+        g = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        return np.round(g).astype(np.float64)
+    return a.astype(np.float64)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pair", default="000050")
+    ap.add_argument("--crop", type=int, default=128,
+                    help="crop size for the iteration-heavy oracles")
+    args = ap.parse_args()
+
+    from tpuflow.core.io import read_image
+    from tpuflow.pipeline.metrics import epe
+    import oracles
+
+    prev, _ = read_image(REFERENCE / f"{args.pair}_10.png")
+    nxt, _ = read_image(REFERENCE / f"{args.pair}_11.png")
+    prev_g = _gray(prev)
+    nxt_g = _gray(nxt)
+    report = {"pair": args.pair, "resolution": list(prev_g.shape)}
+
+    # Horn-Schunck vs oracle (full frame, exact math).
+    from tpuflow.solvers import horn_schunck
+
+    u, v = horn_schunck(jnp.asarray(prev_g), jnp.asarray(nxt_g), 5, 100, 1.0)
+    u_o, v_o = oracles.horn_schunck_oracle(prev_g, nxt_g, 5, 100, 1.0)
+    report["horn_schunck_epe_vs_oracle"] = float(
+        epe(u, v, jnp.asarray(u_o), jnp.asarray(v_o)))
+
+    # Black-Anandan pyramid vs oracle (crop — the oracle is O(N^2) python).
+    from tpuflow.core.config import MultipleMotionParam
+    from tpuflow.solvers import optical_flow_pyramid
+
+    c = args.crop
+    pc = prev_g[100 : 100 + c // 2, 300 : 300 + c]
+    nc = nxt_g[100 : 100 + c // 2, 300 : 300 + c]
+    param = MultipleMotionParam(level=2)
+    u, v = optical_flow_pyramid(jnp.asarray(pc), jnp.asarray(nc), 255.0,
+                                param, iter_scale=0.05)
+    u_o, v_o = oracles.optical_flow_pyramid_oracle(pc, nc, 255.0, 2,
+                                                   iter_scale=0.05)
+    report["black_anandan_epe_vs_oracle"] = float(
+        epe(u, v, jnp.asarray(u_o), jnp.asarray(v_o)))
+
+    # Farneback vs OpenCV (full frame, demo parameters).
+    try:
+        import cv2
+
+        params = dict(pyr_scale=0.5, levels=1, winsize=33, iterations=2,
+                      poly_n=7, poly_sigma=1.6, flags=0)
+        ref = cv2.calcOpticalFlowFarneback(prev_g.astype(np.float32),
+                                           nxt_g.astype(np.float32), None,
+                                           **params)
+        from tpuflow.solvers import calc_optical_flow_farneback
+
+        u, v = calc_optical_flow_farneback(jnp.asarray(prev_g),
+                                           jnp.asarray(nxt_g), None, **params)
+        report["farneback_epe_vs_opencv"] = float(
+            epe(u, v, jnp.asarray(ref[..., 0].astype(np.float64)),
+                jnp.asarray(ref[..., 1].astype(np.float64))))
+    except ImportError:
+        report["farneback_epe_vs_opencv"] = None
+
+    # Distributed equivalence (8 virtual devices would need env set before
+    # jax import; report single-vs-fused-kernel equivalence instead).
+    from tpuflow.kernels import horn_schunck_pallas
+
+    uk, vk = horn_schunck_pallas(jnp.asarray(pc), jnp.asarray(nc), 5, 20,
+                                 1.0, tile_h=32, tile_w=128, fuse=5,
+                                 interpret=True)
+    ur, vr = horn_schunck(jnp.asarray(pc), jnp.asarray(nc), 5, 20, 1.0)
+    report["pallas_kernel_max_err"] = float(
+        jnp.max(jnp.maximum(jnp.abs(uk - ur), jnp.abs(vk - vr))))
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

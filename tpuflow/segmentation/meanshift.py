@@ -87,10 +87,13 @@ def mean_shift_filter(
     labp = lab
 
     def gather(img, yy, xx):
-        """Clamped gather of (H, W[,C]) at int32 index arrays."""
+        """Clamped gather at int32 index arrays via flat axis-0 take (the
+        TPU-fast gather pattern, see core.borders._take2d)."""
         yy = jnp.clip(yy, 0, h - 1)
         xx = jnp.clip(xx, 0, w - 1)
-        return img[yy, xx]
+        flat = img.reshape(h * w, -1) if img.ndim == 3 else img.reshape(h * w)
+        out = jnp.take(flat, yy * w + xx, axis=0)
+        return out
 
     def step(state):
         px, py, cl = state  # query positions (H, W), colors (H, W, 3)
