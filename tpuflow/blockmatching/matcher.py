@@ -18,12 +18,14 @@ call sites (SURVEY.md §2.4; OpticalFlow_BlockMatching.cpp:96-219):
   (Vector_ST composition, OpticalFlow_BlockMatching.cpp:307-361).
 
 TPU design: regions are irregular, so the search is dense-masked — for
-each candidate displacement the whole frame is shifted once (static
-slices), the per-pixel Lab L1 error and ZNCC moments are reduced
-per-region with ``segment_sum`` (one-hot matmul onto the MXU via XLA),
-and ``lax.map`` scans the (2R+1)^2 candidate grid. No data-dependent
-shapes: the region count is a static argument (known after host-side
-labeling).
+each candidate displacement the whole frame is shifted once, the
+per-pixel Lab L1 error and ZNCC moments are reduced per region, and
+``lax.map`` scans the (2R+1)^2 candidate grid. The per-region reduction
+is the hot spot: scatter-based ``segment_sum`` is pathologically slow on
+TPU, so pixels are permuted into sorted-by-label order once (host-side
+argsort), and each candidate reduces via ONE flat gather + cumsum +
+boundary differences — all TPU-fast primitives. No data-dependent
+shapes: the region count is static (known after host-side labeling).
 """
 
 from __future__ import annotations
@@ -67,31 +69,71 @@ def _shift_with_mask(img: jnp.ndarray, dx, dy):
     return shifted, valid
 
 
+def region_reduction_plan(labels: np.ndarray, n_regions: int):
+    """Host-side precomputation for fast per-region sums: the
+    sort-by-label pixel permutation and the region boundary offsets."""
+    flat = np.asarray(labels).reshape(-1)
+    perm = np.argsort(flat, kind="stable").astype(np.int32)
+    counts = np.bincount(flat, minlength=n_regions)
+    bounds = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return perm, bounds
+
+
+def _contiguous_range_sums(sorted_fields: jnp.ndarray,
+                           bounds: jnp.ndarray,
+                           chunk: int = 512) -> jnp.ndarray:
+    """Per-range sums S[bounds[r]:bounds[r+1]] of a (N, C) array in ~2
+    data passes: chunk partial sums + tiny cumsum + masked boundary-chunk
+    prefixes. A full cumsum costs O(log N) passes on TPU and dominated
+    the block-matching search before this."""
+    n, c = sorted_fields.shape
+    n_pad = -(-n // chunk) * chunk
+    f = jnp.pad(sorted_fields, ((0, n_pad - n), (0, 0)))
+    chunks = f.reshape(n_pad // chunk, chunk, c)
+    partial = chunks.sum(axis=1)                       # (n_chunks, C)
+    cs = jnp.concatenate(
+        [jnp.zeros((1, c), f.dtype), jnp.cumsum(partial, axis=0)], axis=0)
+    cidx = bounds // chunk                             # (n_bounds,)
+    off = bounds % chunk
+    rows = jnp.take(chunks, jnp.minimum(cidx, chunks.shape[0] - 1), axis=0)
+    mask = (jnp.arange(chunk)[None, :] < off[:, None]).astype(f.dtype)
+    prefix = (rows * mask[:, :, None]).sum(axis=1)     # (n_bounds, C)
+    s_at = jnp.take(cs, cidx, axis=0) + prefix         # (n_bounds, C)
+    return s_at[1:] - s_at[:-1]
+
+
 def _region_costs(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
-                  valid: jnp.ndarray, labels: jnp.ndarray, n_regions: int):
+                  valid: jnp.ndarray, perm: jnp.ndarray,
+                  bounds: jnp.ndarray, n_regions: int):
     """cost_r = coeff_MAD * MAD_r - coeff_ZNCC * ZNCC_r for one candidate.
 
     MAD over mean Lab L1 distance; ZNCC over the L channel.
-    Pixels whose match falls outside the frame are excluded.
+    Pixels whose match falls outside the frame are excluded. All seven
+    moment fields reduce with one permuted gather + cumsum + boundary
+    differences (segment_sum's scatters are TPU-hostile).
     """
     m = valid.astype(cur.dtype)
     lab_l1 = jnp.sum(jnp.abs(cur - ref_shifted), axis=-1) / 3.0
     a = cur[..., 0]
     b = ref_shifted[..., 0]
-    flat = labels.reshape(-1)
 
-    def seg(x):
-        return jax.ops.segment_sum(x.reshape(-1), flat,
-                                   num_segments=n_regions)
+    fields = jnp.stack(
+        [m, m * lab_l1, m * a, m * b, m * a * a, m * b * b, m * a * b],
+        axis=-1).reshape(-1, 7)
+    sorted_fields = jnp.take(fields, perm, axis=0)
+    sums = _contiguous_range_sums(sorted_fields, bounds)
 
-    n = seg(m)
+    def seg(_i):
+        return sums[:, _i]
+
+    n = seg(0)
     n_safe = jnp.maximum(n, 1.0)
-    mad = seg(m * lab_l1) / n_safe
-    sa = seg(m * a) / n_safe
-    sb = seg(m * b) / n_safe
-    saa = seg(m * a * a) / n_safe
-    sbb = seg(m * b * b) / n_safe
-    sab = seg(m * a * b) / n_safe
+    mad = seg(1) / n_safe
+    sa = seg(2) / n_safe
+    sb = seg(3) / n_safe
+    saa = seg(4) / n_safe
+    sbb = seg(5) / n_safe
+    sab = seg(6) / n_safe
     var_a = jnp.maximum(saa - sa * sa, 0.0)
     var_b = jnp.maximum(sbb - sb * sb, 0.0)
     denom = jnp.sqrt(var_a * var_b) + 1e-12
@@ -105,7 +147,8 @@ def _region_costs(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
     jax.jit,
     static_argnames=("n_regions", "search_range", "subpixel_scale",
                      "coeff_mad", "coeff_zncc"))
-def _match_one_direction(cur_lab, ref_lab, labels, n_regions: int,
+def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
+                         n_regions: int,
                          search_range: int, subpixel_scale: int,
                          coeff_mad: float, coeff_zncc: float):
     """Best (dx, dy, cost) per region matching cur against ref."""
@@ -118,11 +161,11 @@ def _match_one_direction(cur_lab, ref_lab, labels, n_regions: int,
     def eval_cand(d):
         dy, dx = d[0], d[1]
         shifted, valid = _shift_with_mask(ref_lab, dx, dy)
-        mad, zncc, _ = _region_costs(cur_lab, shifted, valid, labels,
+        mad, zncc, _ = _region_costs(cur_lab, shifted, valid, perm, bounds,
                                      n_regions)
         return coeff_mad * mad - coeff_zncc * zncc
 
-    costs = jax.lax.map(eval_cand, cand)  # (n_cand, n_regions)
+    costs = jax.lax.map(eval_cand, cand, batch_size=16)  # (n_cand, n_regions)
     best = jnp.argmin(costs, axis=0)  # (n_regions,)
     best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
     best_d = cand[best].astype(dt)  # (n_regions, (dy, dx))
@@ -152,20 +195,22 @@ def _match_one_direction(cur_lab, ref_lab, labels, n_regions: int,
             wy = qy - y0
             valid = (qx >= 0) & (qx <= w - 1) & (qy >= 0) & (qy <= h - 1)
 
+            ref_flat = ref_lab.reshape(h * w, -1)
+
             def g(yy, xx):
                 yy = jnp.clip(yy, 0, h - 1)
                 xx = jnp.clip(xx, 0, w - 1)
-                return ref_lab[yy, xx]
+                return jnp.take(ref_flat, yy * w + xx, axis=0)
 
             interp = ((1 - wx)[..., None] * (1 - wy)[..., None] * g(y0, x0)
                       + wx[..., None] * (1 - wy)[..., None] * g(y0, x0 + 1)
                       + (1 - wx)[..., None] * wy[..., None] * g(y0 + 1, x0)
                       + wx[..., None] * wy[..., None] * g(y0 + 1, x0 + 1))
-            mad, zncc, _ = _region_costs(cur_lab, interp, valid, labels,
-                                         n_regions)
+            mad, zncc, _ = _region_costs(cur_lab, interp, valid, perm,
+                                         bounds, n_regions)
             return coeff_mad * mad - coeff_zncc * zncc
 
-        sub_costs = jax.lax.map(eval_sub, sub)  # (n_sub, n_regions)
+        sub_costs = jax.lax.map(eval_sub, sub, batch_size=9)  # (n_sub, n_regions)
         sbest = jnp.argmin(sub_costs, axis=0)
         best_cost = jnp.take_along_axis(sub_costs, sbest[None, :], axis=0)[0]
         best_d = best_d + sub[sbest]
@@ -191,8 +236,10 @@ def block_matching_labels(
     cur_lab = jnp.asarray(cur_lab)
     ref_lab = jnp.asarray(ref_lab)
     labels_j = jnp.asarray(labels)
+    perm, bounds = region_reduction_plan(labels, int(n_regions))
     uv, cost = _match_one_direction(
-        cur_lab, ref_lab, labels_j, int(n_regions), int(search_range),
+        cur_lab, ref_lab, labels_j, jnp.asarray(perm), jnp.asarray(bounds),
+        int(n_regions), int(search_range),
         int(subpixel_scale), float(coeff_mad), float(coeff_zncc))
     uv = np.asarray(uv)
     cost = np.asarray(cost)
