@@ -20,7 +20,6 @@ tests/test_dist.py; SURVEY.md §2.6).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

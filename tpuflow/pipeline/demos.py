@@ -22,7 +22,6 @@ overlay here plots (u, v) in the correct order.
 
 from __future__ import annotations
 
-from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np

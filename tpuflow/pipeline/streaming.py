@@ -23,7 +23,6 @@ resume, SURVEY.md §5.4).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Iterable, Iterator

@@ -26,7 +26,7 @@ The projection math is vectorized NumPy (tiny data, interactive-rate).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
