@@ -279,6 +279,8 @@ def horn_schunck_pallas(
                        jax.ShapeDtypeStruct((hp, wp), dt)),
             scratch_shapes=[pltpu.VMEM((hh, hw), dt)] * 6
             + [pltpu.SemaphoreType.DMA((6,))],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(pad_h(u), pad_h(v), pad_h(gx), pad_h(gy), pad_h(gt),
           pad_h(inv_denom))

@@ -205,6 +205,8 @@ def irls_sweep_pallas(
                        jax.ShapeDtypeStruct((hp, wp), dt)),
             scratch_shapes=[pltpu.VMEM((hh, hw), dt)] * 5
             + [pltpu.SemaphoreType.DMA((5,))],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(supx, supy, pad_h(u), pad_h(v), pad_h(gx), pad_h(gy), pad_h(it))
         return u_new[:h, :w], v_new[:h, :w]
