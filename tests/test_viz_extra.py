@@ -1,0 +1,46 @@
+"""Colorwheel + motion compensation coverage."""
+
+import numpy as np
+
+
+class TestColorwheel:
+    def test_flow_to_color_shape_and_neutrality(self):
+        import jax.numpy as jnp
+
+        from tpuflow.viz import flow_to_color
+
+        u = jnp.zeros((12, 16))
+        v = jnp.zeros((12, 16))
+        img = np.asarray(flow_to_color(u, v))
+        assert img.shape == (12, 16, 3)
+        # Zero flow maps to (near-)white in the Middlebury wheel.
+        assert img.min() >= 240
+
+    def test_direction_changes_hue(self):
+        import jax.numpy as jnp
+
+        from tpuflow.viz import flow_to_color
+
+        right = np.asarray(flow_to_color(jnp.full((4, 4), 5.0),
+                                         jnp.zeros((4, 4))))
+        up = np.asarray(flow_to_color(jnp.zeros((4, 4)),
+                                      jnp.full((4, 4), 5.0)))
+        assert not np.array_equal(right, up)
+
+
+class TestMotionCompensation:
+    def test_integer_shift_compensates(self):
+        """MotionCompensation contract (SURVEY.md §2.4): warping next by
+        the (inverse) flow reconstructs the current frame."""
+        import jax.numpy as jnp
+
+        from tpuflow.pipeline.motion_compensation import compensate
+
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 255, (30, 40))
+        nxt = np.roll(base, -3, axis=1)  # content moved 3 px left
+        # current(x) = next(x - (-3)) => flow u = +3 points to the source
+        u = jnp.full((30, 40), -3.0)
+        comp = np.asarray(compensate(jnp.asarray(nxt), u,
+                                     jnp.zeros((30, 40))))
+        np.testing.assert_allclose(comp[:, 5:-5], base[:, 5:-5], atol=1e-9)
