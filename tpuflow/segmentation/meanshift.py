@@ -16,11 +16,15 @@ radius ``kernel_spatial``, Lab-space radius ``kernel_intensity``); pixels
 whose modes coincide (within half a kernel) and touch form a region.
 
 TPU design: the filtering iterations are the hot part and run fully on
-device — a fixed number of mean-shift steps, each a dense sweep over the
-(2R+1)^2 window as masked gathers at the current (rounded) query center
-(no data-dependent shapes; ``lax.fori_loop`` over window offsets).
-Labeling is irregular graph work on tiny data and runs host-side
-(NumPy/SciPy union of adjacent near-mode pixels), per SURVEY.md §7.3.
+device — a fixed number of mean-shift steps, each a dense sweep over a
+window of *static shifts* of the original frame (``jnp.roll`` — random
+gathers at the moving query centers cost ~25x more on TPU). The shift
+window spans kernel_spatial + margin, which makes the step EXACT for
+every query whose mode has drifted at most ``margin`` pixels from its
+origin (mean-shift modes essentially always converge within one kernel
+radius; margin defaults to kernel_spatial). Labeling is irregular graph
+work on tiny data and runs host-side (NumPy/SciPy union of adjacent
+near-mode pixels), per SURVEY.md §7.3.
 """
 
 from __future__ import annotations
@@ -57,59 +61,52 @@ class SegmentationResult:
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_spatial",
-                                             "kernel_intensity", "iters"))
+                                             "kernel_intensity", "iters",
+                                             "margin"))
 def mean_shift_filter(
     lab: jnp.ndarray,
     kernel_spatial: int = 20,
     kernel_intensity: float = 16.0 / 255.0,
     iters: int = 8,
+    margin: int | None = None,
 ):
     """Run ``iters`` mean-shift steps; returns (pos (H,W,2) xy, color (H,W,3)).
 
     ``lab`` is (H, W, 3) normalized Lab. Flat kernels: spatial radius
     ``kernel_spatial`` (pixels), color radius ``kernel_intensity``
-    (Euclidean in Lab).
+    (Euclidean in Lab). ``margin`` bounds the tracked mode drift (exact
+    for drift <= margin; defaults to kernel_spatial).
     """
     h, w = lab.shape[:2]
     dt = lab.dtype
     R = int(kernel_spatial)
+    M = R if margin is None else int(margin)
     hs2 = float(kernel_spatial) ** 2
     hr2 = float(kernel_intensity) ** 2
 
     xs = jnp.arange(w, dtype=dt)[None, :] * jnp.ones((h, 1), dt)
     ys = jnp.arange(h, dtype=dt)[:, None] * jnp.ones((1, w), dt)
 
-    # Window offsets flattened: (n_off, 2) int32.
+    # Shift window: every data point within R of a query that drifted <= M
+    # from its origin lies within R + M of the origin.
+    E = R + M
     offs = jnp.stack(
-        jnp.meshgrid(jnp.arange(-R, R + 1), jnp.arange(-R, R + 1),
+        jnp.meshgrid(jnp.arange(-E, E + 1), jnp.arange(-E, E + 1),
                      indexing="ij"), -1).reshape(-1, 2)  # (dy, dx)
-
-    labp = lab
-
-    def gather(img, yy, xx):
-        """Clamped gather at int32 index arrays via flat axis-0 take (the
-        TPU-fast gather pattern, see core.borders._take2d)."""
-        yy = jnp.clip(yy, 0, h - 1)
-        xx = jnp.clip(xx, 0, w - 1)
-        flat = img.reshape(h * w, -1) if img.ndim == 3 else img.reshape(h * w)
-        out = jnp.take(flat, yy * w + xx, axis=0)
-        return out
 
     def step(state):
         px, py, cl = state  # query positions (H, W), colors (H, W, 3)
-        cy = jnp.round(py).astype(jnp.int32)
-        cx = jnp.round(px).astype(jnp.int32)
 
         def body(k, acc):
             s_x, s_y, s_c, s_n = acc
             dy = offs[k, 0]
             dx = offs[k, 1]
-            qy = cy + dy
-            qx = cx + dx
-            valid = (qy >= 0) & (qy < h) & (qx >= 0) & (qx < w)
-            qc = gather(labp, qy, qx)  # (H, W, 3) original colors
-            qxf = qx.astype(dt)
-            qyf = qy.astype(dt)
+            # Data point at the static offset from the ORIGIN pixel:
+            # contiguous rolls, no gathers.
+            qc = jnp.roll(lab, shift=(-dy, -dx), axis=(0, 1))
+            qxf = xs + dx.astype(dt)
+            qyf = ys + dy.astype(dt)
+            valid = (qyf >= 0) & (qyf < h) & (qxf >= 0) & (qxf < w)
             d_sp = (qxf - px) ** 2 + (qyf - py) ** 2
             d_cl = jnp.sum((qc - cl) ** 2, axis=-1)
             wgt = jnp.where(valid & (d_sp <= hs2) & (d_cl <= hr2), 1.0, 0.0
@@ -166,36 +163,48 @@ def _merge_labels(pos: np.ndarray, col: np.ndarray,
     if min_size > 1:
         for _ in range(64):  # until no tiny region remains (or give up)
             counts = np.bincount(lab.reshape(-1), minlength=n)
-            tiny = np.nonzero(counts < min_size)[0]
-            tiny = tiny[counts[tiny] > 0]
-            if len(tiny) == 0:
+            is_tiny = (counts > 0) & (counts < min_size)
+            if not is_tiny.any():
                 break
-            tiny_set = set(tiny.tolist())
             # For each tiny region: merge into the neighbor label with the
-            # closest mean color among touching pixels.
-            mean_col = np.zeros((n, 3))
-            np.add.at(mean_col, lab.reshape(-1), col.reshape(-1, 3))
+            # closest mean color among touching pixels (fully vectorized
+            # over the boundary-pair list; bincount beats np.add.at ~50x).
+            flat_lab = lab.reshape(-1)
+            flat_col = col.reshape(-1, 3)
+            mean_col = np.stack(
+                [np.bincount(flat_lab, weights=flat_col[:, c], minlength=n)
+                 for c in range(3)], axis=-1)
             mean_col /= np.maximum(counts, 1)[:, None]
-            remap = np.arange(n)
-            pairs = set()
+            pas, pbs = [], []
             for sl_a, sl_b in (
                     ((slice(0, h - 1), slice(None)), (slice(1, h), slice(None))),
                     ((slice(None), slice(0, w - 1)), (slice(None), slice(1, w)))):
                 la = lab[sl_a].reshape(-1)
                 lb = lab[sl_b].reshape(-1)
                 m = la != lb
-                pairs.update(zip(la[m].tolist(), lb[m].tolist()))
-            best: dict[int, tuple[float, int]] = {}
-            for a, b in pairs:
-                for t, o in ((a, b), (b, a)):
-                    if t in tiny_set:
-                        d = float(((mean_col[t] - mean_col[o]) ** 2).sum())
-                        if t not in best or d < best[t][0]:
-                            best[t] = (d, o)
-            if not best:
+                pas.append(la[m])
+                pbs.append(lb[m])
+            pa = np.concatenate(pas + pbs)   # both directions
+            pb = np.concatenate(pbs + pas)
+            sel = is_tiny[pa]
+            pa, pb = pa[sel], pb[sel]
+            if len(pa) == 0:
                 break
-            for t, (_, o) in best.items():
-                remap[t] = o
+            d = ((mean_col[pa] - mean_col[pb]) ** 2).sum(-1)
+            order = np.lexsort((d, pa))      # grouped by tiny id, best first
+            pa_s, pb_s = pa[order], pb[order]
+            first = np.ones(len(pa_s), bool)
+            first[1:] = pa_s[1:] != pa_s[:-1]
+            src = pa_s[first]
+            dst = pb_s[first]
+            # Tiny-into-tiny merges only toward smaller ids — breaks the
+            # a<->b swap cycles that would otherwise never terminate.
+            keep = (~is_tiny[dst]) | (dst < src)
+            src, dst = src[keep], dst[keep]
+            if len(src) == 0:
+                break
+            remap = np.arange(n)
+            remap[src] = dst
             # Resolve chains.
             for _ in range(8):
                 remap = remap[remap]
