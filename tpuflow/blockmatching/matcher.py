@@ -102,6 +102,37 @@ def _contiguous_range_sums(sorted_fields: jnp.ndarray,
     return s_at[1:] - s_at[:-1]
 
 
+def _moment_fields(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
+                   valid: jnp.ndarray) -> jnp.ndarray:
+    """(N, 7) per-pixel moment fields for the MAD+ZNCC cost: validity,
+    masked Lab L1, and the L-channel first/second cross moments."""
+    m = valid.astype(cur.dtype)
+    lab_l1 = jnp.sum(jnp.abs(cur - ref_shifted), axis=-1) / 3.0
+    a = cur[..., 0]
+    b = ref_shifted[..., 0]
+    return jnp.stack(
+        [m, m * lab_l1, m * a, m * b, m * a * a, m * b * b, m * a * b],
+        axis=-1).reshape(-1, 7)
+
+
+def _cost_from_sums(sums: jnp.ndarray, dtype):
+    """(..., n_regions, 7) moment sums -> (mad, zncc, n)."""
+    n = sums[..., 0]
+    n_safe = jnp.maximum(n, 1.0)
+    mad = sums[..., 1] / n_safe
+    sa = sums[..., 2] / n_safe
+    sb = sums[..., 3] / n_safe
+    saa = sums[..., 4] / n_safe
+    sbb = sums[..., 5] / n_safe
+    sab = sums[..., 6] / n_safe
+    var_a = jnp.maximum(saa - sa * sa, 0.0)
+    var_b = jnp.maximum(sbb - sb * sb, 0.0)
+    denom = jnp.sqrt(var_a * var_b) + 1e-12
+    zncc = (sab - sa * sb) / denom
+    big = jnp.asarray(jnp.inf, dtype)
+    return jnp.where(n > 0, mad, big), zncc, n
+
+
 def _region_costs(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
                   valid: jnp.ndarray, perm: jnp.ndarray,
                   bounds: jnp.ndarray, n_regions: int):
@@ -112,35 +143,10 @@ def _region_costs(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
     moment fields reduce with one permuted gather + cumsum + boundary
     differences (segment_sum's scatters are TPU-hostile).
     """
-    m = valid.astype(cur.dtype)
-    lab_l1 = jnp.sum(jnp.abs(cur - ref_shifted), axis=-1) / 3.0
-    a = cur[..., 0]
-    b = ref_shifted[..., 0]
-
-    fields = jnp.stack(
-        [m, m * lab_l1, m * a, m * b, m * a * a, m * b * b, m * a * b],
-        axis=-1).reshape(-1, 7)
+    fields = _moment_fields(cur, ref_shifted, valid)
     sorted_fields = jnp.take(fields, perm, axis=0)
     sums = _contiguous_range_sums(sorted_fields, bounds)
-
-    def seg(_i):
-        return sums[:, _i]
-
-    n = seg(0)
-    n_safe = jnp.maximum(n, 1.0)
-    mad = seg(1) / n_safe
-    sa = seg(2) / n_safe
-    sb = seg(3) / n_safe
-    saa = seg(4) / n_safe
-    sbb = seg(5) / n_safe
-    sab = seg(6) / n_safe
-    var_a = jnp.maximum(saa - sa * sa, 0.0)
-    var_b = jnp.maximum(sbb - sb * sb, 0.0)
-    denom = jnp.sqrt(var_a * var_b) + 1e-12
-    zncc = (sab - sa * sb) / denom
-    # Regions with no valid overlap get +inf cost.
-    big = jnp.asarray(jnp.inf, cur.dtype)
-    return jnp.where(n > 0, mad, big), zncc, n
+    return _cost_from_sums(sums, cur.dtype)
 
 
 @functools.partial(
@@ -154,18 +160,36 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     """Best (dx, dy, cost) per region matching cur against ref."""
     R = search_range // 2
     dt = cur_lab.dtype
-    cand = jnp.stack(
-        jnp.meshgrid(jnp.arange(-R, R + 1), jnp.arange(-R, R + 1),
-                     indexing="ij"), -1).reshape(-1, 2)  # (n, (dy, dx))
+    cand_np = np.stack(
+        np.meshgrid(np.arange(-R, R + 1), np.arange(-R, R + 1),
+                    indexing="ij"), -1).reshape(-1, 2)  # (n, (dy, dx))
+    n_cand = cand_np.shape[0]
+    CH = 16
+    pad = (-n_cand) % CH
+    cand = jnp.asarray(
+        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    n_pix = cur_lab.shape[0] * cur_lab.shape[1]
 
-    def eval_cand(d):
-        dy, dx = d[0], d[1]
-        shifted, valid = _shift_with_mask(ref_lab, dx, dy)
-        mad, zncc, _ = _region_costs(cur_lab, shifted, valid, perm, bounds,
-                                     n_regions)
-        return coeff_mad * mad - coeff_zncc * zncc
+    def eval_chunk(d_chunk):
+        # One permuted gather serves CH candidates: the gather is the
+        # dominant cost, and (CH*7)-float rows amortize it.
+        def fields_for(d):
+            shifted, valid = _shift_with_mask(ref_lab, d[1], d[0])
+            return _moment_fields(cur_lab, shifted, valid)
 
-    costs = jax.lax.map(eval_cand, cand, batch_size=16)  # (n_cand, n_regions)
+        f = jax.vmap(fields_for)(d_chunk)            # (CH, N, 7)
+        f = jnp.transpose(f, (1, 0, 2)).reshape(n_pix, CH * 7)
+        fs = jnp.take(f, perm, axis=0)
+        sums = _contiguous_range_sums(fs, bounds)    # (n_regions, CH*7)
+        sums = jnp.transpose(
+            sums.reshape(n_regions, CH, 7), (1, 0, 2))  # (CH, n_regions, 7)
+        mad, zncc, _ = _cost_from_sums(sums, dt)
+        return coeff_mad * mad - coeff_zncc * zncc   # (CH, n_regions)
+
+    chunks = cand.reshape(-1, CH, 2)
+    costs = jax.lax.map(eval_chunk, chunks).reshape(-1, n_regions)
+    costs = costs[:n_cand]
+    cand = cand[:n_cand]
     best = jnp.argmin(costs, axis=0)  # (n_regions,)
     best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
     best_d = cand[best].astype(dt)  # (n_regions, (dy, dx))
