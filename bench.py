@@ -50,15 +50,18 @@ def bench_tpu(prev: np.ndarray, nxt: np.ndarray, repeats: int = 5) -> float:
     np.asarray(u)
     # Amortized timing over a long queue; end with a device-to-host value
     # fetch — on the tunneled axon backend block_until_ready can return
-    # before execution completes, a fetch cannot.
+    # before execution completes, a fetch cannot. The shared tunnel has
+    # high run-to-run variance, so take the best of several windows.
     repeats = max(repeats, 20)
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        u, v = run()
-    jax.block_until_ready((u, v))
-    np.asarray(u)
-    dt = (time.perf_counter() - t0) / repeats
-    return 1.0 / dt
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            u, v = run()
+        jax.block_until_ready((u, v))
+        np.asarray(u)
+        best_dt = min(best_dt, (time.perf_counter() - t0) / repeats)
+    return 1.0 / best_dt
 
 
 def bench_cpu_opencv(prev: np.ndarray, nxt: np.ndarray,
