@@ -309,3 +309,22 @@ class TestDriver:
         sel = out2.t < 0
         if sel.any():
             assert abs(np.median(out2.bm_u[sel]) - 2.0) < 1.1
+
+    def test_affine_blockmatching_mode(self):
+        """The --affine_blockmatching driver path (per-region affine
+        refinement instead of the gradient method)."""
+        from tpuflow.core.config import MODE_OUTPUT_AFFINE_BLOCKMATCHING
+        from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+        rng = np.random.default_rng(6)
+        base = rng.uniform(0, 255, (48, 64, 3))
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = gf(base, (2, 2, 0))
+        f0 = base[2:-4, 2:-4]
+        f1 = base[4:-2, 4:-2]
+        out, state = optical_flow_block_matching(
+            f0, f1, 255.0, mode=MODE_OUTPUT_AFFINE_BLOCKMATCHING,
+            iter_max=60, search_range=7, kernel_spatial=5)
+        assert out.u.shape == f0.shape[:2]
+        assert np.isfinite(out.u).all() and np.isfinite(out.v).all()
