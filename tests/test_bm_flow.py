@@ -328,3 +328,50 @@ class TestDriver:
             iter_max=60, search_range=7, kernel_spatial=5)
         assert out.u.shape == f0.shape[:2]
         assert np.isfinite(out.u).all() and np.isfinite(out.v).all()
+
+
+class TestMeanShiftExactness:
+    def test_matches_bruteforce_oracle(self):
+        """The static-shift formulation is exact while mode drift stays
+        within the margin — compare against a literal NumPy mean-shift
+        (window centered on the CURRENT mode) on a small image."""
+        import jax.numpy as jnp
+
+        from tpuflow.segmentation import mean_shift_filter
+
+        rng = np.random.default_rng(12)
+        h, w, R = 18, 24, 4
+        lab = rng.uniform(0, 1, (h, w, 3)) * 0.2
+        lab[:, w // 2 :] += 0.5  # two color populations
+        hr = 0.3
+
+        pos, col = mean_shift_filter(jnp.asarray(lab), R, hr, iters=3)
+        pos = np.asarray(pos)
+        col_j = np.asarray(col)
+
+        # Brute-force oracle.
+        px = np.tile(np.arange(w, dtype=float), (h, 1))
+        py = np.tile(np.arange(h, dtype=float)[:, None], (1, w))
+        cl = lab.copy()
+        for _ in range(3):
+            npx, npy, ncl = px.copy(), py.copy(), cl.copy()
+            for y in range(h):
+                for x in range(w):
+                    sx = sy = n = 0.0
+                    sc = np.zeros(3)
+                    for qy in range(h):
+                        for qx in range(w):
+                            dsp = (qx - px[y, x]) ** 2 + (qy - py[y, x]) ** 2
+                            dcl = ((lab[qy, qx] - cl[y, x]) ** 2).sum()
+                            if dsp <= R * R and dcl <= hr * hr:
+                                sx += qx; sy += qy; n += 1
+                                sc += lab[qy, qx]
+                    if n > 0:
+                        npx[y, x] = sx / n
+                        npy[y, x] = sy / n
+                        ncl[y, x] = sc / n
+            px, py, cl = npx, npy, ncl
+
+        np.testing.assert_allclose(pos[..., 0], px, atol=1e-4)
+        np.testing.assert_allclose(pos[..., 1], py, atol=1e-4)
+        np.testing.assert_allclose(col_j, cl, atol=1e-4)
