@@ -375,3 +375,17 @@ class TestMeanShiftExactness:
         np.testing.assert_allclose(pos[..., 0], px, atol=1e-4)
         np.testing.assert_allclose(pos[..., 1], py, atol=1e-4)
         np.testing.assert_allclose(col_j, cl, atol=1e-4)
+
+
+class TestHistoryDepth:
+    def test_history_max_is_four(self):
+        """History_Max = 4 (OpticalFlow_BlockMatching.cpp:16-22): the
+        deques keep up to four frames, popping only beyond that."""
+        from tpuflow.solvers.bm_flow import HISTORY_MAX, BMFlowState
+
+        st = BMFlowState()
+        for i in range(6):
+            st.push(f"lab{i}", f"rgb{i}", f"seg{i}")
+        assert HISTORY_MAX == 4
+        assert len(st.lab_frames) == 4
+        assert st.lab_frames == ["lab5", "lab4", "lab3", "lab2"]

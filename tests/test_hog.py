@@ -147,3 +147,25 @@ class TestHogMatching:
         back, signed = read_hog(tmp_path / "h.hog")
         assert signed is True
         np.testing.assert_allclose(back, hog, rtol=1e-15)
+
+
+class TestBlockNormalizeIntegral:
+    def test_intended_integral_normalization(self):
+        """The dead 3-arg HOG_BlockNormalize's *intended* math
+        (HOG.cpp:171-232; the C++ is UB — see tpuflow/features/hog.py):
+        contiguous 3x3 blocks, output shrinks by blocksize-1, each
+        descriptor L2-normalized by the block energy."""
+        import jax.numpy as jnp
+
+        from tpuflow.features import block_normalize, block_normalize_integral
+
+        rng = np.random.default_rng(3)
+        hog = jnp.asarray(rng.uniform(0, 4, (10, 12, 5)))
+        out = np.asarray(block_normalize_integral(hog, (3, 3)))
+        assert out.shape == (8, 10, 45)
+        norms = np.linalg.norm(out.reshape(-1, 45), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+        # Equivalent to the dense-trajectories normalization at
+        # distance (1, 1) for odd block sizes.
+        ref = np.asarray(block_normalize(hog, (3, 3), (1, 1)))
+        np.testing.assert_allclose(out, ref, atol=1e-12)

@@ -223,3 +223,127 @@ class TestCli:
         assert opts.resample_method == 1
         assert opts.hog_param.bins == 8
         assert not opts.hog_param.signed_orientation
+
+
+def _write_motion_frames(tmp_path, n=3, h=36, w=48, step=2):
+    """Smooth textured frames translating by (step, step) per frame."""
+    from scipy.ndimage import gaussian_filter as gf
+
+    from tpuflow.core.io import write_pnm
+
+    rng = np.random.default_rng(11)
+    pad = step * n
+    base = gf(rng.uniform(0, 255, (h + 2 * pad, w + 2 * pad)), 2.5)
+    base = 40 + (base - base.min()) / (np.ptp(base) + 1e-9) * 175
+    for i in range(n):
+        o = step * i
+        write_pnm(tmp_path / f"in_{i:04d}.pgm",
+                  base[o : o + h, o : o + w].astype(np.uint8))
+    return str(tmp_path / "in_%04d.pgm")
+
+
+class TestFlagshipOrchestrator:
+    """End-to-end coverage of the --opticalflow_blockmatching /
+    --affine_blockmatching pipeline branches: bidirectional output naming
+    (Scratch_MeaningfulMotion.cpp:544-552), the full side-output file set
+    (OpticalFlow_BlockMatching.cpp:137-196, 595-830) and debug dumps."""
+
+    def _bm_opts(self, mode):
+        from tpuflow.core.config import Options
+
+        opts = Options()
+        opts.mode = mode
+        mm = opts.multiple_motion_param
+        mm.irls_iter_max = 40
+        mm.bm_search_range = 7
+        mm.bm_kernel_spatial = 5
+        return opts
+
+    def test_opticalflow_blockmatching_pipeline(self, tmp_path):
+        from tpuflow.core.config import MODE_OUTPUT_OPTICALFLOW_BLOCKMATCHING
+        from tpuflow.core.io import read_flow, read_pnm
+        from tpuflow.pipeline.orchestrator import _insert_tag, run_pipeline
+
+        pattern = _write_motion_frames(tmp_path)
+        out_pattern = str(tmp_path / "of_%04d.dat")
+        opts = self._bm_opts(MODE_OUTPUT_OPTICALFLOW_BLOCKMATCHING)
+        run_pipeline(pattern, out_pattern, 0, 2, opts)
+
+        # Frame 0: no previous frame, nothing written.
+        assert not (tmp_path / "of_0000.dat").exists()
+        # Frame 1 writes under its own name (2-frame sequence); frame 2 is
+        # bidirectional -> the middle frame's motion is (re)written under
+        # the PREVIOUS name, so of_0002 must not exist.
+        assert (tmp_path / "of_0001.dat").exists()
+        assert not (tmp_path / "of_0002.dat").exists()
+        u, v = read_flow(tmp_path / "of_0001.dat")
+        assert u.shape == (36, 48) and np.isfinite(u).all()
+        # Compensated image follows the flow's name.
+        comp, _ = read_pnm(tmp_path / "compensated_of_0001.dat.pgm")
+        assert comp.shape == (36, 48)
+        assert not (tmp_path / "compensated_of_0002.dat.pgm").exists()
+        # Segmentation side outputs always use the newest frame's name.
+        for num in (1, 2):
+            name = f"of_{num:04d}.dat"
+            assert (tmp_path / (_insert_tag(name, "segmentation_")
+                                + ".pgm")).exists()
+            assert (tmp_path / (_insert_tag(name, "color-quantized_")
+                                + ".ppm")).exists()
+            sv = tmp_path / _insert_tag(name, "shift-vector_")
+            su, sS = read_flow(sv)
+            assert su.shape == (36, 48)
+
+    def test_affine_blockmatching_pipeline(self, tmp_path):
+        from tpuflow.core.config import MODE_OUTPUT_AFFINE_BLOCKMATCHING
+        from tpuflow.core.io import read_flow
+        from tpuflow.pipeline.orchestrator import _insert_tag, run_pipeline
+
+        pattern = _write_motion_frames(tmp_path, n=2)
+        out_pattern = str(tmp_path / "af_%04d.dat")
+        opts = self._bm_opts(MODE_OUTPUT_AFFINE_BLOCKMATCHING)
+        opts.debug_dumps = True
+        run_pipeline(pattern, out_pattern, 0, 1, opts)
+        u, v = read_flow(tmp_path / "af_0001.dat")
+        assert np.isfinite(u).all() and np.isfinite(v).all()
+        assert (tmp_path / (_insert_tag("af_0001.dat", "segmentation_")
+                            + ".pgm")).exists()
+        # DEBUG_PYRAMID dump: one PGM per level (MultiResolution.cpp:86-94).
+        for l in range(opts.multiple_motion_param.level + 1):
+            assert (tmp_path / f"Pyramid_{l:04d}.pgm").exists()
+
+    def test_debug_dumps_scratch_and_exclusive(self, tmp_path):
+        from tpuflow.core.config import Options
+        from tpuflow.pipeline.orchestrator import run_pipeline
+
+        pattern = _write_frames(tmp_path, n=1)
+        opts = Options()
+        opts.debug_dumps = True
+        opts.exclusive_principle = True
+        run_pipeline(pattern, str(tmp_path / "dbg_%04d.pgm"), 0, 0, opts)
+        assert (tmp_path / "filtered.pgm").exists()
+        assert (tmp_path / "IndexMap.pgm").exists()
+
+    def test_hog_matching_writes_compensated(self, tmp_path):
+        from tpuflow.core.config import MODE_OUTPUT_HOG_MATCHING_VECTOR, Options
+        from tpuflow.core.io import read_pnm
+        from tpuflow.pipeline.orchestrator import run_pipeline
+
+        pattern = _write_motion_frames(tmp_path, n=2, h=30, w=40)
+        opts = Options()
+        opts.mode = MODE_OUTPUT_HOG_MATCHING_VECTOR
+        run_pipeline(pattern, str(tmp_path / "hv_%04d.bin"), 0, 1, opts)
+        assert (tmp_path / "hv_0001.bin").exists()
+        # HOG_vector_compensated_write (HOG_match.cpp:125-145): the
+        # compensated image goes to <name>compensated<ext>.
+        comp, _ = read_pnm(tmp_path / "hv_0001compensated.bin")
+        assert comp.shape == (30, 40)
+
+    def test_gauss_stddev_alias(self):
+        from tpuflow.cli.parser import build_parser, parse_args_to_options
+
+        args = build_parser().parse_args([
+            "-i", "x", "-o", "y", "--filter_type", "gaussian",
+            "--gauss_stddev", "7.5", "--debug_dumps"])
+        opts = parse_args_to_options(args)
+        assert opts.filter_param.std_deviation == 7.5
+        assert opts.debug_dumps

@@ -88,7 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter_type",
                    choices=["Epsilon", "Gaussian", "None",
                             "epsilon", "gaussian", "none"], default=None)
-    p.add_argument("--gauss_var", type=float, default=None)
+    p.add_argument("--gauss_stddev", type=float, default=None,
+                   help="Gaussian filter standard deviation (main.cpp "
+                   "option name)")
+    p.add_argument("--gauss_var", type=float, default=None,
+                   help="alias of --gauss_stddev")
     p.add_argument("--filter_ep", type=float, default=None)
     p.add_argument("--s_med", type=float, default=None)
     p.add_argument("--s_avg", type=float, default=None)
@@ -105,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exclusive", action="store_true")
     p.add_argument("--superimpose", choices=["red", "green", "blue"],
                    default=None)
+    p.add_argument("--debug_dumps", action="store_true",
+                   help="write the reference's debug images "
+                   "(Pyramid_%%04d.pgm, filtered.pgm, IndexMap.pgm) next "
+                   "to the output file")
     p.add_argument("--checkpoint", default=None,
                    help="path for per-frame pipeline state checkpoints")
     p.add_argument("--telemetry", action="store_true",
@@ -160,8 +168,10 @@ def parse_args_to_options(args) -> Options:
         opts.filter_param = opts.filter_param.change_filter(args.filter_type)
     if args.filter_size is not None:
         opts.filter_param.size = args.filter_size
-    if args.gauss_var is not None:
-        opts.filter_param.std_deviation = args.gauss_var
+    gauss_sd = args.gauss_stddev if args.gauss_stddev is not None \
+        else args.gauss_var
+    if gauss_sd is not None:
+        opts.filter_param.std_deviation = gauss_sd
     if args.filter_ep is not None:
         opts.filter_param.epsilon = args.filter_ep
     if args.s_med is not None:
@@ -179,6 +189,7 @@ def parse_args_to_options(args) -> Options:
         opts.superimpose = {"red": RED, "green": GREEN,
                             "blue": BLUE}[args.superimpose]
     opts.x11_plot = args.x11_plot
+    opts.debug_dumps = args.debug_dumps
     return opts
 
 

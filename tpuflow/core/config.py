@@ -75,6 +75,14 @@ class MultipleMotionParam:
     sigma_d: float = 12.72
     sigma_s: float = 2.121
     block_matching_block_size: int = 8
+    # Flagship BM driver constants, exposed as config (the reference
+    # hardcodes them: search 61x61 OpticalFlow_BlockMatching.cpp:32,
+    # subpixel x2 :33, mean-shift kernel (20, 16/255)
+    # Segmentation.h defaults).
+    bm_search_range: int = 61
+    bm_subpixel_scale: int = 2
+    bm_kernel_spatial: int = 20
+    bm_kernel_intensity: float = 16.0 / 255.0
 
 
 @dataclass
@@ -148,3 +156,9 @@ class Options:
     filter_param: FilterParam = field(default_factory=FilterParam)
     plot_param: PlotParam = field(default_factory=PlotParam)
     x11_plot: bool = False
+    # Opt-in equivalents of the reference's compiled-in debug dumps:
+    # Pyramid_%04d.pgm (MultiResolution.cpp:86-94, DEBUG_PYRAMID),
+    # filtered.pgm (MeaningfulAlignments/Detection.cpp:67-79) and
+    # IndexMap.pgm (MeaningfulAlignments/Exclusive.cpp:27-31). Files are
+    # written next to the output file instead of the reference's cwd.
+    debug_dumps: bool = False

@@ -14,8 +14,19 @@ Parity with ``HOG/HOG.cpp``, ``HOG/HOG_struct.h`` and ``HOG/HOG_match.cpp``:
   actually used by the pipeline (blocksize 3x3, distance 4x4,
   HOG.cpp:234-292): each output site stacks the 3x3 grid of histograms
   sampled ``distance`` apart, L2-normalized with eps 1e-6.
-  (The integral-image variant at HOG.cpp:170-232 is dead code with
-  stride/uninitialized-memory aliasing — not reproduced.)
+- :func:`block_normalize_integral` — the *intended* math of the 3-arg
+  integral-image overload (HOG.cpp:171-232). That overload is dead code
+  (the only call site, HOG.cpp:51, uses the 4-arg dense-trajectories
+  version) and its output is undefined behavior, unreproducible by
+  construction: (a) the integral buffer is allocated with room for rows
+  of ``size.width + 1`` entries but indexed with row stride
+  ``size.width`` (``integral_hist_norm[size.width * (y+1) + x+1]``,
+  HOG.cpp:203/211-214), so the last column of each row aliases the first
+  column two rows down; (b) ``new double[...]`` is never
+  zero-initialized, and the y = 0 accumulation reads row 0 entries
+  before any write (HOG.cpp:203), so every integral value inherits
+  garbage. The evident intent — contiguous ``blocksize`` windows,
+  L2-normalized with the same eps — is implemented here.
 - :func:`hog_matching` — per-site nearest + second-nearest L2 descriptor
   search over a 65x65 window, Lowe-style score ``(d2-d1)/(d1+1e-6)``
   (HOG_match.cpp:9-75). Matches hog_prv(x) against hog_cur(x+offset), so
@@ -109,6 +120,29 @@ def block_normalize(hog: jnp.ndarray, blocksize: tuple[int, int] = BLOCKSIZE,
     norm = jnp.sum(stacked * stacked, axis=-1, keepdims=True)
     coeff = 1.0 / jnp.sqrt(norm + 1.0e-12)  # + ep^2, ep = 1e-6
     return stacked * coeff
+
+
+@functools.partial(jax.jit, static_argnames=("blocksize",))
+def block_normalize_integral(
+        hog: jnp.ndarray,
+        blocksize: tuple[int, int] = BLOCKSIZE) -> jnp.ndarray:
+    """Intended behavior of the dead 3-arg HOG_BlockNormalize
+    (HOG.cpp:171-232; defects documented in the module docstring):
+    (Ch, Cw, bins) -> (Ch - bh + 1, Cw - bw + 1, bw*bh*bins), each output
+    site stacking the contiguous bh x bw histogram block, L2-normalized
+    with the block's total energy + ep^2 (ep = 1e-6)."""
+    bw, bh = blocksize
+    ch, cw, bins = hog.shape
+    oh = ch - (bh - 1)
+    ow = cw - (bw - 1)
+    if oh <= 0 or ow <= 0:
+        raise ValueError(f"HOG grid {ch}x{cw} smaller than block "
+                         f"{bh}x{bw}")
+    taps = [hog[m : m + oh, n : n + ow]
+            for m in range(bh) for n in range(bw)]
+    stacked = jnp.concatenate(taps, axis=-1)
+    norm = jnp.sum(stacked * stacked, axis=-1, keepdims=True)
+    return stacked / jnp.sqrt(norm + 1.0e-12)
 
 
 def hog_descriptor(img: jnp.ndarray, bins: int = 16, signed: bool = False,

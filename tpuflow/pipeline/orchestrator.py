@@ -57,6 +57,8 @@ class PipelineState:
 
     prev_rgb: np.ndarray | None = None
     prev_gray: np.ndarray | None = None
+    prev_gray2: np.ndarray | None = None   # prev-of-prev (bidirectional MC)
+    prev_out_name: str | None = None       # OutputNameNums_prev
     bm_state: object | None = None
     hog_prev: np.ndarray | None = None
     hog_raw_prev: np.ndarray | None = None
@@ -74,6 +76,40 @@ class PipelineState:
     def load(cls, path: str | Path) -> "PipelineState":
         with open(path, "rb") as f:
             return cls(**pickle.load(f))
+
+
+def _dump_pyramid(proc: np.ndarray, maxint: int, max_level: int,
+                  out_name: str) -> None:
+    """The DEBUG_PYRAMID dump: every Gaussian pyramid level as
+    Pyramid_%04d.pgm, values x256 of the MaxInt-normalized image
+    (MultiResolution.cpp:86-94). Written next to the output file."""
+    from tpuflow.pyramid import pyramider
+
+    levels = pyramider(jnp.asarray(proc, jnp.float64) / maxint, max_level)
+    out_dir = Path(out_name).parent
+    for l, img in enumerate(levels):
+        tio.write_image(out_dir / f"Pyramid_{l:04d}.pgm",
+                        np.clip(np.asarray(img) * 256.0, 0, 255), 255)
+
+
+def _hog_compensated(cur_gray: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     dense: bool) -> np.ndarray:
+    """Compensated image from HOG matching vectors
+    (HOG_vector_compensated_write, HOG_match.cpp:125-145; the
+    MotionCompensation class lives in the absent pnm_lib_cpp submodule —
+    reconstruction: grid vectors are scaled to pixel units (x cell size
+    when the grid is one site per 7x7 cell), nearest-upsampled to the
+    frame, and the current frame is warped back through them to predict
+    the previous frame)."""
+    from tpuflow.core.resample import resize_zero_order_hold
+    from tpuflow.features.hog import CELL
+    from tpuflow.pipeline.motion_compensation import compensate
+
+    scale = 1.0 if dense else float(CELL[0])
+    h, w = cur_gray.shape
+    uu = resize_zero_order_hold(jnp.asarray(u * scale, jnp.float64), (w, h))
+    vv = resize_zero_order_hold(jnp.asarray(v * scale, jnp.float64), (w, h))
+    return np.asarray(compensate(jnp.asarray(cur_gray, jnp.float64), uu, vv))
 
 
 def _insert_tag(name: str, tag: str) -> str:
@@ -156,6 +192,8 @@ def process_frame(
             results["affine"] = np.asarray(a)
             if write_outputs:
                 tio.write_affine(out_name, results["affine"])
+                if opts.debug_dumps:
+                    _dump_pyramid(proc, maxint, mm.level, out_name)
 
     elif mode & (MODE_OUTPUT_OPTICALFLOW_BLOCKMATCHING
                  | MODE_OUTPUT_AFFINE_BLOCKMATCHING
@@ -171,17 +209,43 @@ def process_frame(
                 out, state.bm_state = optical_flow_block_matching(
                     state.prev_rgb, proc_rgb, float(maxint), mm,
                     mode=bm_mode, iter_max=mm.irls_iter_max,
-                    state=state.bm_state)
+                    state=state.bm_state,
+                    search_range=mm.bm_search_range,
+                    kernel_spatial=mm.bm_kernel_spatial,
+                    kernel_intensity=mm.bm_kernel_intensity,
+                    subpixel_scale=mm.bm_subpixel_scale)
             results["flow"] = out
             if write_outputs:
-                tio.write_flow(out_name, out.u, out.v)
                 from tpuflow.pipeline.motion_compensation import compensate
 
-                comp = compensate(jnp.asarray(proc), jnp.asarray(out.u),
-                                  jnp.asarray(out.v))
-                comp_name = str(Path(out_name).with_name(
-                    "compensated_" + Path(out_name).name)) + ".pgm"
-                tio.write_image(comp_name, np.asarray(comp), maxint)
+                # Bidirectional estimation is for the *middle* frame, so
+                # flow + compensated image go under the previous frame's
+                # output name (OutputNameNums_prev,
+                # Scratch_MeaningfulMotion.cpp:544-552); the segmentation
+                # side outputs always use the newest frame's name
+                # (newest_filename, OpticalFlow_BlockMatching.cpp:137-196).
+                flow_name = out_name
+                u_j = jnp.asarray(out.u)
+                v_j = jnp.asarray(out.v)
+                if out.bidirectional and state.prev_out_name \
+                        and state.prev_gray2 is not None:
+                    flow_name = state.prev_out_name
+                    # Predict the middle frame from the per-pixel matching
+                    # direction: prev-of-prev where t < 0, current where
+                    # t > 0 (the 3-frame MotionCompensation,
+                    # OpticalFlow_BlockMatching.cpp:702-752).
+                    comp_p = compensate(jnp.asarray(state.prev_gray2),
+                                        u_j, v_j)
+                    comp_n = compensate(jnp.asarray(proc), u_j, v_j)
+                    comp = np.where(out.t < 0, np.asarray(comp_p),
+                                    np.asarray(comp_n))
+                else:
+                    comp = np.asarray(compensate(
+                        jnp.asarray(state.prev_gray), u_j, v_j))
+                tio.write_flow(flow_name, out.u, out.v)
+                comp_name = str(Path(flow_name).with_name(
+                    "compensated_" + Path(flow_name).name)) + ".pgm"
+                tio.write_image(comp_name, comp, maxint)
                 tio.write_image(_insert_tag(out_name, "segmentation_") + ".pgm",
                                 out.segmentation.labels.astype(np.float64),
                                 max(out.segmentation.n_regions - 1, 1))
@@ -190,6 +254,8 @@ def process_frame(
                 tio.write_flow(_insert_tag(out_name, "shift-vector_"),
                                out.shift_vector[..., 0],
                                out.shift_vector[..., 1])
+                if opts.debug_dumps:
+                    _dump_pyramid(proc, maxint, mm.level, out_name)
 
     elif mode & (MODE_OUTPUT_HOG | MODE_OUTPUT_HOG_RAW
                  | MODE_OUTPUT_HOG_MATCHING_VECTOR):
@@ -212,9 +278,19 @@ def process_frame(
                                                jnp.asarray(block))
                 results["hog_vector"] = (np.asarray(u), np.asarray(v),
                                          np.asarray(score))
+                comp = _hog_compensated(proc, np.asarray(u), np.asarray(v),
+                                        hp.dense)
+                results["hog_compensated"] = comp
                 if write_outputs:
                     tio.write_flow(out_name, np.asarray(u), np.asarray(v),
                                    np.asarray(score))
+                    # HOG_vector_compensated_write (HOG_match.cpp:125-145):
+                    # "compensated" inserted before the extension, PNM
+                    # bytes regardless of the extension (pnm.write).
+                    stem = Path(out_name)
+                    comp_name = str(stem.with_name(
+                        stem.stem + "compensated" + (stem.suffix or ".pgm")))
+                    tio.write_pnm(comp_name, comp, maxint)
             else:
                 tel.event("pipeline.skip", reason="no previous HOG")
         elif write_outputs:
@@ -230,10 +306,15 @@ def process_frame(
         from tpuflow.detection import detect_scratch
 
         with trace_span("pipeline.scratch"):
-            smap, _ = detect_scratch(jnp.asarray(proc), opts.s_med,
-                                     opts.s_avg, opts.filter_param)
+            smap, filtered = detect_scratch(jnp.asarray(proc), opts.s_med,
+                                            opts.s_avg, opts.filter_param)
         smap = np.asarray(smap)
         results["scratch_map"] = smap
+        if opts.debug_dumps and write_outputs:
+            # Detection.cpp:67-79 writes the prefiltered image to
+            # "filtered.pgm" in cwd; written next to the output here.
+            tio.write_image(Path(out_name).parent / "filtered.pgm",
+                            np.asarray(filtered), maxint)
         if mode & MODE_OUTPUT_BINARY_IMAGE:
             if write_outputs:
                 tio.write_image(out_name, smap, maxint)
@@ -263,10 +344,16 @@ def process_frame(
             tel.event("pipeline.segments", count=len(segs))
             if opts.exclusive_principle and segs:
                 with trace_span("pipeline.exclusive"):
-                    segs, _ = exclusive_principle(
+                    segs, index_map = exclusive_principle(
                         angles, segs, state.k_list, state.pr_table,
                         opts.exclusive_max_radius)
                 tel.event("pipeline.segments_ep", count=len(segs))
+                if opts.debug_dumps and write_outputs:
+                    # Exclusive.cpp:27-31 (unowned -1 clipped to 0).
+                    tio.write_image(
+                        Path(out_name).parent / "IndexMap.pgm",
+                        np.maximum(index_map, 0).astype(np.float64),
+                        max(len(segs), 1))
             results["segments"] = segs
 
             negate = bool(opts.plot_options & PLOT_NEGATE)
@@ -291,8 +378,10 @@ def process_frame(
                 tio.write_image(str(Path(out_name).with_suffix("")) +
                                 "_3d.png", scene, 255)
 
+    state.prev_gray2 = state.prev_gray
     state.prev_rgb = proc_rgb
     state.prev_gray = proc
+    state.prev_out_name = out_name
     return results, state
 
 

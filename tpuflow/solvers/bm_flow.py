@@ -395,7 +395,9 @@ class BMFlowState:
         self.lab_frames.insert(0, lab)
         self.rgb_frames.insert(0, rgb)
         self.segmentations.insert(0, seg)
-        if len(self.lab_frames) >= HISTORY_MAX:
+        # History_Max = 4 (OpticalFlow_BlockMatching.cpp:16-22: pop only
+        # when the deque would exceed 4 frames).
+        if len(self.lab_frames) > HISTORY_MAX:
             self.lab_frames.pop()
             self.rgb_frames.pop()
             self.segmentations.pop()
@@ -411,6 +413,10 @@ class BMFlowOutput:
     shift_vector: np.ndarray         # (H, W, 2) mean-shift spatial shifts
     bm_u: np.ndarray
     bm_v: np.ndarray
+    # True when >= 3 frames were buffered, i.e. the motion belongs to the
+    # *middle* frame and the caller must write it under the previous
+    # frame's output name (Scratch_MeaningfulMotion.cpp:544-552).
+    bidirectional: bool = False
 
 
 def _quantize_colors(rgb_norm: np.ndarray, seg: SegmentationResult) -> np.ndarray:
@@ -531,5 +537,6 @@ def optical_flow_block_matching(
         segmentation=seg,
         quantized_rgb=_quantize_colors(rgb_for_quant, seg_new),
         shift_vector=shift,
-        bm_u=u_bm, bm_v=v_bm)
+        bm_u=u_bm, bm_v=v_bm,
+        bidirectional=bidirectional)
     return out, state
