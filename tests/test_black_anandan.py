@@ -107,7 +107,7 @@ class TestPyramidFlow:
         gx = jnp.asarray(rng.normal(size=(8, 8)))
         gy = jnp.asarray(rng.normal(size=(8, 8)))
         it = jnp.asarray(0.1 * rng.normal(size=(8, 8)))
-        u, v, E, n = irls_optical_flow_level(
+        u, v, E, n, _ = irls_optical_flow_level(
             u0, u0, gx, gy, it, LAMBDA_D, LAMBDA_S, 0.4, 0.2,
             50, 1e-6, False)
         assert np.isfinite(float(E))
@@ -143,3 +143,79 @@ class TestPyramidFlow:
         assert np.median(interior) > 0.3
         assert abs(np.median(np.asarray(v)[8:-8, 8:-8])) < \
             np.median(interior)
+
+
+class TestEnergyTrace:
+    def test_trace_matches_oracle_cadence(self):
+        """Golden E(n) telemetry: the trace returned by the level solver
+        equals the oracle's energy sequence at the every-64-iterations
+        cadence (SHOW_IRLS_OPTICALFLOW_PYRAMID_E, OpticalFlow.cpp:261-265)."""
+        h, w = 10, 12
+        r = np.random.default_rng(7)
+        gx = r.normal(size=(h, w))
+        gy = r.normal(size=(h, w))
+        it = 0.1 * r.normal(size=(h, w))
+        iters = 170  # 3 checks: n = 0, 64, 128
+        u, v, E, n, trace = irls_optical_flow_level(
+            jnp.zeros((h, w)), jnp.zeros((h, w)),
+            jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(it),
+            LAMBDA_D, LAMBDA_S, 0.4, 0.2, iters, 1e-12, True)
+        trace = np.asarray(trace)
+        assert trace.shape == (3,)
+        assert np.isfinite(trace).all()
+
+        sup_x, sup_y = irls_sup(jnp.asarray(gx), jnp.asarray(gy),
+                                LAMBDA_D, LAMBDA_S, 0.4, 0.2)
+        uo = np.zeros((h, w))
+        vo = np.zeros((h, w))
+        expected = []
+        for k in range(iters):
+            uo, vo = irls_sweep_oracle(uo, vo, gx, gy, it,
+                                       LAMBDA_D, LAMBDA_S, 0.4, 0.2,
+                                       float(sup_x), float(sup_y))
+            if (k & 0x3F) == 0:
+                expected.append(irls_energy_oracle(
+                    uo, vo, gx, gy, it, LAMBDA_D, LAMBDA_S, 0.4, 0.2))
+        np.testing.assert_allclose(trace, expected, rtol=1e-9)
+
+    def test_trace_nan_past_early_stop(self):
+        """3-strikes abort leaves the untouched tail of the trace NaN."""
+        h, w = 8, 8
+        r = np.random.default_rng(8)
+        gx = jnp.asarray(r.normal(size=(h, w)))
+        gy = jnp.asarray(r.normal(size=(h, w)))
+        it = jnp.asarray(0.1 * r.normal(size=(h, w)))
+        # Huge threshold -> stops at the first check (n = 0).
+        u, v, E, n, trace = irls_optical_flow_level(
+            jnp.zeros((h, w)), jnp.zeros((h, w)), gx, gy, it,
+            LAMBDA_D, LAMBDA_S, 0.4, 0.2, 170, 1e12, True)
+        trace = np.asarray(trace)
+        assert np.isfinite(trace[0])
+        assert np.isnan(trace[1:]).all()
+
+    def test_pyramid_emits_energy_events(self, small_pair, capsys):
+        """--telemetry runs print irls.energy events (EnergyTrace
+        producers, SURVEY.md §5.1)."""
+        import io
+        import json
+
+        from tpuflow.utils.telemetry import EnergyTrace, Telemetry, set_telemetry
+
+        buf = io.StringIO()
+        set_telemetry(Telemetry(stream=buf, enabled=True))
+        try:
+            prev, nxt = small_pair
+            prev = prev[:16, :24]
+            nxt = nxt[:16, :24]
+            tr = EnergyTrace()
+            optical_flow_pyramid(jnp.asarray(prev), jnp.asarray(nxt), 255.0,
+                                 MultipleMotionParam(level=1),
+                                 iter_scale=0.05, energy_trace=tr)
+        finally:
+            set_telemetry(Telemetry(enabled=False))
+        events = [json.loads(l) for l in buf.getvalue().splitlines()]
+        energies = [e for e in events if e["event"] == "irls.energy"]
+        assert energies, "no irls.energy events emitted"
+        assert {e["level"] for e in energies} == {0, 1}
+        assert all(e["iteration"] % 64 == 0 for e in energies)
+        assert tr.as_dict()  # trace object collected the same pairs

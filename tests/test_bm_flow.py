@@ -168,9 +168,9 @@ class TestGradientMethod:
         z = jnp.zeros((52, 72))
         gx, gy = gradient_method_grad(jnp.asarray(interest))
         it = gradient_method_dt(jnp.asarray(ref), jnp.asarray(interest), z, z)
-        u, v, E1, _ = irls_gradient_method(
+        u, v, E1, _, _ = irls_gradient_method(
             gx, gy, it, labels, 5.0, 1.0, 0.1414, 0.0212, 64, 1e-12)
-        u2, v2, E2, _ = irls_gradient_method(
+        u2, v2, E2, _, _ = irls_gradient_method(
             gx, gy, it, labels, 5.0, 1.0, 0.1414, 0.0212, 1024, 1e-12)
         # moves in the inverse-flow (+x) direction and keeps descending
         assert float(jnp.median(u2)) > float(jnp.median(u)) > 0.0
@@ -199,7 +199,7 @@ class TestGradientMethod:
         gx, gy = gradient_method_grad(jnp.asarray(interest))
         it = gradient_method_dt(jnp.asarray(ref), jnp.asarray(interest), z, z)
         u0 = jnp.full((52, 72), 2.0)
-        u, v, _, _ = irls_gradient_method(
+        u, v, _, _, _ = irls_gradient_method(
             gx, gy, it, labels, 5.0, 1.0, 0.1414, 0.0212, 512, 1e-12,
             u0, z)
         ui = np.asarray(u)[10:-10, 10:-10]
@@ -218,7 +218,7 @@ class TestGradientMethod:
         gy = np.zeros((h, w))
         # data term wants u = -it/gx: -2 on the left, +2 on the right
         it = np.where(labels == 0, 1.0, -1.0)
-        u, v, E, n = irls_gradient_method(
+        u, v, E, n, _ = irls_gradient_method(
             jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(it),
             jnp.asarray(labels), 5.0, 1.0, 0.3, 0.1, 400, 1e-12)
         u = np.asarray(u)

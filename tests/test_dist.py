@@ -99,7 +99,7 @@ class TestDistributedSolvers:
         it = jnp.asarray(0.1 * rng.normal(size=(h, w)))
         z = jnp.zeros((h, w))
         sd, ss = 0.4, 0.2
-        u1, v1, _, _ = irls_optical_flow_level(
+        u1, v1, _, _, _ = irls_optical_flow_level(
             z, z, gx, gy, it, LAMBDA_D, LAMBDA_S, sd, ss, 30, 1e-6, False)
         u8, v8 = irls_level_sharded(
             z, z, gx, gy, it, mesh, LAMBDA_D, LAMBDA_S, sd, ss, 30, 1e-6,
@@ -116,7 +116,7 @@ class TestDistributedSolvers:
         gy = jnp.asarray(rng.normal(size=(h, w)))
         it = jnp.asarray(0.1 * rng.normal(size=(h, w)))
         z = jnp.zeros((h, w))
-        u1, v1, _, _ = irls_optical_flow_level(
+        u1, v1, _, _, _ = irls_optical_flow_level(
             z, z, gx, gy, it, LAMBDA_D, LAMBDA_S, 0.14, 0.02, 70, 1e-6, True)
         u4, v4 = irls_level_sharded(
             z, z, gx, gy, it, mesh, LAMBDA_D, LAMBDA_S, 0.14, 0.02, 70, 1e-6,

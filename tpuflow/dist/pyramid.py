@@ -98,7 +98,7 @@ def optical_flow_pyramid_sharded(
                 level == 0)
         else:
             # Tiny level: replicate (single-program, all devices identical).
-            u_l, v_l, _, _ = irls_optical_flow_level(
+            u_l, v_l, _, _, _ = irls_optical_flow_level(
                 z, z, gx, gy, it_l, LAMBDA_D, LAMBDA_S, sigma_d, sigma_s,
                 iters, param.error_min_threshold, level == 0)
         if level < max_level:

@@ -107,6 +107,13 @@ def irls_sup(gx, gy, lambda_d, lambda_s, sigma_d, sigma_s):
     return sup_x, sup_y
 
 
+ENERGY_TRACE_EVERY = 64  # the reference's E(n) print cadence
+
+
+def _trace_len(iter_max: int) -> int:
+    return max(-(-iter_max // ENERGY_TRACE_EVERY), 1)
+
+
 @partial(jax.jit, static_argnames=("iter_max", "is_level0"))
 def irls_optical_flow_level(
     u0, v0, gx, gy, it,
@@ -115,7 +122,13 @@ def irls_optical_flow_level(
     error_min_threshold: float,
     is_level0: bool,
 ):
-    """Per-level IRLS relaxation (IRLS_OpticalFlow_Pyramid)."""
+    """Per-level IRLS relaxation (IRLS_OpticalFlow_Pyramid).
+
+    Returns (u, v, E, n, trace): ``trace[k]`` is the energy after the
+    sweep with ``n == 64 k`` — the reference's every-64-iterations
+    ``E(%4d) = %e`` telemetry (SHOW_IRLS_OPTICALFLOW_PYRAMID_E,
+    OpticalFlow.cpp:261-265); entries past the stopping point are NaN.
+    """
     sup_x, sup_y = irls_sup(gx, gy, lambda_d, lambda_s, sigma_d, sigma_s)
 
     def energy(u, v):
@@ -123,11 +136,11 @@ def irls_optical_flow_level(
                            sigma_d, sigma_s)
 
     def cond(carry):
-        u, v, E, inc, n, stop = carry
+        u, v, E, inc, n, stop, trace = carry
         return jnp.logical_and(n < iter_max, jnp.logical_not(stop))
 
     def body(carry):
-        u, v, E, inc, n, _ = carry
+        u, v, E, inc, n, _, trace = carry
         dEx, dEy = irls_grad(u, v, gx, gy, it, lambda_d, lambda_s,
                              sigma_d, sigma_s)
         u = u - dEx / sup_x
@@ -139,15 +152,20 @@ def irls_optical_flow_level(
         else:
             E_new = energy(u, v)
             inc_new = jnp.where(E_new > E, inc + 1, 0)
+        trace = jax.lax.cond(
+            (n & 0x3F) == 0,
+            lambda: trace.at[n >> 6].set(E_new), lambda: trace)
         stop = jnp.logical_or(E_new < error_min_threshold, inc_new > 3)
-        return u, v, E_new, inc_new, n + 1, stop
+        return u, v, E_new, inc_new, n + 1, stop, trace
 
     # The reference starts E at 0.0 (OpticalFlow.cpp:230) — the first
     # level>0 iteration therefore always counts one (reset) strike.
     E0 = jnp.asarray(0.0, u0.dtype)
-    u, v, E, _, n, _ = jax.lax.while_loop(
-        cond, body, (u0, v0, E0, jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
-    return u, v, E, n
+    trace0 = jnp.full((_trace_len(iter_max),), jnp.nan, u0.dtype)
+    u, v, E, _, n, _, trace = jax.lax.while_loop(
+        cond, body, (u0, v0, E0, jnp.int32(0), jnp.int32(0),
+                     jnp.bool_(False), trace0))
+    return u, v, E, n, trace
 
 
 def optical_flow_pyramid(
@@ -157,12 +175,17 @@ def optical_flow_pyramid(
     param: MultipleMotionParam | None = None,
     iter_max: int = -1,
     iter_scale: float = 1.0,
+    energy_trace=None,
 ):
     """Full coarse-to-fine Black-Anandan flow (OpticalFlow_Pyramid).
 
     ``iter_scale`` scales the reference's per-level iteration budget
     ((level+1) * 10 * max(W, H), OpticalFlow.cpp:131) — 1.0 reproduces the
     reference; smaller values trade accuracy for speed.
+    ``energy_trace`` (a :class:`tpuflow.utils.telemetry.EnergyTrace`)
+    collects the per-level E(n) sequence at the reference's 64-iteration
+    cadence; when global telemetry is enabled the trace is also emitted
+    as ``irls.energy`` events even without an explicit trace object.
     Returns (u, v) at full resolution.
     """
     if param is None:
@@ -195,11 +218,31 @@ def optical_flow_pyramid(
         iters = int((level + 1) * 10 * max(w0, h0) * iter_scale)
         if iter_max > 0:
             iters = min(iters, iter_max)
-        u_l, v_l, _, _ = irls_optical_flow_level(
+        u_l, v_l, _, _, trace = irls_optical_flow_level(
             u0, v0, gx, gy, it_l,
             LAMBDA_D, LAMBDA_S, sigma_d, sigma_s,
             iters, param.error_min_threshold, level == 0)
+        _emit_energy_trace(level, trace, energy_trace)
         if level < max_level:
             u_l, v_l = add_vector_offset(u_l, v_l, u, v)
         u, v = u_l, v_l
     return u, v
+
+
+def _emit_energy_trace(level: int, trace, energy_trace=None) -> None:
+    """Push a solver's E(n) trace to an EnergyTrace / global telemetry
+    (the reference's every-64-iterations printf, OpticalFlow.cpp:261-265).
+    Device fetch happens only when someone is listening."""
+    from tpuflow.utils.telemetry import EnergyTrace, get_telemetry
+
+    if energy_trace is None and not get_telemetry().enabled:
+        return
+    if energy_trace is None:
+        energy_trace = EnergyTrace()  # .record still emits telemetry events
+    import numpy as np
+
+    vals = np.asarray(trace)
+    for k, e in enumerate(vals):
+        if np.isnan(e):
+            break
+        energy_trace.record(level, k * ENERGY_TRACE_EVERY, float(e))

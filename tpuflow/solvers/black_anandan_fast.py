@@ -56,11 +56,18 @@ def irls_level_fast(
     tile_w: int = 512,
     interpret: bool = False,
 ):
-    """One level: blocks of ``fuse`` fused sweeps + energy stop tests."""
+    """One level: blocks of ``fuse`` fused sweeps + energy stop tests.
+
+    Returns (u, v, E, blocks, trace): ``trace[k]`` is the energy at the
+    k-th stop check (after ``(k+1) * check_every`` sweeps) — the fast
+    path's version of the reference's E(n) telemetry
+    (OpticalFlow.cpp:261-265); NaN past the stopping point.
+    """
     sup_x, sup_y = irls_sup(gx, gy, LAMBDA_D, LAMBDA_S, sigma_d, sigma_s)
     check_every = 64 if is_level0 else fuse
     blocks_per_check = max(check_every // fuse, 1)
     n_blocks = -(-iter_max // fuse)
+    n_checks = max(-(-n_blocks // blocks_per_check), 1)
 
     def sweep_block(u, v):
         return irls_sweep_pallas(
@@ -73,11 +80,11 @@ def irls_level_fast(
                            sigma_d, sigma_s)
 
     def cond(carry):
-        u, v, E, inc, b, stop = carry
+        u, v, E, inc, b, stop, trace = carry
         return jnp.logical_and(b < n_blocks, jnp.logical_not(stop))
 
     def body(carry):
-        u, v, E, inc, b, _ = carry
+        u, v, E, inc, b, _, trace = carry
         u, v = sweep_block(u, v)
         do_check = (b % blocks_per_check) == (blocks_per_check - 1)
 
@@ -91,16 +98,21 @@ def irls_level_fast(
         E_new, inc_new = jax.lax.cond(
             do_check, check, lambda args: (args[2], args[3]),
             (u, v, E, inc))
+        trace = jax.lax.cond(
+            do_check,
+            lambda: trace.at[b // blocks_per_check].set(E_new),
+            lambda: trace)
         stop = jnp.logical_and(
             do_check,
             jnp.logical_or(E_new < error_min_threshold, inc_new > 3))
-        return u, v, E_new, inc_new, b + 1, stop
+        return u, v, E_new, inc_new, b + 1, stop, trace
 
     E0 = jnp.asarray(0.0, u0.dtype)
-    u, v, E, _, b, _ = jax.lax.while_loop(
+    trace0 = jnp.full((n_checks,), jnp.nan, u0.dtype)
+    u, v, E, _, b, _, trace = jax.lax.while_loop(
         cond, body, (u0, v0, E0, jnp.int32(0), jnp.int32(0),
-                     jnp.bool_(False)))
-    return u, v, E, b
+                     jnp.bool_(False), trace0))
+    return u, v, E, b, trace
 
 
 def optical_flow_pyramid_fast(
@@ -114,6 +126,7 @@ def optical_flow_pyramid_fast(
     tile_h: int = 256,
     tile_w: int = 512,
     interpret: bool = False,
+    energy_trace=None,
 ):
     """Coarse-to-fine Black-Anandan flow on the fused Pallas sweep."""
     if param is None:
@@ -148,11 +161,29 @@ def optical_flow_pyramid_fast(
         iters = int((level + 1) * 10 * max(w0, h0) * iter_scale)
         if iter_max > 0:
             iters = min(iters, iter_max)
-        u_l, v_l, _, _ = irls_level_fast(
+        u_l, v_l, _, _, trace = irls_level_fast(
             u0, v0, gx, gy, it_l, float(sigma_d), float(sigma_s),
             iters, param.error_min_threshold, level == 0,
             fuse, tile_h, tile_w, interpret)
+        _emit_energy_trace_fast(level, trace, 64 if level == 0 else fuse,
+                                energy_trace)
         if level < max_level:
             u_l, v_l = add_vector_offset(u_l, v_l, u, v)
         u, v = u_l, v_l
     return u, v
+
+
+def _emit_energy_trace_fast(level: int, trace, check_every: int,
+                            energy_trace=None) -> None:
+    from tpuflow.utils.telemetry import EnergyTrace, get_telemetry
+
+    if energy_trace is None and not get_telemetry().enabled:
+        return
+    if energy_trace is None:
+        energy_trace = EnergyTrace()
+    import numpy as np
+
+    for k, e in enumerate(np.asarray(trace)):
+        if np.isnan(e):
+            break
+        energy_trace.record(level, (k + 1) * check_every, float(e))

@@ -196,9 +196,14 @@ def irls_gradient_method(
 ):
     """IRLS_OpticalFlow_GradientMethod (OpticalFlow_BlockMatching.cpp:
     412-462): Jacobi sweeps with the region-gated neighbor term, energy
-    check every 64 iterations, 3-strikes divergence stop."""
+    check every 64 iterations, 3-strikes divergence stop.
+
+    Returns (u, v, E, n, trace): ``trace[k]`` = E after the sweep with
+    n == 64 k (the E(n) telemetry cadence, OpticalFlow.cpp:261-265);
+    NaN past the stopping point."""
     sup_x = lambda_d * jnp.max(gx * gx) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
     sup_y = lambda_d * jnp.max(gy * gy) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
+    n_checks = max(-(-iter_max // 64), 1)
 
     def energy(u, v):
         center = geman_mcclure_rho(gx * u + gy * v + it, sigma_d)
@@ -206,11 +211,11 @@ def irls_gradient_method(
                        + lambda_s * _neighbor_energy(u, v, labels, sigma_s))
 
     def cond(carry):
-        u, v, E, Eprev, inc, n, stop = carry
+        u, v, E, Eprev, inc, n, stop, trace = carry
         return jnp.logical_and(n < iter_max, jnp.logical_not(stop))
 
     def body(carry):
-        u, v, E, Eprev, inc, n, _ = carry
+        u, v, E, Eprev, inc, n, _, trace = carry
         psi_d = geman_mcclure_psi(gx * u + gy * v + it, sigma_d)
         nx, ny = _neighbor_terms(u, v, labels, sigma_s)
         u = u - (lambda_d * gx * psi_d + lambda_s * nx) / sup_x
@@ -226,18 +231,22 @@ def irls_gradient_method(
         Eprev2, E2, inc2 = jax.lax.cond(
             do_check, check, lambda args: (args[3], args[2], args[4]),
             (u, v, E, Eprev, inc))
+        trace = jax.lax.cond(
+            do_check, lambda: trace.at[n >> 6].set(E2), lambda: trace)
         stop = jnp.logical_and(
             do_check,
             jnp.logical_or(E2 < error_min_threshold, inc2 > 3))
-        return u, v, E2, Eprev2, inc2, n + 1, stop
+        return u, v, E2, Eprev2, inc2, n + 1, stop, trace
 
     z_u = jnp.zeros_like(gx) if u0 is None else u0
     z_v = jnp.zeros_like(gx) if v0 is None else v0
     E0 = jnp.asarray(0.0, gx.dtype)
-    u, v, E, _, _, n, _ = jax.lax.while_loop(
+    trace0 = jnp.full((n_checks,), jnp.nan, gx.dtype)
+    u, v, E, _, _, n, _, trace = jax.lax.while_loop(
         cond, body,
-        (z_u, z_v, E0, E0, jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
-    return u, v, E, n
+        (z_u, z_v, E0, E0, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+         trace0))
+    return u, v, E, n, trace
 
 
 def gradient_method_flow(
@@ -265,10 +274,13 @@ def gradient_method_flow(
     gx, gy = gradient_method_grad(interest_lab[..., 0])
     it = gradient_method_dt(reference_lab[..., 0], interest_lab[..., 0],
                             mv_u, mv_v)
-    u, v, _, _ = irls_gradient_method(
+    u, v, _, _, trace = irls_gradient_method(
         gx, gy, it, jnp.asarray(labels),
         lambda_d, lambda_s, sigma_d, sigma_s,
         int(iter_max), error_min_threshold, u0, v0)
+    from tpuflow.solvers.black_anandan import _emit_energy_trace
+
+    _emit_energy_trace(0, trace)
     return u, v
 
 
