@@ -195,49 +195,61 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     best_d = cand[best].astype(dt)  # (n_regions, (dy, dx))
 
     if subpixel_scale > 1:
-        # Refine around the integer winner on a 1/subpixel grid via
-        # bilinear interpolation of the reference frame.
+        # Refine around the integer winner on a 1/subpixel grid. Every
+        # subpixel offset is a fraction in (-1, 1) around the *integer*
+        # winner, so all candidates' bilinear taps live in the same 3x3
+        # integer neighborhood: gather it ONCE (9 flat row-gathers shared
+        # by every candidate), build every candidate's moment fields, and
+        # reduce them all with a single permuted gather + range-sum pass
+        # — the same candidate-chunked scheme as the integer search
+        # (one gather/cumsum per candidate dominated this stage before).
         s = 1.0 / subpixel_scale
-        sub = jnp.stack(
-            jnp.meshgrid(jnp.arange(-(subpixel_scale - 1), subpixel_scale),
-                         jnp.arange(-(subpixel_scale - 1), subpixel_scale),
-                         indexing="ij"), -1).reshape(-1, 2).astype(dt) * s
+        sub_np = np.stack(
+            np.meshgrid(np.arange(-(subpixel_scale - 1), subpixel_scale),
+                        np.arange(-(subpixel_scale - 1), subpixel_scale),
+                        indexing="ij"), -1).reshape(-1, 2) * s  # (n_sub, 2)
+        n_sub = sub_np.shape[0]
         h, w = cur_lab.shape[:2]
-        xs = jnp.arange(w, dtype=dt)[None, :]
-        ys = jnp.arange(h, dtype=dt)[:, None]
-        dx_pix = best_d[labels][..., 1]  # (H, W)
-        dy_pix = best_d[labels][..., 0]
+        xs_i = jnp.arange(w, dtype=jnp.int32)[None, :]
+        ys_i = jnp.arange(h, dtype=jnp.int32)[:, None]
+        d_pix = best_d[labels]  # (H, W, (dy, dx)) integer-valued
+        x_base = xs_i + d_pix[..., 1].astype(jnp.int32)
+        y_base = ys_i + d_pix[..., 0].astype(jnp.int32)
+        ref_flat = ref_lab.reshape(h * w, -1)
+        n_ch = ref_flat.shape[-1]
 
-        def eval_sub(d):
-            fy = dy_pix + d[0]
-            fx = dx_pix + d[1]
-            qx = xs + fx
-            qy = ys + fy
-            x0 = jnp.floor(qx).astype(jnp.int32)
-            y0 = jnp.floor(qy).astype(jnp.int32)
-            wx = qx - x0
-            wy = qy - y0
+        def g(yy, xx):
+            yy = jnp.clip(yy, 0, h - 1)
+            xx = jnp.clip(xx, 0, w - 1)
+            return jnp.take(ref_flat, yy * w + xx, axis=0)
+
+        nb = {(jy, jx): g(y_base + jy, x_base + jx)
+              for jy in (-1, 0, 1) for jx in (-1, 0, 1)}  # (H, W, C) each
+
+        fields_all = []
+        for dy_f, dx_f in sub_np:
+            iy = int(np.floor(dy_f))  # -1 or 0
+            ix = int(np.floor(dx_f))
+            fx = float(dx_f - ix)
+            fy = float(dy_f - iy)
+            interp = ((1 - fx) * (1 - fy) * nb[(iy, ix)]
+                      + fx * (1 - fy) * nb[(iy, ix + 1)]
+                      + (1 - fx) * fy * nb[(iy + 1, ix)]
+                      + fx * fy * nb[(iy + 1, ix + 1)])
+            qx = x_base.astype(dt) + dx_f
+            qy = y_base.astype(dt) + dy_f
             valid = (qx >= 0) & (qx <= w - 1) & (qy >= 0) & (qy <= h - 1)
-
-            ref_flat = ref_lab.reshape(h * w, -1)
-
-            def g(yy, xx):
-                yy = jnp.clip(yy, 0, h - 1)
-                xx = jnp.clip(xx, 0, w - 1)
-                return jnp.take(ref_flat, yy * w + xx, axis=0)
-
-            interp = ((1 - wx)[..., None] * (1 - wy)[..., None] * g(y0, x0)
-                      + wx[..., None] * (1 - wy)[..., None] * g(y0, x0 + 1)
-                      + (1 - wx)[..., None] * wy[..., None] * g(y0 + 1, x0)
-                      + wx[..., None] * wy[..., None] * g(y0 + 1, x0 + 1))
-            mad, zncc, _ = _region_costs(cur_lab, interp, valid, perm,
-                                         bounds, n_regions)
-            return coeff_mad * mad - coeff_zncc * zncc
-
-        sub_costs = jax.lax.map(eval_sub, sub, batch_size=9)  # (n_sub, n_regions)
+            fields_all.append(_moment_fields(cur_lab, interp, valid))
+        f = jnp.stack(fields_all, axis=1).reshape(n_pix, n_sub * 7)
+        fs = jnp.take(f, perm, axis=0)
+        sums = _contiguous_range_sums(fs, bounds)      # (n_regions, n_sub*7)
+        sums = jnp.transpose(
+            sums.reshape(n_regions, n_sub, 7), (1, 0, 2))
+        mad, zncc, _ = _cost_from_sums(sums, dt)
+        sub_costs = coeff_mad * mad - coeff_zncc * zncc  # (n_sub, n_regions)
         sbest = jnp.argmin(sub_costs, axis=0)
         best_cost = jnp.take_along_axis(sub_costs, sbest[None, :], axis=0)[0]
-        best_d = best_d + sub[sbest]
+        best_d = best_d + jnp.asarray(sub_np, dt)[sbest]
 
     # (dx, dy) per region + per-pixel expansion.
     uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)

@@ -4,6 +4,7 @@ from tpuflow.dist.solvers import (  # noqa: F401
     horn_schunck_sharded,
     horn_schunck_sharded_fused,
     irls_level_sharded,
+    irls_level_sharded_fused,
 )
 from tpuflow.dist.pyramid import optical_flow_pyramid_sharded  # noqa: F401
 from tpuflow.dist.scaling import weak_scaling_report  # noqa: F401

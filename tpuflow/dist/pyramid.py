@@ -40,7 +40,7 @@ from tpuflow.solvers.black_anandan import (
     SIGMA_S_L0,
     irls_optical_flow_level,
 )
-from tpuflow.dist.solvers import irls_level_sharded
+from tpuflow.dist.solvers import irls_level_sharded, irls_level_sharded_fused
 
 
 def optical_flow_pyramid_sharded(
@@ -51,9 +51,19 @@ def optical_flow_pyramid_sharded(
     param: MultipleMotionParam | None = None,
     iter_scale: float = 1.0,
     iter_max: int = -1,
+    fuse: int = 0,
+    interpret: bool = False,
 ):
     """Multi-chip Black-Anandan coarse-to-fine flow. Returns (u, v)
-    sharded over the ("ty", "tx") mesh at full resolution."""
+    sharded over the ("ty", "tx") mesh at full resolution.
+
+    ``fuse > 0`` selects the production path: ``fuse`` sweeps per halo
+    exchange with Pallas tile bodies
+    (:func:`tpuflow.dist.solvers.irls_level_sharded_fused`) on every
+    level whose tiles fit the fused halo — identical descent, early-stop
+    checks at the :func:`tpuflow.solvers.black_anandan_fast` cadence.
+    ``fuse = 0`` exchanges a 1-px halo every iteration (the reference's
+    exact stopping semantics on every level)."""
     if param is None:
         param = MultipleMotionParam()
     ty, tx = mesh.devices.shape
@@ -91,7 +101,13 @@ def optical_flow_pyramid_sharded(
         if iter_max > 0:
             iters = min(iters, iter_max)
         z = jnp.zeros_like(it_l)
-        if h % ty == 0 and w % tx == 0 and h // ty >= 2 and w // tx >= 2:
+        if (fuse > 0 and h % ty == 0 and w % tx == 0
+                and h // ty > fuse and w // tx > fuse):
+            u_l, v_l = irls_level_sharded_fused(
+                z, z, gx, gy, it_l, mesh, LAMBDA_D, LAMBDA_S,
+                sigma_d, sigma_s, iters, param.error_min_threshold,
+                level == 0, fuse=fuse, interpret=interpret)
+        elif h % ty == 0 and w % tx == 0 and h // ty >= 2 and w // tx >= 2:
             u_l, v_l = irls_level_sharded(
                 z, z, gx, gy, it_l, mesh, LAMBDA_D, LAMBDA_S,
                 sigma_d, sigma_s, iters, param.error_min_threshold,

@@ -30,26 +30,37 @@ try:
     from jax import shard_map as _shard_map
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        # check_vma=False: the tile bodies contain pallas_calls whose
+        # out_shapes carry no varying-mesh-axes annotation.
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
     def shard_map(f, mesh, in_specs, out_specs):
         return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs)
+                              out_specs=out_specs, check_rep=False)
 
 from tpuflow.dist.halo import halo_pad_2d
 from tpuflow.solvers.horn_schunck import hs_gradients
 from tpuflow.solvers.mestimators import geman_mcclure_psi, geman_mcclure_rho
 
 
+def _mesh_on_tpu(mesh: Mesh) -> bool:
+    return mesh.devices.flat[0].platform == "tpu"
+
+
 def _box_valid(padded: jnp.ndarray, size: int) -> jnp.ndarray:
-    k = jnp.full((size, size), 1.0 / (size * size), dtype=padded.dtype)
-    out = lax.conv_general_dilated(
-        padded[None, None], k[None, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=padded.dtype)
-    return out[0, 0]
+    """Separable box *mean*, VALID region, as shifted adds (XLA's conv
+    lowering is pathologically slow on this TPU — CLAUDE.md perf rules)."""
+    h, w = padded.shape
+    rows = padded[0 : h - size + 1, :]
+    for d in range(1, size):
+        rows = rows + padded[d : h - size + 1 + d, :]
+    out = rows[:, 0 : w - size + 1]
+    for d in range(1, size):
+        out = out + rows[:, d : w - size + 1 + d]
+    return out * (1.0 / (size * size))
 
 
 def horn_schunck_sharded(
@@ -107,18 +118,31 @@ def horn_schunck_sharded_fused(
     max_iterations: int = 100,
     alpha: float = 1.0,
     fuse: int = 5,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
 ):
-    """Horn-Schunck with k sweeps per halo exchange.
+    """Horn-Schunck with k sweeps per halo exchange, Pallas tile bodies.
 
     Exchanges a (fuse * r)-wide halo once per block of ``fuse``
-    iterations and runs the sweeps on statically shrinking regions (the
-    same overlapped-tiling scheme as the Pallas kernel,
-    tpuflow/kernels/hs_stencil.py) — cutting ppermute latency count by
-    ``fuse`` while staying bitwise-equivalent Jacobi: an inside-image
-    mask from global tile coordinates re-zeroes u, v outside the frame
-    after every sweep, preserving BORDER_CONSTANT semantics through the
-    halo zone.
+    iterations (ppermute) and runs the sweeps on statically shrinking
+    regions. The sweep block itself is the SAME code as the single-chip
+    Pallas kernel (:func:`tpuflow.kernels.hs_stencil._hs_sweeps`): on TPU
+    meshes it runs as :func:`tpuflow.kernels.hs_tile_sweeps` — one
+    pallas_call per block with the whole halo'd tile in VMEM — so the
+    distributed path runs at kernel speed instead of XLA's pathological
+    stencil lowering (CLAUDE.md); elsewhere (CPU test meshes) the
+    identical jnp body runs directly (``use_pallas=None`` auto-detects;
+    ``interpret=True`` forces the Pallas kernel in interpret mode).
+    Bitwise-equivalent Jacobi: an inside-image mask from global tile
+    coordinates re-zeroes u, v outside the frame after every sweep,
+    preserving BORDER_CONSTANT semantics through the halo zone.
     """
+    from tpuflow.kernels.hs_stencil import (
+        _hs_sweeps,
+        _inside_mask,
+        hs_tile_sweeps,
+    )
+
     h, w = prev.shape
     ty, tx = mesh.devices.shape
     if h % ty or w % tx:
@@ -131,6 +155,8 @@ def horn_schunck_sharded_fused(
     halo = fuse * r
     if h // ty <= halo or w // tx <= halo:
         raise ValueError("tile smaller than the fused halo; lower fuse")
+    if use_pallas is None:
+        use_pallas = _mesh_on_tpu(mesh) or interpret
 
     gx, gy, gt = jax.jit(hs_gradients)(prev, next)
     n_blocks, rem = divmod(max_iterations, fuse)
@@ -149,26 +175,16 @@ def horn_schunck_sharded_fused(
             gy_p = halo_pad_2d(gy_t, hk)
             gt_p = halo_pad_2d(gt_t, hk)
             inv_p = halo_pad_2d(inv_denom, hk)
-            hh = th + 2 * hk
-            hw = tw + 2 * hk
-            # Global image coords of each halo'd-local cell.
-            xg = ix * tw + jnp.arange(hw)[None, :] - hk
-            yg = iy * th + jnp.arange(hh)[:, None] - hk
-            mask = ((xg >= 0) & (xg < w) & (yg >= 0)
-                    & (yg < h)).astype(u.dtype)
-            uu = u_p * mask
-            vv = v_p * mask
-            for t in range(k):
-                o = r * (t + 1)
-                sh = hh - 2 * o
-                sw = hw - 2 * o
-                ub = _box_shrink(uu, window_size)
-                vb = _box_shrink(vv, window_size)
-                c = (slice(o, o + sh), slice(o, o + sw))
-                upd = (gx_p[c] * ub + gy_p[c] * vb + gt_p[c]) * inv_p[c]
-                uu = (ub - gx_p[c] * upd) * mask[c]
-                vv = (vb - gy_p[c] * upd) * mask[c]
-            return uu, vv
+            row0 = iy * th - hk
+            col0 = ix * tw - hk
+            if use_pallas:
+                return hs_tile_sweeps(u_p, v_p, gx_p, gy_p, gt_p, inv_p,
+                                      row0, col0, h, w, window_size, k,
+                                      interpret=interpret)
+            mask = _inside_mask(row0, col0, th + 2 * hk, tw + 2 * hk,
+                                h, w, u.dtype)
+            return _hs_sweeps(u_p * mask, v_p * mask, gx_p, gy_p, gt_p,
+                              inv_p, mask, window_size, k)
 
         u = jnp.zeros_like(gt_t)
         v = jnp.zeros_like(gt_t)
@@ -182,18 +198,6 @@ def horn_schunck_sharded_fused(
     f = jax.jit(shard_map(tile_body, mesh, in_specs=(spec, spec, spec),
                           out_specs=(spec, spec)))
     return f(gx, gy, gt)
-
-
-def _box_shrink(a: jnp.ndarray, taps: int) -> jnp.ndarray:
-    """Separable box *mean* over taps x taps; output shrinks by taps-1."""
-    h, w = a.shape
-    rows = a[0 : h - taps + 1, :]
-    for d in range(1, taps):
-        rows = rows + a[d : h - taps + 1 + d, :]
-    out = rows[:, 0 : w - taps + 1]
-    for d in range(1, taps):
-        out = out + rows[:, d : w - taps + 1 + d]
-    return out / (taps * taps)
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +301,129 @@ def irls_level_sharded(
         u, v, E, _, n, _ = lax.while_loop(
             cond, body,
             (u0_t, v0_t, E0, jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
+        return u, v
+
+    f = jax.jit(shard_map(tile_body, mesh, in_specs=(spec,) * 5,
+                          out_specs=(spec, spec)))
+    return f(*args)
+
+
+def irls_level_sharded_fused(
+    u0, v0, gx, gy, it, mesh: Mesh,
+    lambda_d: float, lambda_s: float, sigma_d: float, sigma_s: float,
+    iter_max: int, error_min_threshold: float, is_level0: bool,
+    fuse: int = 16,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+):
+    """Distributed IRLS level with ``fuse`` sweeps per halo exchange and
+    Pallas tile bodies — the multi-chip analogue of
+    :func:`tpuflow.solvers.black_anandan_fast.irls_level_fast`.
+
+    Each block exchanges a ``fuse``-wide halo once (ppermute) and runs
+    ``fuse`` Jacobi sweeps on statically shrinking regions — the same
+    code as the single-chip kernel
+    (:func:`tpuflow.kernels.irls_stencil._irls_sweeps`; as a pallas_call
+    on TPU meshes, plain jnp elsewhere). The energy stop test (psum) runs
+    between blocks at the fast-path cadence: every 64 iterations at
+    level 0 (the reference's exact cadence, OpticalFlow.cpp:248), every
+    ``fuse`` above (coarser early-stop, identical descent). ppermute
+    latency count drops by ``fuse`` vs :func:`irls_level_sharded`.
+    """
+    from tpuflow.kernels.irls_stencil import (
+        _irls_sweeps,
+        _nb_masks,
+        irls_tile_sweeps,
+    )
+
+    h, w = gx.shape
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    if h // ty <= fuse or w // tx <= fuse:
+        raise ValueError("tile smaller than the fused halo; lower fuse")
+    if use_pallas is None:
+        use_pallas = _mesh_on_tpu(mesh) or interpret
+    spec = P("ty", "tx")
+    sharding = NamedSharding(mesh, spec)
+    args = [jax.device_put(a, sharding) for a in (u0, v0, gx, gy, it)]
+    check_every = 64 if is_level0 else fuse
+    blocks_per_check = max(check_every // fuse, 1)
+    n_blocks = -(-iter_max // fuse)
+
+    def tile_body(u0_t, v0_t, gx_t, gy_t, it_t):
+        th, tw = gx_t.shape
+        iy = lax.axis_index("ty")
+        ix = lax.axis_index("tx")
+        xg = ix * tw + jnp.arange(tw)[None, :]
+        yg = iy * th + jnp.arange(th)[:, None]
+        mask_l = jnp.broadcast_to(xg > 0, (th, tw))
+        mask_r = jnp.broadcast_to(xg < w - 1, (th, tw))
+        mask_t = jnp.broadcast_to(yg > 0, (th, tw))
+        mask_b = jnp.broadcast_to(yg < h - 1, (th, tw))
+
+        sup_x = (lambda_d * lax.pmax(lax.pmax(jnp.max(gx_t * gx_t), "tx"), "ty")
+                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
+        sup_y = (lambda_d * lax.pmax(lax.pmax(jnp.max(gy_t * gy_t), "tx"), "ty")
+                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
+
+        def energy(u, v):
+            u_p = halo_pad_2d(u, 1)
+            v_p = halo_pad_2d(v, 1)
+            nx, ny = _neighbor_terms(u_p, v_p, u, v, sigma_s,
+                                     mask_l, mask_r, mask_t, mask_b,
+                                     geman_mcclure_rho)
+            center = geman_mcclure_rho(gx_t * u + gy_t * v + it_t, sigma_d)
+            local = jnp.sum(lambda_d * center + lambda_s * (nx + ny))
+            return lax.psum(lax.psum(local, "tx"), "ty")
+
+        def sweep_block(u, v):
+            u_p = halo_pad_2d(u, fuse)
+            v_p = halo_pad_2d(v, fuse)
+            gx_p = halo_pad_2d(gx_t, fuse)
+            gy_p = halo_pad_2d(gy_t, fuse)
+            it_p = halo_pad_2d(it_t, fuse)
+            row0 = iy * th - fuse
+            col0 = ix * tw - fuse
+            if use_pallas:
+                return irls_tile_sweeps(
+                    u_p, v_p, gx_p, gy_p, it_p, sup_x, sup_y, row0, col0,
+                    h, w, fuse, lambda_d, lambda_s, sigma_d, sigma_s,
+                    interpret=interpret)
+            nb = _nb_masks(row0, col0, th + 2 * fuse, tw + 2 * fuse,
+                           h, w, u.dtype)
+            return _irls_sweeps(u_p, v_p, gx_p, gy_p, it_p, nb,
+                                sup_x, sup_y, fuse,
+                                lambda_d, lambda_s, sigma_d, sigma_s)
+
+        def cond(carry):
+            u, v, E, inc, b, stop = carry
+            return jnp.logical_and(b < n_blocks, jnp.logical_not(stop))
+
+        def body(carry):
+            u, v, E, inc, b, _ = carry
+            u, v = sweep_block(u, v)
+            do_check = (b % blocks_per_check) == (blocks_per_check - 1)
+
+            def check(args):
+                u, v, E, inc = args
+                E_new = energy(u, v)
+                inc_new = jnp.where(E_new > E, inc + 1, 0) \
+                    if not is_level0 else inc
+                return E_new, inc_new
+
+            E_new, inc_new = lax.cond(
+                do_check, check, lambda args: (args[2], args[3]),
+                (u, v, E, inc))
+            stop = jnp.logical_and(
+                do_check,
+                jnp.logical_or(E_new < error_min_threshold, inc_new > 3))
+            return u, v, E_new, inc_new, b + 1, stop
+
+        E0 = jnp.asarray(0.0, u0_t.dtype)
+        u, v, E, _, b, _ = lax.while_loop(
+            cond, body, (u0_t, v0_t, E0, jnp.int32(0), jnp.int32(0),
+                         jnp.bool_(False)))
         return u, v
 
     f = jax.jit(shard_map(tile_body, mesh, in_specs=(spec,) * 5,

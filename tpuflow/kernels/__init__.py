@@ -14,6 +14,11 @@ deep enough that no stale value is ever read).
 from tpuflow.kernels.hs_stencil import (  # noqa: F401
     horn_schunck_pallas,
     horn_schunck_pallas_resident,
+    horn_schunck_pallas_resident2,
+    hs_tile_sweeps,
 )
-from tpuflow.kernels.irls_stencil import irls_sweep_pallas  # noqa: F401
+from tpuflow.kernels.irls_stencil import (  # noqa: F401
+    irls_sweep_pallas,
+    irls_tile_sweeps,
+)
 from tpuflow.kernels.sepconv import sep_conv2d_valid_pallas  # noqa: F401

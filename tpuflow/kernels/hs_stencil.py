@@ -51,6 +51,45 @@ def _box_valid(a: jnp.ndarray, taps: int) -> jnp.ndarray:
     return out
 
 
+def _hs_sweeps(u, v, gxa, gya, gta, inva, mask_full, window: int,
+               fuse: int):
+    """``fuse`` Jacobi sweeps on a halo'd tile with statically shrinking
+    valid regions; ``mask_full`` re-zeroes u, v outside the frame after
+    every sweep (BORDER_CONSTANT). Inputs are (hh, hw); returns the
+    (hh - 2*fuse*r, hw - 2*fuse*r) core."""
+    hh, hw = u.shape
+    r = window // 2
+    inv_area = jnp.asarray(1.0 / (window * window), u.dtype)
+    for t in range(fuse):
+        o = r * (t + 1)
+        sh = hh - 2 * r * (t + 1)
+        sw = hw - 2 * r * (t + 1)
+        ub = _box_valid(u, window) * inv_area
+        vb = _box_valid(v, window) * inv_area
+        gxc = gxa[o : o + sh, o : o + sw]
+        gyc = gya[o : o + sh, o : o + sw]
+        gtc = gta[o : o + sh, o : o + sw]
+        invc = inva[o : o + sh, o : o + sw]
+        mc = mask_full[o : o + sh, o : o + sw]
+        upd = (gxc * ub + gyc * vb + gtc) * invc
+        u = (ub - gxc * upd) * mc
+        v = (vb - gyc * upd) * mc
+    return u, v
+
+
+def _inside_mask(row0, col0, ch: int, cw: int, img_h: int, img_w: int,
+                 dtype):
+    """Float inside-image mask for a tile whose local (0, 0) sits at
+    global (row0, col0). Materialized as FLOAT (Mosaic crashes on strided
+    slices of int32 iota values — slice the float mask instead)."""
+    ly = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
+    lx = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
+    gy_img = row0 + ly
+    gx_img = col0 + lx
+    return ((gy_img >= 0) & (gy_img < img_h)
+            & (gx_img >= 0) & (gx_img < img_w)).astype(dtype)
+
+
 def _hs_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
                uo_ref, vo_ref,
                us, vs, gxs, gys, gts, invs, sems,
@@ -87,42 +126,64 @@ def _hs_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
     # Inside-image mask in cropped tile coords: image pixel (y, x) lives
     # at padded (y + halo), so cropped-local row l maps to image row
     # row0 + l - need.
-    ly = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
-    lx = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
-    gy_img = row0 + ly - need
-    gx_img = col0 + lx - need
-    mask_full = ((gy_img >= 0) & (gy_img < img_h)
-                 & (gx_img >= 0) & (gx_img < img_w)).astype(us.dtype)
+    mask_full = _inside_mask(row0 - need, col0 - need, ch, cw,
+                             img_h, img_w, us.dtype)
 
-    r = window // 2
-    inv_area = jnp.asarray(1.0 / (window * window), us.dtype)
     u = us[crop] * mask_full  # halo beyond the frame must read as zero
     v = vs[crop] * mask_full
-    gxa = gxs[crop]
-    gya = gys[crop]
-    gta = gts[crop]
-    inva = invs[crop]
-    hh = ch
-    hw = cw
-
-    for t in range(fuse):
-        # Current arrays have size (hh - 2rt, hw - 2rt) at offset rt.
-        o = r * (t + 1)
-        sh = hh - 2 * r * (t + 1)
-        sw = hw - 2 * r * (t + 1)
-        ub = _box_valid(u, window) * inv_area
-        vb = _box_valid(v, window) * inv_area
-        gxc = gxa[o : o + sh, o : o + sw]
-        gyc = gya[o : o + sh, o : o + sw]
-        gtc = gta[o : o + sh, o : o + sw]
-        invc = inva[o : o + sh, o : o + sw]
-        mc = mask_full[o : o + sh, o : o + sw]
-        upd = (gxc * ub + gyc * vb + gtc) * invc
-        u = (ub - gxc * upd) * mc
-        v = (vb - gyc * upd) * mc
-
+    u, v = _hs_sweeps(u, v, gxs[crop], gys[crop], gts[crop], invs[crop],
+                      mask_full, window, fuse)
     uo_ref[:] = u
     vo_ref[:] = v
+
+
+def _hs_tile_kernel(row0_ref, col0_ref, u_ref, v_ref, gx_ref, gy_ref,
+                    gt_ref, inv_ref, uo_ref, vo_ref,
+                    *, window: int, fuse: int, img_h: int, img_w: int):
+    """Single-tile fused sweep for the shard_map distributed path: the
+    whole halo'd tile arrives in VMEM (halos already exchanged by
+    ppermute outside), global tile origin arrives as SMEM scalars."""
+    row0 = row0_ref[0, 0]
+    col0 = col0_ref[0, 0]
+    ch, cw = u_ref.shape
+    mask_full = _inside_mask(row0, col0, ch, cw, img_h, img_w, u_ref.dtype)
+    u = u_ref[:] * mask_full
+    v = v_ref[:] * mask_full
+    u, v = _hs_sweeps(u, v, gx_ref[:], gy_ref[:], gt_ref[:], inv_ref[:],
+                      mask_full, window, fuse)
+    uo_ref[:] = u
+    vo_ref[:] = v
+
+
+def hs_tile_sweeps(u_p, v_p, gx_p, gy_p, gt_p, inv_p, row0, col0,
+                   img_h: int, img_w: int, window: int, fuse: int,
+                   interpret: bool = False):
+    """Run ``fuse`` fused HS sweeps on one halo'd tile (the Pallas body
+    of the distributed solver, tpuflow/dist/solvers.py). Inputs are
+    (th + 2*fuse*r, tw + 2*fuse*r) with halos already exchanged;
+    ``row0``/``col0`` are the *global* image coordinates of ``u_p[0, 0]``
+    (may be traced scalars — e.g. built from lax.axis_index). Returns the
+    (th, tw) core after ``fuse`` sweeps."""
+    hh, hw = u_p.shape
+    r = window // 2
+    need = fuse * r
+    dt = u_p.dtype
+    kern = functools.partial(_hs_tile_kernel, window=window, fuse=fuse,
+                             img_h=img_h, img_w=img_w)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        in_specs=[smem, smem] + [vspec] * 6,
+        out_specs=(vspec, vspec),
+        out_shape=(jax.ShapeDtypeStruct((hh - 2 * need, hw - 2 * need), dt),
+                   jax.ShapeDtypeStruct((hh - 2 * need, hw - 2 * need), dt)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(row0, jnp.int32).reshape(1, 1),
+      jnp.asarray(col0, jnp.int32).reshape(1, 1),
+      u_p, v_p, gx_p, gy_p, gt_p, inv_p)
 
 
 def _hs_resident_kernel(gx_ref, gy_ref, gt_ref, uo_ref, vo_ref,
@@ -210,6 +271,85 @@ def horn_schunck_pallas_resident(
         interpret=interpret,
     )(gx, gy, gt)
     return u, v
+
+
+def _hs_resident2_kernel(gx_ref, gy_ref, gt_ref, up_ref, vp_ref,
+                         inv_ref, *, window: int, iterations: int,
+                         img_h: int, img_w: int, alpha: float):
+    """Whole-frame VMEM-resident solve, v2: u and v live in r-padded
+    output buffers whose zero halo doubles as the BORDER_CONSTANT ring,
+    so each iteration is pure shifted-adds on static slices — no
+    per-iteration zero-concat materialization (the v1 kernel rebuilt a
+    padded copy of each field twice per sweep). The denominator
+    reciprocal is precomputed once into scratch."""
+    r = window // 2
+    h, w = img_h, img_w
+    inv_area = 1.0 / (window * window)
+    gx = gx_ref[:]
+    gy = gy_ref[:]
+    gt = gt_ref[:]
+    inv_ref[:] = 1.0 / (alpha * alpha + gx * gx + gy * gy)
+    up_ref[:] = jnp.zeros((h + 2 * r, w + 2 * r), gx.dtype)
+    vp_ref[:] = jnp.zeros((h + 2 * r, w + 2 * r), gx.dtype)
+
+    def box(pad):
+        # pad: (h + 2r, w + 2r) with a zero ring -> (h, w) box mean.
+        rows = pad[0:h, :]
+        for d in range(1, window):
+            rows = rows + pad[d : d + h, :]
+        out = rows[:, 0:w]
+        for d in range(1, window):
+            out = out + rows[:, d : d + w]
+        return out * inv_area
+
+    def body(_, carry):
+        ub = box(up_ref[:])
+        vb = box(vp_ref[:])
+        upd = (gx * ub + gy * vb + gt) * inv_ref[:]
+        up_ref[r : r + h, r : r + w] = ub - gx * upd
+        vp_ref[r : r + h, r : r + w] = vb - gy * upd
+        return carry
+
+    jax.lax.fori_loop(0, iterations, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window_size", "max_iterations",
+                                    "alpha", "interpret"))
+def horn_schunck_pallas_resident2(
+    prev: jnp.ndarray,
+    next: jnp.ndarray,
+    window_size: int = 5,
+    max_iterations: int = 100,
+    alpha: float = 1.0,
+    interpret: bool = False,
+):
+    """VMEM-resident Horn-Schunck v2 (see :func:`_hs_resident2_kernel`).
+    Same contract as :func:`horn_schunck_pallas_resident`."""
+    from tpuflow.solvers.horn_schunck import hs_gradients
+
+    gx, gy, gt = hs_gradients(prev, next)
+    dt = gx.dtype
+    h, w = prev.shape
+    r = window_size // 2
+
+    kern = functools.partial(_hs_resident2_kernel, window=window_size,
+                             iterations=max_iterations, img_h=h, img_w=w,
+                             alpha=float(alpha))
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hp2, wp2 = h + 2 * r, w + 2 * r
+    up, vp = pl.pallas_call(
+        kern,
+        in_specs=[vspec] * 3,
+        out_specs=(vspec, vspec),
+        out_shape=(jax.ShapeDtypeStruct((hp2, wp2), dt),
+                   jax.ShapeDtypeStruct((hp2, wp2), dt)),
+        scratch_shapes=[pltpu.VMEM((h, w), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(127.75 * 1024 * 1024)),
+        interpret=interpret,
+    )(gx, gy, gt)
+    return up[r : r + h, r : r + w], vp[r : r + h, r : r + w]
 
 
 @functools.partial(

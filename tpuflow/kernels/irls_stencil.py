@@ -43,6 +43,57 @@ def _psi_gm(x, sigma):
     return 2.0 * x * sigma / (d * d)
 
 
+def _nb_masks(row0, col0, ch: int, cw: int, img_h: int, img_w: int, dt):
+    """Neighbor-validity masks from global coords, materialized as FLOAT
+    arrays (Mosaic crashes on strided slices of int32 iota values —
+    slice the float masks instead)."""
+    ly = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
+    lx = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
+    gy_img = row0 + ly
+    gx_img = col0 + lx
+    masks = {}
+    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        nb_ok = ((gy_img + dy >= 0) & (gy_img + dy < img_h)
+                 & (gx_img + dx >= 0) & (gx_img + dx < img_w))
+        masks[(dx, dy)] = nb_ok.astype(dt)
+    return masks
+
+
+def _irls_sweeps(u, v, gxa, gya, ita, nb_masks, sup_x, sup_y, fuse: int,
+                 lambda_d: float, lambda_s: float,
+                 sigma_d: float, sigma_s: float):
+    """``fuse`` IRLS Jacobi sweeps on a halo'd tile with statically
+    shrinking valid regions (stencil radius 1). Inputs (hh, hw); returns
+    the (hh - 2*fuse, hw - 2*fuse) core."""
+    hh, hw = u.shape
+    sd = sigma_d
+    ss = sigma_s
+    for t in range(fuse):
+        s_h = hh - 2 * t
+        s_w = hw - 2 * t
+        # Center crop (one ring smaller).
+        ctr = (slice(1, s_h - 1), slice(1, s_w - 1))
+        uc = u[ctr]
+        vc = v[ctr]
+        o = t + 1
+        gxc = gxa[o : o + s_h - 2, o : o + s_w - 2]
+        gyc = gya[o : o + s_h - 2, o : o + s_w - 2]
+        itc = ita[o : o + s_h - 2, o : o + s_w - 2]
+
+        psi_d = _psi_gm(gxc * uc + gyc * vc + itc, sd)
+        nx = jnp.zeros_like(uc)
+        ny = jnp.zeros_like(vc)
+        for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            un = u[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
+            vn = v[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
+            m = nb_masks[(dx, dy)][o : o + s_h - 2, o : o + s_w - 2]
+            nx = nx + m * _psi_gm(uc - un, ss)
+            ny = ny + m * _psi_gm(vc - vn, ss)
+        u = uc - (lambda_d * gxc * psi_d + lambda_s * nx) / sup_x
+        v = vc - (lambda_d * gyc * psi_d + lambda_s * ny) / sup_y
+    return u, v
+
+
 def _irls_kernel(supx_ref, supy_ref,
                  u_hbm, v_hbm, gx_hbm, gy_hbm, it_hbm,
                  uo_ref, vo_ref,
@@ -85,54 +136,66 @@ def _irls_kernel(supx_ref, supy_ref,
 
     # Global image coords of every cropped-local cell (image pixel (y, x)
     # sits at padded (y + halo); cropped l -> image row row0 + l - need).
-    # The neighbor-validity masks are materialized as FLOAT arrays here and
-    # sliced per iteration below: Mosaic crashes on strided slices of i32
-    # iota values (vector_extract_strided_slice internal check), while
-    # float slices lower fine.
-    ly = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
-    lx = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
-    gy_img = row0 + ly - need
-    gx_img = col0 + lx - need
-    nb_masks = {}
-    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        nb_ok = ((gy_img + dy >= 0) & (gy_img + dy < img_h)
-                 & (gx_img + dx >= 0) & (gx_img + dx < img_w))
-        nb_masks[(dx, dy)] = nb_ok.astype(dt)
+    nb_masks = _nb_masks(row0 - need, col0 - need, ch, cw, img_h, img_w, dt)
 
-    u = us[crop]
-    v = vs[crop]
-    gxa = gxs[crop]
-    gya = gys[crop]
-    ita = its[crop]
-    hh = ch
-    hw = cw
-
-    for t in range(fuse):
-        s_h = hh - 2 * t
-        s_w = hw - 2 * t
-        # Center crop (one ring smaller).
-        ctr = (slice(1, s_h - 1), slice(1, s_w - 1))
-        uc = u[ctr]
-        vc = v[ctr]
-        o = t + 1
-        gxc = gxa[o : o + s_h - 2, o : o + s_w - 2]
-        gyc = gya[o : o + s_h - 2, o : o + s_w - 2]
-        itc = ita[o : o + s_h - 2, o : o + s_w - 2]
-
-        psi_d = _psi_gm(gxc * uc + gyc * vc + itc, sd)
-        nx = jnp.zeros_like(uc)
-        ny = jnp.zeros_like(vc)
-        for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            un = u[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
-            vn = v[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
-            m = nb_masks[(dx, dy)][o : o + s_h - 2, o : o + s_w - 2]
-            nx = nx + m * _psi_gm(uc - un, ss)
-            ny = ny + m * _psi_gm(vc - vn, ss)
-        u = uc - (lambda_d * gxc * psi_d + lambda_s * nx) / sup_x
-        v = vc - (lambda_d * gyc * psi_d + lambda_s * ny) / sup_y
-
+    u, v = _irls_sweeps(us[crop], vs[crop], gxs[crop], gys[crop], its[crop],
+                        nb_masks, sup_x, sup_y, fuse,
+                        lambda_d, lambda_s, sd, ss)
     uo_ref[:] = u
     vo_ref[:] = v
+
+
+def _irls_tile_kernel(supx_ref, supy_ref, row0_ref, col0_ref,
+                      u_ref, v_ref, gx_ref, gy_ref, it_ref,
+                      uo_ref, vo_ref,
+                      *, fuse: int, img_h: int, img_w: int,
+                      lambda_d: float, lambda_s: float,
+                      sigma_d: float, sigma_s: float):
+    """Single-tile fused IRLS sweep for the shard_map distributed path
+    (halos already exchanged outside; tile origin as SMEM scalars)."""
+    row0 = row0_ref[0, 0]
+    col0 = col0_ref[0, 0]
+    ch, cw = u_ref.shape
+    nb_masks = _nb_masks(row0, col0, ch, cw, img_h, img_w, u_ref.dtype)
+    u, v = _irls_sweeps(u_ref[:], v_ref[:], gx_ref[:], gy_ref[:], it_ref[:],
+                        nb_masks, supx_ref[0, 0], supy_ref[0, 0], fuse,
+                        lambda_d, lambda_s, sigma_d, sigma_s)
+    uo_ref[:] = u
+    vo_ref[:] = v
+
+
+def irls_tile_sweeps(u_p, v_p, gx_p, gy_p, it_p, sup_x, sup_y, row0, col0,
+                     img_h: int, img_w: int, fuse: int,
+                     lambda_d: float, lambda_s: float,
+                     sigma_d: float, sigma_s: float,
+                     interpret: bool = False):
+    """Run ``fuse`` fused IRLS sweeps on one halo'd tile (the Pallas body
+    of tpuflow.dist.solvers.irls_level_sharded_fused). Inputs are
+    (th + 2*fuse, tw + 2*fuse) with halos already exchanged; ``row0``/
+    ``col0`` are the global image coords of ``u_p[0, 0]`` (traced scalars
+    allowed). Returns the (th, tw) core."""
+    hh, hw = u_p.shape
+    dt = u_p.dtype
+    kern = functools.partial(
+        _irls_tile_kernel, fuse=fuse, img_h=img_h, img_w=img_w,
+        lambda_d=float(lambda_d), lambda_s=float(lambda_s),
+        sigma_d=float(sigma_d), sigma_s=float(sigma_s))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        in_specs=[smem] * 4 + [vspec] * 5,
+        out_specs=(vspec, vspec),
+        out_shape=(jax.ShapeDtypeStruct((hh - 2 * fuse, hw - 2 * fuse), dt),
+                   jax.ShapeDtypeStruct((hh - 2 * fuse, hw - 2 * fuse), dt)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(sup_x, dt).reshape(1, 1),
+      jnp.asarray(sup_y, dt).reshape(1, 1),
+      jnp.asarray(row0, jnp.int32).reshape(1, 1),
+      jnp.asarray(col0, jnp.int32).reshape(1, 1),
+      u_p, v_p, gx_p, gy_p, it_p)
 
 
 @functools.partial(
