@@ -1,112 +1,245 @@
-"""Headline benchmark: dense 1080p Horn-Schunck flow, frames/s on one chip.
+"""Framework benchmark: one JSON line per headline workload.
 
-The reference publishes no numbers (BASELINE.md); the baseline is the same
-algorithm executed by OpenCV's optimized C++ on the host CPU (filter2D
-box average + pointwise update, double precision exactly like the demo,
-HornSchunckOF/hornSchunck.cpp:43-75). vs_baseline = TPU fps / CPU fps.
+The reference publishes no numbers (BASELINE.md); where an OpenCV-CPU
+equivalent of the same math exists it is the baseline
+(vs_baseline = TPU/CPU), otherwise vs_baseline is null.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Workloads (reference budget citations in each runner):
+- dense 1080p Horn-Schunck, 100 iters, 5x5 (HornSchunckOF/main.cpp:94-96)
+- dense Farneback, streaming config (0.4,1,48,2,8,1.2) at 1080p
+  (VideoDenseOF/DenseFlow.cpp:37)
+- Black-Anandan fused coarse-to-fine at KITTI res (1242x375)
+  (OpticalFlow/OpticalFlow.cpp:131 budget, capped per level)
+- flagship segmentation-BM driver steady state at KITTI res, full
+  reference defaults (OpticalFlow_BlockMatching.cpp:32-33)
+- 1-device weak-scaling row (tpuflow.dist.scaling harness)
+
+The LAST line is the headline HS metric (driver compatibility). Timing:
+amortize queued dispatches, end with a device-to-host fetch
+(block_until_ready alone can return early through the axon tunnel),
+best-of-3 windows against tunnel variance.
 """
 
 from __future__ import annotations
 
 import json
 import time
+import traceback
 
 import numpy as np
 
 H, W = 1080, 1920
+KH, KW = 376, 1240  # KITTI-style frame size (375 rounded to sublane 8)
 ITERS = 100
 WINDOW = 5
 ALPHA = 1.0
 
 
-def bench_tpu(prev: np.ndarray, nxt: np.ndarray, repeats: int = 5) -> float:
+def emit(metric, value, unit, vs_baseline=None):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 3),
+        "unit": unit,
+        "vs_baseline": (round(float(vs_baseline), 3)
+                        if vs_baseline is not None
+                        and np.isfinite(vs_baseline) else None),
+    }), flush=True)
+
+
+def timed(run, repeats=20, windows=3):
     import jax
-    import jax.numpy as jnp
 
-    p = jnp.asarray(prev, dtype=jnp.float32)
-    n = jnp.asarray(nxt, dtype=jnp.float32)
-
-    on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu:
-        # Production path: the fused Pallas stencil kernel (10 Jacobi
-        # iterations per HBM round-trip; ~90x the one-XLA-op-per-iteration
-        # formulation on v5e).
-        from tpuflow.kernels import horn_schunck_pallas
-
-        def run():
-            return horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA,
-                                       tile_h=128, tile_w=1024, fuse=10)
-    else:
-        from tpuflow.solvers import horn_schunck
-
-        def run():
-            return horn_schunck(p, n, WINDOW, ITERS, ALPHA)
-
-    # Warmup / compile.
-    u, v = run()
-    jax.block_until_ready((u, v))
-    np.asarray(u)
-    # Amortized timing over a long queue; end with a device-to-host value
-    # fetch — on the tunneled axon backend block_until_ready can return
-    # before execution completes, a fetch cannot. The shared tunnel has
-    # high run-to-run variance, so take the best of several windows.
-    repeats = max(repeats, 20)
-    best_dt = float("inf")
-    for _ in range(3):
+    out = run()
+    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    best = float("inf")
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(repeats):
-            u, v = run()
-        jax.block_until_ready((u, v))
-        np.asarray(u)
-        best_dt = min(best_dt, (time.perf_counter() - t0) / repeats)
-    return 1.0 / best_dt
+            out = run()
+        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        best = min(best, (time.perf_counter() - t0) / repeats)
+    return best
 
 
-def bench_cpu_opencv(prev: np.ndarray, nxt: np.ndarray,
-                     sample_iters: int = 10) -> float:
-    """The reference demo's math via OpenCV C++ (double precision)."""
-    import cv2
-
-    prev = prev.astype(np.float64)
-    nxt = nxt.astype(np.float64)
-    gx = cv2.Sobel(prev, -1, 1, 0, ksize=3)
-    gy = cv2.Sobel(prev, -1, 0, 1, ksize=3)
-    gt = nxt - prev
-    denom = ALPHA**2 + gx * gx + gy * gy
-    k = np.ones((WINDOW, WINDOW), np.float64) / WINDOW**2
-    u = np.zeros_like(gt)
-    v = np.zeros_like(gt)
-    t0 = time.perf_counter()
-    for _ in range(sample_iters):
-        ub = cv2.filter2D(u, -1, k, borderType=cv2.BORDER_CONSTANT)
-        vb = cv2.filter2D(v, -1, k, borderType=cv2.BORDER_CONSTANT)
-        upd = (gx * ub + gy * vb + gt) / denom
-        u = ub - gx * upd
-        v = vb - gy * upd
-    dt = (time.perf_counter() - t0) / sample_iters * ITERS
-    return 1.0 / dt
-
-
-def main() -> None:
+def _frames_1080p():
     rng = np.random.default_rng(0)
     prev = rng.uniform(0, 255, (H, W))
     nxt = np.roll(prev, 2, axis=1) + rng.normal(0, 1, (H, W))
+    return prev, nxt
 
-    fps_tpu = bench_tpu(prev, nxt)
+
+def _frames_kitti():
+    rng = np.random.default_rng(1)
+    from scipy.ndimage import gaussian_filter
+
+    base = gaussian_filter(rng.uniform(0, 255, (KH + 8, KW + 8)), 2.0)
+    return base[:KH, :KW].copy(), base[4 : 4 + KH, 2 : 2 + KW].copy()
+
+
+def bench_horn_schunck(on_tpu):
+    prev, nxt = _frames_1080p()
+    import jax.numpy as jnp
+
+    p = jnp.asarray(prev, jnp.float32)
+    n = jnp.asarray(nxt, jnp.float32)
+    if on_tpu:
+        from tpuflow.kernels import horn_schunck_pallas
+
+        dt = timed(lambda: horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA,
+                                               tile_h=128, tile_w=1024,
+                                               fuse=10))
+    else:
+        from tpuflow.solvers import horn_schunck
+
+        dt = timed(lambda: horn_schunck(p, n, WINDOW, ITERS, ALPHA),
+                   repeats=3, windows=1)
+
+    vs = None
     try:
-        fps_cpu = bench_cpu_opencv(prev, nxt)
-        vs = fps_tpu / fps_cpu
-    except Exception:
-        vs = float("nan")
+        import cv2
 
-    print(json.dumps({
-        "metric": "hs_dense_1080p_fps",
-        "value": round(fps_tpu, 3),
-        "unit": "frames/s/chip (100-iter 5x5 Horn-Schunck, f32)",
-        "vs_baseline": round(vs, 3),
-    }))
+        pd = prev.astype(np.float64)
+        nd = nxt.astype(np.float64)
+        gx = cv2.Sobel(pd, -1, 1, 0, ksize=3)
+        gy = cv2.Sobel(pd, -1, 0, 1, ksize=3)
+        gt = nd - pd
+        denom = ALPHA**2 + gx * gx + gy * gy
+        k = np.ones((WINDOW, WINDOW), np.float64) / WINDOW**2
+        u = np.zeros_like(gt)
+        v = np.zeros_like(gt)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            ub = cv2.filter2D(u, -1, k, borderType=cv2.BORDER_CONSTANT)
+            vb = cv2.filter2D(v, -1, k, borderType=cv2.BORDER_CONSTANT)
+            upd = (gx * ub + gy * vb + gt) / denom
+            u = ub - gx * upd
+            v = vb - gy * upd
+        cpu_dt = (time.perf_counter() - t0) / 10 * ITERS
+        vs = cpu_dt / dt
+    except Exception:
+        pass
+    return 1.0 / dt, vs
+
+
+def bench_farneback():
+    """Streaming Farneback (DenseFlow.cpp:37 config) at 1080p."""
+    import jax.numpy as jnp
+
+    from tpuflow.solvers import calc_optical_flow_farneback
+
+    prev, nxt = _frames_1080p()
+    p = jnp.asarray(prev, jnp.float32)
+    n = jnp.asarray(nxt, jnp.float32)
+    cfg = dict(pyr_scale=0.4, levels=1, winsize=48, iterations=2,
+               poly_n=8, poly_sigma=1.2, flags=0)
+    dt = timed(lambda: calc_optical_flow_farneback(p, n, None, **cfg),
+               repeats=10)
+    vs = None
+    try:
+        import cv2
+
+        pf = prev.astype(np.float32)
+        nf = nxt.astype(np.float32)
+        cv2.calcOpticalFlowFarneback(pf, nf, None, **cfg)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            cv2.calcOpticalFlowFarneback(pf, nf, None, **cfg)
+        vs = ((time.perf_counter() - t0) / 3) / dt
+    except Exception:
+        pass
+    return 1.0 / dt, vs
+
+
+def bench_black_anandan(on_tpu):
+    """Fused coarse-to-fine Black-Anandan at KITTI res, 5 levels,
+    iteration budget capped at 512/level (the full reference budget is
+    (level+1)*10*1240 — throughput-normalized here)."""
+    import jax.numpy as jnp
+
+    from tpuflow.core.config import MultipleMotionParam
+
+    prev, nxt = _frames_kitti()
+    p = jnp.asarray(prev, jnp.float32)
+    n = jnp.asarray(nxt, jnp.float32)
+    param = MultipleMotionParam(level=5)
+    if on_tpu:
+        from tpuflow.solvers.black_anandan_fast import optical_flow_pyramid_fast
+
+        dt = timed(lambda: optical_flow_pyramid_fast(
+            p, n, 255.0, param, iter_max=512, fuse=16), repeats=5)
+    else:
+        from tpuflow.solvers import optical_flow_pyramid
+
+        dt = timed(lambda: optical_flow_pyramid(
+            p, n, 255.0, param, iter_max=64), repeats=1, windows=1)
+    return 1.0 / dt
+
+
+def bench_bm_flagship():
+    """Flagship driver, FULL reference defaults, steady state (second
+    and third frame pairs, bidirectional)."""
+    from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+    prev, nxt = _frames_kitti()
+    rng = np.random.default_rng(2)
+    f0 = np.clip(np.stack([prev] * 3, -1) + rng.normal(0, 2, (KH, KW, 3)),
+                 0, 255)
+    f1 = np.clip(np.stack([nxt] * 3, -1) + rng.normal(0, 2, (KH, KW, 3)),
+                 0, 255)
+    f2 = np.roll(f1, 2, axis=1)
+    out, state = optical_flow_block_matching(f0, f1, 255.0, iter_max=2048)
+    t0 = time.perf_counter()
+    out, state = optical_flow_block_matching(f1, f2, 255.0, iter_max=2048,
+                                             state=state)
+    out, state = optical_flow_block_matching(f2, f0, 255.0, iter_max=2048,
+                                             state=state)
+    return (time.perf_counter() - t0) / 2
+
+
+def bench_weak_scaling_row():
+    from tpuflow.dist.scaling import weak_scaling_report
+
+    rep = weak_scaling_report(tile_hw=(512, 1024), iterations=100, fuse=10,
+                              repeats=3)
+    return rep["runs"][0]
+
+
+def main() -> None:
+    import jax
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    def guard(name, unit, fn):
+        try:
+            res = fn()
+        except Exception:
+            traceback.print_exc()
+            emit(name, float("nan"), unit + " [FAILED]")
+            return
+        value, vs = res if isinstance(res, tuple) else (res, None)
+        emit(name, value, unit, vs)
+
+    guard("farneback_stream_1080p_fps",
+          "frames/s/chip (Farneback 0.4/1/48/2/8/1.2, f32, 1080p)",
+          bench_farneback)
+    guard("black_anandan_kitti_fps",
+          "frames/s/chip (5-level fused IRLS pyramid, iter_max 512/level, "
+          "1242x375)",
+          lambda: bench_black_anandan(on_tpu))
+    guard("bm_flagship_kitti_spf",
+          "s/frame-pair steady state (mean-shift R=20 + bidirectional "
+          "61x61 BM + subpixel + gated IRLS, reference defaults)",
+          bench_bm_flagship)
+    guard("weak_scaling_1dev",
+          "Mpix*iter/s on 1 device (fused sharded HS, 512x1024 tile)",
+          lambda: bench_weak_scaling_row()["mpix_per_s"])
+
+    # Headline metric LAST (driver parses the final JSON line).
+    guard("hs_dense_1080p_fps",
+          "frames/s/chip (100-iter 5x5 Horn-Schunck, f32)",
+          lambda: bench_horn_schunck(on_tpu))
 
 
 if __name__ == "__main__":

@@ -89,9 +89,9 @@ def test_farneback_gaussian_flag(shifted_pair):
     assert _epe(u, v, ref) < 0.85
 
 
-def test_farneback_reference_config_on_kitti(small_pair):
-    """The FarnebackOF demo parameters (0.5, 1, 64, 2, 8, 1.6) on real
-    KITTI-crop data vs OpenCV (FarnebackOF/FarnebackOF.cpp:24)."""
+def test_farneback_mid_config_on_kitti(small_pair):
+    """A mid-sized single-level config on real KITTI-crop data vs
+    OpenCV (sanity on a small crop; the true demo config runs below)."""
     from tpuflow.solvers import calc_optical_flow_farneback
 
     prev, nxt = small_pair
@@ -101,6 +101,24 @@ def test_farneback_reference_config_on_kitti(small_pair):
                                        nxt.astype(np.float32), None, **params)
     u, v = calc_optical_flow_farneback(prev, nxt, None, **params)
     assert _epe(u, v, ref) < 0.3
+
+
+def test_farneback_reference_config_on_kitti(kitti_pair):
+    """The ACTUAL FarnebackOF demo parameters (0.5, 1, 64, 2, 8, 1.6) on
+    a real KITTI crop vs OpenCV (FarnebackOF/FarnebackOF.cpp:24)."""
+    from tpuflow.solvers import calc_optical_flow_farneback
+
+    prev, nxt = kitti_pair
+    prev = prev[80:272, 200:520]  # 192x320 crop, > winsize in both dims
+    nxt = nxt[80:272, 200:520]
+    params = dict(pyr_scale=0.5, levels=1, winsize=64, iterations=2,
+                  poly_n=8, poly_sigma=1.6, flags=0)
+    ref = cv2.calcOpticalFlowFarneback(prev.astype(np.float32),
+                                       nxt.astype(np.float32), None, **params)
+    u, v = calc_optical_flow_farneback(prev, nxt, None, **params)
+    # Interior agreement (the 64-wide aggregation window makes the outer
+    # band config-sensitive between implementations).
+    assert _epe(u, v, ref, margin=32) < 0.35
 
 
 def test_farneback_even_winsize(shifted_pair):
