@@ -54,6 +54,16 @@ def main():
         timed("tiled f10 128x1024",
               lambda: horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA,
                                           tile_h=128, tile_w=1024, fuse=10))
+    for spec in want:
+        if not spec.startswith("tiled:"):
+            continue
+        _, th, tw, f = spec.split(":")
+        th, tw, f = int(th), int(tw), int(f)
+        from tpuflow.kernels import horn_schunck_pallas
+
+        timed(f"tiled f{f} {th}x{tw}",
+              lambda th=th, tw=tw, f=f: horn_schunck_pallas(
+                  p, n, WINDOW, ITERS, ALPHA, tile_h=th, tile_w=tw, fuse=f))
     if "resident" in want:
         from tpuflow.kernels import horn_schunck_pallas_resident
 

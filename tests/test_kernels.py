@@ -180,3 +180,80 @@ class TestHornSchunckResident:
                                    rtol=0, atol=1e-10)
         np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
                                    rtol=0, atol=1e-10)
+
+    def test_resident2_matches_jnp(self, small_pair):
+        import jax.numpy as jnp
+
+        from tpuflow.kernels import horn_schunck_pallas_resident2
+        from tpuflow.solvers import horn_schunck
+
+        prev, nxt = small_pair
+        p = jnp.asarray(prev)
+        n = jnp.asarray(nxt)
+        u_ref, v_ref = horn_schunck(p, n, 5, 9, 1.0)
+        u, v = horn_schunck_pallas_resident2(p, n, 5, 9, 1.0, interpret=True)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                                   rtol=0, atol=1e-10)
+
+
+class TestTileSweeps:
+    def test_hs_tile_sweeps_interior(self):
+        """The shard_map tile body == the jnp solver on a full-frame
+        'tile' at origin (0, 0)."""
+        import jax.numpy as jnp
+
+        from tpuflow.kernels import hs_tile_sweeps
+        from tpuflow.solvers import horn_schunck
+        from tpuflow.solvers.horn_schunck import hs_gradients
+
+        r = np.random.default_rng(13)
+        h, w = 24, 40
+        fuse = 3
+        prev = jnp.asarray(r.uniform(0, 255, (h, w)))
+        nxt = jnp.asarray(r.uniform(0, 255, (h, w)))
+        u_ref, v_ref = horn_schunck(prev, nxt, 5, fuse, 1.0)
+        gx, gy, gt = hs_gradients(prev, nxt)
+        inv = 1.0 / (1.0 + gx * gx + gy * gy)
+        need = fuse * 2
+        pad = lambda a: jnp.pad(a, need)
+        u, v = hs_tile_sweeps(pad(jnp.zeros((h, w))), pad(jnp.zeros((h, w))),
+                              pad(gx), pad(gy), pad(gt), pad(inv),
+                              -need, -need, h, w, 5, fuse, interpret=True)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                                   rtol=0, atol=1e-10)
+
+
+class TestFbBlurSolve:
+    def test_matches_jnp_box_path(self):
+        """fb_blur_solve_pallas == _box_blur + _solve_flow on a
+        well-conditioned normal-equation field (odd and even winsize,
+        unaligned shapes)."""
+        import jax.numpy as jnp
+
+        from tpuflow.kernels.fb_kernels import fb_blur_solve_pallas
+        from tpuflow.solvers.farneback import _box_blur, _solve_flow
+
+        r = np.random.default_rng(0)
+        for h, w, K in [(64, 96, 15), (57, 83, 48), (40, 50, 9)]:
+            a11 = r.normal(size=(h, w))
+            a12 = 0.2 * r.normal(size=(h, w))
+            a22 = r.normal(size=(h, w))
+            db1 = r.normal(size=(h, w))
+            db2 = r.normal(size=(h, w))
+            M = jnp.asarray(np.stack([
+                a11 * a11 + a12 * a12, a12 * (a11 + a22),
+                a12 * a12 + a22 * a22,
+                a11 * db1 + a12 * db2, a12 * db1 + a22 * db2,
+            ]), jnp.float32)
+            u0, v0 = _solve_flow(_box_blur(M, K))
+            m = K // 2
+            Mp = jnp.pad(M, ((0, 0), (m, m), (m, m)), mode="edge")
+            u1, v1 = fb_blur_solve_pallas(Mp, K, interpret=True)
+            np.testing.assert_allclose(np.asarray(u1[:h, :w]),
+                                       np.asarray(u0), rtol=0, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(v1[:h, :w]),
+                                       np.asarray(v0), rtol=0, atol=1e-5)

@@ -275,81 +275,138 @@ def horn_schunck_pallas_resident(
 
 def _hs_resident2_kernel(gx_ref, gy_ref, gt_ref, up_ref, vp_ref,
                          inv_ref, *, window: int, iterations: int,
-                         img_h: int, img_w: int, alpha: float):
+                         img_h: int, h_s: int, strip: int,
+                         alpha: float):
     """Whole-frame VMEM-resident solve, v2: u and v live in r-padded
-    output buffers whose zero halo doubles as the BORDER_CONSTANT ring,
-    so each iteration is pure shifted-adds on static slices — no
-    per-iteration zero-concat materialization (the v1 kernel rebuilt a
-    padded copy of each field twice per sweep). The denominator
-    reciprocal is precomputed once into scratch."""
+    output buffers whose zero halo doubles as the BORDER_CONSTANT ring;
+    the iteration loop runs on-chip with ZERO HBM traffic. Each sweep
+    streams the frame in ``strip``-row slabs so live vector values stay
+    slab-sized — a whole-frame-values formulation makes Mosaic's
+    register allocator spill ~13 full frames to VMEM (156 MB at 1080p,
+    compile-time OOM). Jacobi double-buffering without a second frame
+    pair: before a slab is overwritten, the r old rows the NEXT slab's
+    box needs are carried forward as a loop value (the classic streaming
+    boundary band)."""
+    # Buffer layout (Mosaic: dynamic sublane offsets must be provably
+    # 8-aligned, so the image starts at row TOPH = 8 and every dynamic
+    # load/store offset is a multiple of ``strip``; the r-row halo lives
+    # in the last r rows of the top block / first r rows of the tail):
+    #   rows [0, TOPH)          zero top halo (only the last r used)
+    #   rows [TOPH, TOPH+h_s)   the field
+    #   rows [TOPH+h_s, +TOPH)  zero bottom halo / slack
+    TOPH = 8
     r = window // 2
-    h, w = img_h, img_w
+    w = gx_ref.shape[1]
+    w2 = w + 2 * r
+    n_s = h_s // strip
     inv_area = 1.0 / (window * window)
-    gx = gx_ref[:]
-    gy = gy_ref[:]
-    gt = gt_ref[:]
-    inv_ref[:] = 1.0 / (alpha * alpha + gx * gx + gy * gy)
-    up_ref[:] = jnp.zeros((h + 2 * r, w + 2 * r), gx.dtype)
-    vp_ref[:] = jnp.zeros((h + 2 * r, w + 2 * r), gx.dtype)
+    inv_ref[:] = 1.0 / (alpha * alpha + gx_ref[:] * gx_ref[:]
+                        + gy_ref[:] * gy_ref[:])
+    up_ref[:] = jnp.zeros((h_s + 2 * TOPH, w2), gx_ref.dtype)
+    vp_ref[:] = jnp.zeros((h_s + 2 * TOPH, w2), gx_ref.dtype)
+    pad_tail = h_s != img_h
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 0)
 
-    def box(pad):
-        # pad: (h + 2r, w + 2r) with a zero ring -> (h, w) box mean.
-        rows = pad[0:h, :]
+    def box_valid_mean(blk):
+        # (strip + 2r, w2) -> (strip, w) box mean.
+        rows = blk[0:strip, :]
         for d in range(1, window):
-            rows = rows + pad[d : d + h, :]
+            rows = rows + blk[d : d + strip, :]
         out = rows[:, 0:w]
         for d in range(1, window):
             out = out + rows[:, d : d + w]
         return out * inv_area
 
-    def body(_, carry):
-        ub = box(up_ref[:])
-        vb = box(vp_ref[:])
-        upd = (gx * ub + gy * vb + gt) * inv_ref[:]
-        up_ref[r : r + h, r : r + w] = ub - gx * upd
-        vp_ref[r : r + h, r : r + w] = vb - gy * upd
+    def strip_body(s, bands):
+        # bands: the r OLD buffer rows [TOPH + s*strip - r, TOPH + s*strip)
+        # — the previous slab overwrote them, the box still needs them.
+        band_u, band_v = bands
+        top = s * strip
+        lu = up_ref[pl.ds(top, strip + 2 * TOPH), :]  # aligned load
+        lv = vp_ref[pl.ds(top, strip + 2 * TOPH), :]
+        blk_u = jnp.concatenate(
+            [band_u, lu[TOPH : TOPH + strip + r, :]], axis=0)
+        blk_v = jnp.concatenate(
+            [band_v, lv[TOPH : TOPH + strip + r, :]], axis=0)
+        band_u_next = blk_u[strip : strip + r, :]
+        band_v_next = blk_v[strip : strip + r, :]
+        ub = box_valid_mean(blk_u)
+        vb = box_valid_mean(blk_v)
+        gxs = gx_ref[pl.ds(top, strip), :]
+        gys = gy_ref[pl.ds(top, strip), :]
+        gts = gt_ref[pl.ds(top, strip), :]
+        invs = inv_ref[pl.ds(top, strip), :]
+        upd = (gxs * ub + gys * vb + gts) * invs
+        u_new = ub - gxs * upd
+        v_new = vb - gys * upd
+        if pad_tail:
+            # Rows past the image must stay zero (BORDER_CONSTANT ring).
+            m = (top + row_ids < img_h).astype(u_new.dtype)
+            u_new = u_new * m
+            v_new = v_new * m
+        # Write through a full-width aligned store: stitch the halo
+        # columns back on so shapes stay (strip, w2).
+        zc = jnp.zeros((strip, r), u_new.dtype)
+        up_ref[pl.ds(top + TOPH, strip), :] = jnp.concatenate(
+            [zc, u_new, zc], axis=1)
+        vp_ref[pl.ds(top + TOPH, strip), :] = jnp.concatenate(
+            [zc, v_new, zc], axis=1)
+        return band_u_next, band_v_next
+
+    zb = jnp.zeros((r, w2), gx_ref.dtype)
+
+    def iter_body(_, carry):
+        jax.lax.fori_loop(0, n_s, strip_body, (zb, zb))
         return carry
 
-    jax.lax.fori_loop(0, iterations, body, 0)
+    jax.lax.fori_loop(0, iterations, iter_body, 0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("window_size", "max_iterations",
-                                    "alpha", "interpret"))
+                                    "alpha", "strip", "interpret"))
 def horn_schunck_pallas_resident2(
     prev: jnp.ndarray,
     next: jnp.ndarray,
     window_size: int = 5,
     max_iterations: int = 100,
     alpha: float = 1.0,
+    strip: int = 120,
     interpret: bool = False,
 ):
     """VMEM-resident Horn-Schunck v2 (see :func:`_hs_resident2_kernel`).
-    Same contract as :func:`horn_schunck_pallas_resident`."""
+    Same contract as :func:`horn_schunck_pallas_resident`; valid when
+    ~6 * H * W * 4 bytes fits VMEM (1080p f32 on v5e)."""
     from tpuflow.solvers.horn_schunck import hs_gradients
 
     gx, gy, gt = hs_gradients(prev, next)
     dt = gx.dtype
     h, w = prev.shape
     r = window_size // 2
+    strip = max(min(strip, _cdiv(h, 8) * 8), 8)
+    n_s = _cdiv(h, strip)
+    h_s = n_s * strip
+    if h_s != h:
+        pad = ((0, h_s - h), (0, 0))
+        gx, gy, gt = (jnp.pad(a, pad) for a in (gx, gy, gt))
 
     kern = functools.partial(_hs_resident2_kernel, window=window_size,
-                             iterations=max_iterations, img_h=h, img_w=w,
-                             alpha=float(alpha))
+                             iterations=max_iterations, img_h=h, h_s=h_s,
+                             strip=strip, alpha=float(alpha))
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    hp2, wp2 = h + 2 * r, w + 2 * r
+    hp2, wp2 = h_s + 16, w + 2 * r  # TOPH = 8 top + bottom blocks
     up, vp = pl.pallas_call(
         kern,
         in_specs=[vspec] * 3,
         out_specs=(vspec, vspec),
         out_shape=(jax.ShapeDtypeStruct((hp2, wp2), dt),
                    jax.ShapeDtypeStruct((hp2, wp2), dt)),
-        scratch_shapes=[pltpu.VMEM((h, w), dt)],
+        scratch_shapes=[pltpu.VMEM((h_s, w), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(127.75 * 1024 * 1024)),
         interpret=interpret,
     )(gx, gy, gt)
-    return up[r : r + h, r : r + w], vp[r : r + h, r : r + w]
+    return up[8 : 8 + h, r : r + w], vp[8 : 8 + h, r : r + w]
 
 
 @functools.partial(
