@@ -257,3 +257,25 @@ class TestFbBlurSolve:
                                        np.asarray(u0), rtol=0, atol=1e-5)
             np.testing.assert_allclose(np.asarray(v1[:h, :w]),
                                        np.asarray(v0), rtol=0, atol=1e-5)
+
+
+class TestPipelinedTiled:
+    def test_pipelined_matches_grid_kernel(self):
+        """Double-buffered tiled kernel == the grid kernel == jnp solver
+        (multi-tile grid, remainder block)."""
+        import jax.numpy as jnp
+
+        from tpuflow.kernels import horn_schunck_pallas
+        from tpuflow.solvers import horn_schunck
+
+        r = np.random.default_rng(14)
+        p = jnp.asarray(r.uniform(0, 255, (70, 150)))
+        n = jnp.asarray(r.uniform(0, 255, (70, 150)))
+        u_ref, v_ref = horn_schunck(p, n, 5, 13, 1.0)
+        u_p, v_p = horn_schunck_pallas(p, n, 5, 13, 1.0, tile_h=24,
+                                       tile_w=128, fuse=4, pipelined=True,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_ref),
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_ref),
+                                   rtol=0, atol=1e-10)

@@ -409,10 +409,92 @@ def horn_schunck_pallas_resident2(
     return up[8 : 8 + h, r : r + w], vp[8 : 8 + h, r : r + w]
 
 
+def _hs_pipelined_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
+                         uo_hbm, vo_hbm,
+                         bufs, obufs, sems, osems,
+                         *, n_i: int, n_j: int, tile_h: int, tile_w: int,
+                         halo_y: int, halo_x: int, need: int, window: int,
+                         fuse: int, img_h: int, img_w: int):
+    """Double-buffered variant of :func:`_hs_kernel`: one grid step loops
+    over all tiles, prefetching tile t+1's six halo'd fields while tile t
+    computes, and writing results back with async copies (two slots each
+    way) — DMA fully overlapped with the sweep compute."""
+    n_t = n_i * n_j
+    hh = tile_h + 2 * halo_y
+    hw = tile_w + 2 * halo_x
+    srcs = (u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm)
+
+    def in_dma(slot, t, k):
+        i = t // n_j
+        j = t % n_j
+        return pltpu.make_async_copy(
+            srcs[k].at[pl.ds(i * tile_h, hh), pl.ds(j * tile_w, hw)],
+            bufs.at[slot, k], sems.at[slot, k])
+
+    def out_dma(slot, t, k):
+        i = t // n_j
+        j = t % n_j
+        dst = (uo_hbm, vo_hbm)[k]
+        return pltpu.make_async_copy(
+            obufs.at[slot, k],
+            dst.at[pl.ds(i * tile_h, tile_h), pl.ds(j * tile_w, tile_w)],
+            osems.at[slot, k])
+
+    for k in range(6):
+        in_dma(0, 0, k).start()
+
+    def loop_body(t, carry):
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            for k in range(6):
+                in_dma(nxt, t + 1, k).start()
+
+        for k in range(6):
+            in_dma(slot, t, k).wait()
+
+        i = t // n_j
+        j = t % n_j
+        row0 = i * tile_h
+        col0 = j * tile_w
+        ch = tile_h + 2 * need
+        cw = tile_w + 2 * need
+        oy = halo_y - need
+        ox = halo_x - need
+        crop = (slice(oy, oy + ch), slice(ox, ox + cw))
+        mask_full = _inside_mask(row0 - need, col0 - need, ch, cw,
+                                 img_h, img_w, bufs.dtype)
+        u = bufs[slot, 0][crop] * mask_full
+        v = bufs[slot, 1][crop] * mask_full
+        u, v = _hs_sweeps(u, v, bufs[slot, 2][crop], bufs[slot, 3][crop],
+                          bufs[slot, 4][crop], bufs[slot, 5][crop],
+                          mask_full, window, fuse)
+
+        # Reuse of this output slot requires its previous copy done.
+        @pl.when(t >= 2)
+        def _():
+            for k in range(2):
+                out_dma(slot, t - 2, k).wait()
+
+        obufs[slot, 0] = u
+        obufs[slot, 1] = v
+        for k in range(2):
+            out_dma(slot, t, k).start()
+        return carry
+
+    jax.lax.fori_loop(0, n_t, loop_body, 0)
+    for t in (n_t - 2, n_t - 1):
+        if t >= 0:
+            for k in range(2):
+                out_dma(t % 2, t, k).wait()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("window_size", "max_iterations", "tile_h", "tile_w",
-                     "fuse", "interpret"))
+                     "fuse", "pipelined", "interpret"))
 def horn_schunck_pallas(
     prev: jnp.ndarray,
     next: jnp.ndarray,
@@ -422,6 +504,7 @@ def horn_schunck_pallas(
     tile_h: int = 128,
     tile_w: int = 1024,
     fuse: int = 10,
+    pipelined: bool = False,
     interpret: bool = False,
 ):
     """Horn-Schunck flow with the fused Pallas sweep. Returns (u, v).
@@ -430,7 +513,9 @@ def horn_schunck_pallas(
     Matches :func:`tpuflow.solvers.horn_schunck` (same gradients, same
     BORDER_CONSTANT box average); `fuse` controls iterations per HBM
     round-trip and must divide into max_iterations (the remainder runs in
-    a final smaller-fuse call).
+    a final smaller-fuse call). ``pipelined=True`` selects the
+    double-buffered kernel (input prefetch + async write-back overlap the
+    sweep compute, :func:`_hs_pipelined_kernel`).
     """
     from tpuflow.solvers.horn_schunck import hs_gradients
 
@@ -459,13 +544,36 @@ def horn_schunck_pallas(
             return jnp.pad(a, ((halo_y, hp - h + halo_y),
                                (halo_x, wp - w + halo_x)))
 
+        hh = tile_h + 2 * halo_y
+        hw = tile_w + 2 * halo_x
+        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+        args = (pad_h(u), pad_h(v), pad_h(gx), pad_h(gy), pad_h(gt),
+                pad_h(inv_denom))
+        if pipelined:
+            kern = functools.partial(
+                _hs_pipelined_kernel, n_i=n_i, n_j=n_j, tile_h=tile_h,
+                tile_w=tile_w, halo_y=halo_y, halo_x=halo_x, need=need,
+                window=window_size, fuse=k, img_h=h, img_w=w)
+            u_new, v_new = pl.pallas_call(
+                kern,
+                in_specs=[any_spec] * 6,
+                out_specs=(any_spec, any_spec),
+                out_shape=(jax.ShapeDtypeStruct((hp, wp), dt),
+                           jax.ShapeDtypeStruct((hp, wp), dt)),
+                scratch_shapes=[
+                    pltpu.VMEM((2, 6, hh, hw), dt),
+                    pltpu.VMEM((2, 2, tile_h, tile_w), dt),
+                    pltpu.SemaphoreType.DMA((2, 6)),
+                    pltpu.SemaphoreType.DMA((2, 2))],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(*args)
+            return u_new[:h, :w], v_new[:h, :w]
         kern = functools.partial(
             _hs_kernel, tile_h=tile_h, tile_w=tile_w, halo_y=halo_y,
             halo_x=halo_x, need=need, window=window_size, fuse=k,
             img_h=h, img_w=w)
-        hh = tile_h + 2 * halo_y
-        hw = tile_w + 2 * halo_x
-        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
         out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
         u_new, v_new = pl.pallas_call(
@@ -480,8 +588,7 @@ def horn_schunck_pallas(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(pad_h(u), pad_h(v), pad_h(gx), pad_h(gy), pad_h(gt),
-          pad_h(inv_denom))
+        )(*args)
         return u_new[:h, :w], v_new[:h, :w]
 
     n_full, rem = divmod(max_iterations, fuse)
