@@ -55,15 +55,16 @@ def main():
               lambda: horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA,
                                           tile_h=128, tile_w=1024, fuse=10))
     for spec in want:
-        if not spec.startswith("tiled:"):
+        if not (spec.startswith("tiled:") or spec.startswith("pipe:")):
             continue
-        _, th, tw, f = spec.split(":")
+        kind, th, tw, f = spec.split(":")
         th, tw, f = int(th), int(tw), int(f)
         from tpuflow.kernels import horn_schunck_pallas
 
-        timed(f"tiled f{f} {th}x{tw}",
-              lambda th=th, tw=tw, f=f: horn_schunck_pallas(
-                  p, n, WINDOW, ITERS, ALPHA, tile_h=th, tile_w=tw, fuse=f))
+        timed(f"{kind} f{f} {th}x{tw}",
+              lambda th=th, tw=tw, f=f, p_=(kind == "pipe"):
+              horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA, tile_h=th,
+                                  tile_w=tw, fuse=f, pipelined=p_))
     if "resident" in want:
         from tpuflow.kernels import horn_schunck_pallas_resident
 

@@ -152,19 +152,24 @@ def _region_costs(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("n_regions", "search_range", "subpixel_scale",
-                     "coeff_mad", "coeff_zncc"))
+                     "coeff_mad", "coeff_zncc", "chunk"))
 def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
                          n_regions: int,
                          search_range: int, subpixel_scale: int,
-                         coeff_mad: float, coeff_zncc: float):
-    """Best (dx, dy, cost) per region matching cur against ref."""
+                         coeff_mad: float, coeff_zncc: float,
+                         chunk: int = 16):
+    """Best (dx, dy, cost) per region matching cur against ref.
+
+    ``chunk`` = candidates evaluated per permuted-gather pass (wider rows
+    amortize the gather's index overhead at the price of a (N, chunk*7)
+    intermediate)."""
     R = search_range // 2
     dt = cur_lab.dtype
     cand_np = np.stack(
         np.meshgrid(np.arange(-R, R + 1), np.arange(-R, R + 1),
                     indexing="ij"), -1).reshape(-1, 2)  # (n, (dy, dx))
     n_cand = cand_np.shape[0]
-    CH = 16
+    CH = chunk
     pad = (-n_cand) % CH
     cand = jnp.asarray(
         np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
@@ -265,6 +270,7 @@ def block_matching_labels(
     coeff_mad: float = 1.0,
     coeff_zncc: float = 0.5,
     subpixel_scale: int = 2,
+    chunk: int = 16,
 ) -> BlockMatchResult:
     """Match every region of ``cur`` against ``ref``; vectors point from
     cur pixels toward their reference-frame position (inverse flow, like
@@ -276,7 +282,8 @@ def block_matching_labels(
     uv, cost = _match_one_direction(
         cur_lab, ref_lab, labels_j, jnp.asarray(perm), jnp.asarray(bounds),
         int(n_regions), int(search_range),
-        int(subpixel_scale), float(coeff_mad), float(coeff_zncc))
+        int(subpixel_scale), float(coeff_mad), float(coeff_zncc),
+        int(chunk))
     uv = np.asarray(uv)
     cost = np.asarray(cost)
     lab_np = np.asarray(labels)
