@@ -279,3 +279,28 @@ class TestPipelinedTiled:
                                    rtol=0, atol=1e-10)
         np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_ref),
                                    rtol=0, atol=1e-10)
+
+    def test_poly_expansion_kernel_matches_jnp(self):
+        import jax.numpy as jnp
+
+        from tpuflow.core import borders as bd
+        from tpuflow.kernels.fb_kernels import fb_poly_expansion_pallas
+        from tpuflow.solvers.farneback import _poly_exp_matrices, poly_expansion
+
+        r = np.random.default_rng(1)
+        for n, sig in [(8, 1.2), (5, 1.1)]:
+            img = jnp.asarray(r.uniform(0, 255, (60, 90)), jnp.float32)
+            ref = poly_expansion(img, n, sig)
+            g, Ginv = _poly_exp_matrices(n, sig)
+            xs = np.arange(-n, n + 1, dtype=np.float64)
+            gr = Ginv[1:6].copy()
+            gr[4] *= 0.5
+            padded = bd.pad2d(img, (n, n, n, n), bd.CLAMP)
+            out = fb_poly_expansion_pallas(
+                padded, tuple(map(float, g)), tuple(map(float, g * xs)),
+                tuple(map(float, g * xs * xs)),
+                tuple(tuple(map(float, row)) for row in gr),
+                interpret=True)
+            for a, b in zip(out, ref):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=0, atol=1e-4)

@@ -68,6 +68,21 @@ def poly_expansion(img: jnp.ndarray, poly_n: int, poly_sigma: float):
     gx = g * xs
     gxx = g * xs * xs
 
+    if _use_fb_kernel(img):
+        # Fused Pallas path: all six moments + the G^-1 combination in
+        # one pass over the image (vs 6 sep-conv dispatches).
+        from tpuflow.kernels.fb_kernels import fb_poly_expansion_pallas
+
+        ginv_rows = Ginv[1:6].copy()
+        ginv_rows[4] *= 0.5  # the a12 = r5/2 halving
+        h, w = img.shape
+        padded = bd.pad2d(img, (n, n, n, n), bd.CLAMP)
+        return fb_poly_expansion_pallas(
+            padded, tuple(float(t) for t in g),
+            tuple(float(t) for t in gx),
+            tuple(float(t) for t in gxx),
+            tuple(tuple(float(t) for t in row) for row in ginv_rows))
+
     # Separable moments: rows then columns (correlation orientation; the
     # kernels are symmetric/antisymmetric so orientation matters only for
     # the odd ones — x of gx increases rightward like the basis).
