@@ -36,6 +36,27 @@ class TestDemos:
         assert (tmp_path / "uMatrixFB.txt").exists()
         assert u.shape == (375, 1242)
 
+    def test_horn_schunck_demo_video_input(self, tmp_path):
+        """The reference's mp4 branch: prev/next are frame indices seeked
+        from a clip (HornSchunckOF/main.cpp:54-60)."""
+        cv2 = pytest.importorskip("cv2")
+        from tpuflow.pipeline.demos import demo_horn_schunck
+
+        clip = tmp_path / "clip.avi"
+        wr = cv2.VideoWriter(str(clip), cv2.VideoWriter_fourcc(*"MJPG"),
+                             10.0, (64, 48))
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        for k in range(4):
+            wr.write(np.roll(base, k, axis=1))
+        wr.release()
+        prefix = str(tmp_path) + "/"
+        u, v = demo_horn_schunck(1, 2, prefix, max_iterations=5,
+                                 video=str(clip))
+        assert u.shape == (48, 64)
+        assert (tmp_path / "uMatrixHS.txt").exists()
+        assert (tmp_path / "hsbresenhamLineFlow.png").exists()
+
     def test_lucas_kanade_demo(self, tmp_path):
         from tpuflow.pipeline.demos import demo_lucas_kanade
 

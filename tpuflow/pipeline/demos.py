@@ -31,9 +31,33 @@ from tpuflow.core.io import read_image, write_image, write_matrix_txt
 from tpuflow.viz.quiver import plot_quiver
 
 
-def _load_gray_pair(prev_path, next_path):
-    prev, _ = read_image(prev_path)
-    nxt, _ = read_image(next_path)
+def _read_video_frames(video_path, frame_prev: int, frame_next: int):
+    """Seek two frames of a video by index (the reference's mp4 branch,
+    HornSchunckOF/main.cpp:54-60: ``capture.set(1, n); capture >> img``)."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        raise FileNotFoundError(
+            f"Can't read the video. Please check the path: {video_path}")
+    frames = []
+    for n in (frame_prev, frame_next):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, int(n))
+        ok, frame = cap.read()
+        if not ok:
+            cap.release()
+            raise ValueError(f"Can't read frame {n} from {video_path}")
+        frames.append(frame[..., ::-1].copy())  # BGR -> RGB
+    cap.release()
+    return frames
+
+
+def _load_gray_pair(prev_path, next_path, video=None):
+    if video is not None:
+        prev, nxt = _read_video_frames(video, int(prev_path), int(next_path))
+    else:
+        prev, _ = read_image(prev_path)
+        nxt, _ = read_image(next_path)
     if prev.shape != nxt.shape:
         raise ValueError("Image sizes are different. Please provide images "
                          "of same size.")  # main.cpp:69-72
@@ -56,10 +80,14 @@ def demo_horn_schunck(
     delta: int = 20,
     scale: float = 20.0,
     outlier: int = 5,
+    video=None,
 ):
     """HornSchunckOF "hs": returns (u, v), writes uMatrixHS.txt /
-    vMatrixHS.txt and the quiver overlay."""
-    prev_raw, _, prev_g, next_g = _load_gray_pair(prev_path, next_path)
+    vMatrixHS.txt and the quiver overlay. With ``video`` set,
+    ``prev_path``/``next_path`` are frame indices into that clip
+    (main.cpp:54-60)."""
+    prev_raw, _, prev_g, next_g = _load_gray_pair(prev_path, next_path,
+                                                  video=video)
     from tpuflow.solvers import horn_schunck
 
     u, v = horn_schunck(jnp.asarray(prev_g), jnp.asarray(next_g),
@@ -87,11 +115,14 @@ def demo_farneback_pair(
     delta: int = 10,
     scale: float = 10.0,
     write_matrices: bool = False,
+    video=None,
 ):
     """FarnebackOF pair demo (defaults = FarnebackOF.cpp:24); with
     ``write_matrices`` also dumps uMatrixFB/vMatrixFB (the HS demo's "fb"
-    branch, whose parameters are (0.5, 3, 15, 3, 5, 1.2))."""
-    prev_raw, next_raw, prev_g, next_g = _load_gray_pair(prev_path, next_path)
+    branch, whose parameters are (0.5, 3, 15, 3, 5, 1.2)). ``video``
+    switches prev/next to frame indices (main.cpp:54-60)."""
+    prev_raw, next_raw, prev_g, next_g = _load_gray_pair(prev_path, next_path,
+                                                         video=video)
     from tpuflow.solvers import calc_optical_flow_farneback
 
     u, v = calc_optical_flow_farneback(
@@ -154,14 +185,19 @@ def main(argv=None) -> int:
 
     p = argparse.ArgumentParser(prog="tpuflow-demos")
     p.add_argument("algo", choices=["hs", "fb", "lk"])
-    p.add_argument("prev")
-    p.add_argument("next")
+    p.add_argument("prev", help="prev image path, or frame index with --video")
+    p.add_argument("next", help="next image path, or frame index with --video")
     p.add_argument("out_prefix")
+    p.add_argument("--video", default=None,
+                   help="video file; prev/next become frame indices "
+                        "(the reference's mp4 input branch)")
     args = p.parse_args(argv)
     if args.algo == "hs":
-        demo_horn_schunck(args.prev, args.next, args.out_prefix)
+        demo_horn_schunck(args.prev, args.next, args.out_prefix,
+                          video=args.video)
     elif args.algo == "fb":
-        demo_farneback_pair(args.prev, args.next, args.out_prefix)
+        demo_farneback_pair(args.prev, args.next, args.out_prefix,
+                            video=args.video)
     else:
         demo_lucas_kanade(args.prev, args.next,
                           args.out_prefix + "lk_tracks.png")
