@@ -133,34 +133,51 @@ def _bilinear_all(fields, xq, yq):
     return [out[..., i] for i in range(len(fields))]
 
 
-def update_matrices(R1, R2, u, v):
+def update_matrices(R1, R2, u, v, zero_flow: bool = False):
     """Accumulate the 5-channel normal-equation field M (OpenCV
     FarnebackUpdateMatrices): averaged A, flow-compensated db, border
-    down-weighting."""
+    down-weighting.
+
+    ``zero_flow=True`` is a trace-time specialization for the first
+    update at a level whose flow was just initialized to zeros (the
+    common case: every config with levels=1 and no initial-flow flag,
+    DenseFlow.cpp:37 / FarnebackOF.cpp:24). The warp is then the
+    identity, so the bilinear gathers — the dominant TPU cost of this
+    step — drop out entirely, as do the out-of-bounds selects and the
+    A·d compensation terms.
+    """
     b1_1, b2_1, a11_1, a22_1, a12_1 = R1
     h, w = u.shape
     dt = u.dtype
     xs = jnp.arange(w, dtype=dt)[None, :]
     ys = jnp.arange(h, dtype=dt)[:, None]
-    xq = xs + u
-    yq = ys + v
-    inb = (xq >= 0) & (xq < w) & (yq >= 0) & (yq < h)
-    b1_2, b2_2, a11_2, a22_2, a12_2 = _bilinear_all(R2, xq, yq)
+    if zero_flow:
+        b1_2, b2_2, a11_2, a22_2, a12_2 = R2
+        a11 = (a11_1 + a11_2) * 0.5
+        a12 = (a12_1 + a12_2) * 0.5
+        a22 = (a22_1 + a22_2) * 0.5
+        db1 = (b1_1 - b1_2) * 0.5
+        db2 = (b2_1 - b2_2) * 0.5
+    else:
+        xq = xs + u
+        yq = ys + v
+        inb = (xq >= 0) & (xq < w) & (yq >= 0) & (yq < h)
+        b1_2, b2_2, a11_2, a22_2, a12_2 = _bilinear_all(R2, xq, yq)
 
-    a11 = (a11_1 + a11_2) * 0.5
-    a12 = (a12_1 + a12_2) * 0.5
-    a22 = (a22_1 + a22_2) * 0.5
-    db1 = (b1_1 - b1_2) * 0.5
-    db2 = (b2_1 - b2_2) * 0.5
-    # OpenCV: where the warped point leaves the image, A is halved (only
-    # frame-1 coefficients) and db is zeroed out of the average.
-    a11 = jnp.where(inb, a11, a11_1 * 0.5)
-    a12 = jnp.where(inb, a12, a12_1 * 0.5)
-    a22 = jnp.where(inb, a22, a22_1 * 0.5)
-    db1 = jnp.where(inb, db1, 0.0)
-    db2 = jnp.where(inb, db2, 0.0)
-    db1 = db1 + a11 * u + a12 * v
-    db2 = db2 + a12 * u + a22 * v
+        a11 = (a11_1 + a11_2) * 0.5
+        a12 = (a12_1 + a12_2) * 0.5
+        a22 = (a22_1 + a22_2) * 0.5
+        db1 = (b1_1 - b1_2) * 0.5
+        db2 = (b2_1 - b2_2) * 0.5
+        # OpenCV: where the warped point leaves the image, A is halved
+        # (only frame-1 coefficients) and db is zeroed out of the average.
+        a11 = jnp.where(inb, a11, a11_1 * 0.5)
+        a12 = jnp.where(inb, a12, a12_1 * 0.5)
+        a22 = jnp.where(inb, a22, a22_1 * 0.5)
+        db1 = jnp.where(inb, db1, 0.0)
+        db2 = jnp.where(inb, db2, 0.0)
+        db1 = db1 + a11 * u + a12 * v
+        db2 = db2 + a12 * u + a22 * v
 
     # Border scale: linear ramp from the image edge over _BORDER pixels.
     dist = jnp.minimum(jnp.minimum(xs, w - 1 - xs),
@@ -268,6 +285,7 @@ def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
             p_l = jax.image.resize(p_s, (hl, wl), method="linear")
             n_l = jax.image.resize(n_s, (hl, wl), method="linear")
 
+        zero_flow = False
         if u is None:
             if u0 is not None:
                 u = jax.image.resize(u0, (hl, wl), method="linear") * scale
@@ -275,13 +293,14 @@ def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
             else:
                 u = jnp.zeros((hl, wl), dt)
                 v = jnp.zeros((hl, wl), dt)
+                zero_flow = True
         else:
             u = jax.image.resize(u, (hl, wl), method="linear") / pyr_scale
             v = jax.image.resize(v, (hl, wl), method="linear") / pyr_scale
 
         R1 = poly_expansion(p_l, poly_n, poly_sigma)
         R2 = poly_expansion(n_l, poly_n, poly_sigma)
-        M = update_matrices(R1, R2, u, v)
+        M = update_matrices(R1, R2, u, v, zero_flow=zero_flow)
         for i in range(iterations):
             u, v = _blur_solve(M, winsize, gaussian)
             if i < iterations - 1:
