@@ -310,3 +310,72 @@ class TestPallasComposition:
                                    rtol=0, atol=5e-8)
         np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_ref),
                                    rtol=0, atol=5e-8)
+
+
+class TestFarnebackSharded:
+    """Tiled single-level Farneback == single-device (SURVEY.md §2.6:
+    image-domain decomposition extends to every window-local algorithm;
+    reference configs FarnebackOF.cpp:24 / DenseFlow.cpp:37)."""
+
+    def _pair(self, h, w, dtype=np.float32):
+        from scipy.ndimage import gaussian_filter
+
+        base = gaussian_filter(
+            rng.uniform(0, 255, (h + 8, w + 8)), 3.0).astype(dtype)
+        prev = base[:h, :w].copy()
+        nxt = base[2:2 + h, 1:1 + w].copy()  # |flow| ~ (1, 2): << warp halo
+        return prev, nxt
+
+    def test_clamp_halo_matches_edge_pad(self):
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.farneback import halo_pad_2d_clamp
+
+        mesh = make_mesh(8)
+        h, w, r = 16, 32, 3
+        x = jnp.asarray(rng.normal(size=(h, w)), jnp.float32)
+        spec = P("ty", "tx")
+        xs = jax.device_put(x, NamedSharding(mesh, spec))
+        tiles = jax.jit(_shard_map(
+            lambda t: halo_pad_2d_clamp(t, r)[None, None],
+            mesh, in_specs=spec,
+            out_specs=P("ty", "tx", None, None)))(xs)
+        ty, tx = mesh.devices.shape
+        th, tw = h // ty, w // tx
+        ref = np.pad(np.asarray(x), r, mode="edge")
+        tiles = np.asarray(tiles).reshape(ty, tx, th + 2 * r, tw + 2 * r)
+        for i in range(ty):
+            for j in range(tx):
+                want = ref[i * th:i * th + th + 2 * r,
+                           j * tw:j * tw + tw + 2 * r]
+                np.testing.assert_array_equal(tiles[i, j], want)
+
+    @pytest.mark.parametrize("winsize,iterations,poly_n,poly_sigma", [
+        (16, 2, 5, 1.2),   # streaming-shaped config (even winsize)
+        (15, 3, 5, 1.1),   # odd winsize, 3 iterations
+    ])
+    def test_matches_single_device(self, winsize, iterations, poly_n,
+                                   poly_sigma):
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.farneback import farneback_sharded
+        from tpuflow.solvers.farneback import calc_optical_flow_farneback
+
+        mesh = make_mesh(8)
+        prev, nxt = self._pair(64, 128)
+        u1, v1 = calc_optical_flow_farneback(
+            prev, nxt, None, 0.5, 1, winsize, iterations, poly_n,
+            poly_sigma, 0)
+        u2, v2 = farneback_sharded(
+            prev, nxt, mesh, 0.5, 1, winsize, iterations, poly_n,
+            poly_sigma)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   atol=1e-5)
+
+    def test_rejects_multilevel(self):
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.farneback import farneback_sharded
+
+        prev, nxt = self._pair(64, 128)
+        with pytest.raises(ValueError):
+            farneback_sharded(prev, nxt, make_mesh(8), levels=2)

@@ -51,21 +51,57 @@ def _box_valid(a: jnp.ndarray, taps: int) -> jnp.ndarray:
     return out
 
 
+def _band_matrix(hw: int, taps: int, dtype) -> jnp.ndarray:
+    """Banded (hw, hw - taps + 1) 0/1 matrix B with B[i, j] = (0 <= i - j
+    < taps): `rows @ B` is the horizontal valid box sum. The band depends
+    only on i - j, so the top-left submatrix of a wider band is the band
+    for a narrower input — build once per tile, slice per sweep."""
+    wo = hw - taps + 1
+    ii = jax.lax.broadcasted_iota(jnp.int32, (hw, wo), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (hw, wo), 1)
+    d = ii - jj
+    return ((d >= 0) & (d < taps)).astype(dtype)
+
+
+def _box_valid_mxu(a: jnp.ndarray, taps: int, band: jnp.ndarray):
+    """Valid box sum with the horizontal pass as a banded matmul.
+
+    The lane-dimension shifted adds of :func:`_box_valid` each cost a
+    Mosaic relayout copy — measured to be what bounds the fused HS kernel
+    (BASELINE.md: fuse-halving costs only +10%, full DMA overlap gains
+    2%). The MXU multiplies by the static band instead: no lane shifts,
+    and the row sums ride the systolic array."""
+    h, w = a.shape
+    rows = a[0 : h - taps + 1, :]
+    for d in range(1, taps):
+        rows = rows + a[d : h - taps + 1 + d, :]
+    wo = w - taps + 1
+    return jax.lax.dot_general(
+        rows, band[:w, :wo], (((1,), (0,)), ((), ())),
+        preferred_element_type=rows.dtype)
+
+
 def _hs_sweeps(u, v, gxa, gya, gta, inva, mask_full, window: int,
-               fuse: int):
+               fuse: int, mxu: bool = False):
     """``fuse`` Jacobi sweeps on a halo'd tile with statically shrinking
     valid regions; ``mask_full`` re-zeroes u, v outside the frame after
     every sweep (BORDER_CONSTANT). Inputs are (hh, hw); returns the
-    (hh - 2*fuse*r, hw - 2*fuse*r) core."""
+    (hh - 2*fuse*r, hw - 2*fuse*r) core. ``mxu`` routes the horizontal
+    box pass through a banded matmul (see :func:`_box_valid_mxu`)."""
     hh, hw = u.shape
     r = window // 2
     inv_area = jnp.asarray(1.0 / (window * window), u.dtype)
+    band = _band_matrix(hw, window, u.dtype) if mxu else None
     for t in range(fuse):
         o = r * (t + 1)
         sh = hh - 2 * r * (t + 1)
         sw = hw - 2 * r * (t + 1)
-        ub = _box_valid(u, window) * inv_area
-        vb = _box_valid(v, window) * inv_area
+        if mxu:
+            ub = _box_valid_mxu(u, window, band) * inv_area
+            vb = _box_valid_mxu(v, window, band) * inv_area
+        else:
+            ub = _box_valid(u, window) * inv_area
+            vb = _box_valid(v, window) * inv_area
         gxc = gxa[o : o + sh, o : o + sw]
         gyc = gya[o : o + sh, o : o + sw]
         gtc = gta[o : o + sh, o : o + sw]
@@ -94,7 +130,8 @@ def _hs_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
                uo_ref, vo_ref,
                us, vs, gxs, gys, gts, invs, sems,
                *, tile_h: int, tile_w: int, halo_y: int, halo_x: int,
-               need: int, window: int, fuse: int, img_h: int, img_w: int):
+               need: int, window: int, fuse: int, img_h: int, img_w: int,
+               mxu: bool = False):
     # halo_y/halo_x are the DMA margins (aligned to the (8, 128) memref
     # tiling Mosaic requires for HBM slices); `need` = fuse * r is the halo
     # the stencil actually consumes — the margin is cropped right after
@@ -132,14 +169,15 @@ def _hs_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
     u = us[crop] * mask_full  # halo beyond the frame must read as zero
     v = vs[crop] * mask_full
     u, v = _hs_sweeps(u, v, gxs[crop], gys[crop], gts[crop], invs[crop],
-                      mask_full, window, fuse)
+                      mask_full, window, fuse, mxu=mxu)
     uo_ref[:] = u
     vo_ref[:] = v
 
 
 def _hs_tile_kernel(row0_ref, col0_ref, u_ref, v_ref, gx_ref, gy_ref,
                     gt_ref, inv_ref, uo_ref, vo_ref,
-                    *, window: int, fuse: int, img_h: int, img_w: int):
+                    *, window: int, fuse: int, img_h: int, img_w: int,
+                    mxu: bool = False):
     """Single-tile fused sweep for the shard_map distributed path: the
     whole halo'd tile arrives in VMEM (halos already exchanged by
     ppermute outside), global tile origin arrives as SMEM scalars."""
@@ -150,7 +188,7 @@ def _hs_tile_kernel(row0_ref, col0_ref, u_ref, v_ref, gx_ref, gy_ref,
     u = u_ref[:] * mask_full
     v = v_ref[:] * mask_full
     u, v = _hs_sweeps(u, v, gx_ref[:], gy_ref[:], gt_ref[:], inv_ref[:],
-                      mask_full, window, fuse)
+                      mask_full, window, fuse, mxu=mxu)
     uo_ref[:] = u
     vo_ref[:] = v
 
@@ -414,7 +452,8 @@ def _hs_pipelined_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
                          bufs, obufs, sems, osems,
                          *, n_i: int, n_j: int, tile_h: int, tile_w: int,
                          halo_y: int, halo_x: int, need: int, window: int,
-                         fuse: int, img_h: int, img_w: int):
+                         fuse: int, img_h: int, img_w: int,
+                         mxu: bool = False):
     """Double-buffered variant of :func:`_hs_kernel`: one grid step loops
     over all tiles, prefetching tile t+1's six halo'd fields while tile t
     computes, and writing results back with async copies (two slots each
@@ -470,7 +509,7 @@ def _hs_pipelined_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
         v = bufs[slot, 1][crop] * mask_full
         u, v = _hs_sweeps(u, v, bufs[slot, 2][crop], bufs[slot, 3][crop],
                           bufs[slot, 4][crop], bufs[slot, 5][crop],
-                          mask_full, window, fuse)
+                          mask_full, window, fuse, mxu=mxu)
 
         # Reuse of this output slot requires its previous copy done.
         @pl.when(t >= 2)
@@ -494,7 +533,7 @@ def _hs_pipelined_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
 @functools.partial(
     jax.jit,
     static_argnames=("window_size", "max_iterations", "tile_h", "tile_w",
-                     "fuse", "pipelined", "interpret"))
+                     "fuse", "pipelined", "mxu", "interpret"))
 def horn_schunck_pallas(
     prev: jnp.ndarray,
     next: jnp.ndarray,
@@ -505,6 +544,7 @@ def horn_schunck_pallas(
     tile_w: int = 1024,
     fuse: int = 10,
     pipelined: bool = False,
+    mxu: bool = False,
     interpret: bool = False,
 ):
     """Horn-Schunck flow with the fused Pallas sweep. Returns (u, v).
@@ -553,7 +593,7 @@ def horn_schunck_pallas(
             kern = functools.partial(
                 _hs_pipelined_kernel, n_i=n_i, n_j=n_j, tile_h=tile_h,
                 tile_w=tile_w, halo_y=halo_y, halo_x=halo_x, need=need,
-                window=window_size, fuse=k, img_h=h, img_w=w)
+                window=window_size, fuse=k, img_h=h, img_w=w, mxu=mxu)
             u_new, v_new = pl.pallas_call(
                 kern,
                 in_specs=[any_spec] * 6,
@@ -573,7 +613,7 @@ def horn_schunck_pallas(
         kern = functools.partial(
             _hs_kernel, tile_h=tile_h, tile_w=tile_w, halo_y=halo_y,
             halo_x=halo_x, need=need, window=window_size, fuse=k,
-            img_h=h, img_w=w)
+            img_h=h, img_w=w, mxu=mxu)
         out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
         u_new, v_new = pl.pallas_call(

@@ -53,11 +53,13 @@ def _poly_exp_matrices(n: int, sigma: float) -> tuple[np.ndarray, np.ndarray]:
     return g, np.linalg.inv(G)
 
 
-def poly_expansion(img: jnp.ndarray, poly_n: int, poly_sigma: float):
+def poly_expansion(img: jnp.ndarray, poly_n: int, poly_sigma: float,
+                   use_kernel: bool | None = None):
     """Quadratic expansion coefficients (b1, b2, a11, a22, a12) per pixel.
 
     f(x + dx) ~ c + b.dx + dx^T A dx with A = [[a11, a12], [a12, a22]].
     Border: replicate (OpenCV PolyExp clamps source rows/cols).
+    ``use_kernel`` overrides the fused-Pallas auto-dispatch (None = auto).
     """
     n = poly_n
     g, Ginv = _poly_exp_matrices(n, poly_sigma)
@@ -68,7 +70,7 @@ def poly_expansion(img: jnp.ndarray, poly_n: int, poly_sigma: float):
     gx = g * xs
     gxx = g * xs * xs
 
-    if _use_fb_kernel(img):
+    if _use_fb_kernel(img) if use_kernel is None else use_kernel:
         # Fused Pallas path: all six moments + the G^-1 combination in
         # one pass over the image (vs 6 sep-conv dispatches).
         from tpuflow.kernels.fb_kernels import fb_poly_expansion_pallas
@@ -245,9 +247,17 @@ def _use_fb_kernel(M) -> bool:
         return False
 
 
-def _blur_solve(M: jnp.ndarray, winsize: int, gaussian: bool):
-    """box/gaussian aggregate of the 5-channel M + 2x2 solve -> (u, v)."""
-    if not gaussian and _use_fb_kernel(M):
+def _blur_solve(M: jnp.ndarray, winsize: int, gaussian: bool,
+                use_kernel: bool | None = None):
+    """box/gaussian aggregate of the 5-channel M + 2x2 solve -> (u, v).
+
+    ``use_kernel`` selects the fused blur+solve Pallas kernel — measured
+    2.3x SLOWER than the separable-conv path on the v5e (fb stream
+    blur=K 213 ms vs blur=x 91 ms, scripts/r2_mxu_fb_ab.py), so the
+    default is the separable path; the kernel stays available for
+    architectures where one dispatch beats ten.
+    """
+    if not gaussian and (False if use_kernel is None else use_kernel):
         from tpuflow.kernels.fb_kernels import fb_blur_solve_pallas
 
         m = winsize // 2
@@ -261,9 +271,11 @@ def _blur_solve(M: jnp.ndarray, winsize: int, gaussian: bool):
 
 @partial(jax.jit, static_argnames=("pyr_scale", "levels", "winsize",
                                    "iterations", "poly_n", "poly_sigma",
-                                   "gaussian"))
+                                   "gaussian", "use_poly_kernel",
+                                   "use_blur_kernel"))
 def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
-                    iterations, poly_n, poly_sigma, gaussian):
+                    iterations, poly_n, poly_sigma, gaussian,
+                    use_poly_kernel=None, use_blur_kernel=None):
     h, w = prev.shape
     dt = prev.dtype
 
@@ -298,11 +310,11 @@ def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
             u = jax.image.resize(u, (hl, wl), method="linear") / pyr_scale
             v = jax.image.resize(v, (hl, wl), method="linear") / pyr_scale
 
-        R1 = poly_expansion(p_l, poly_n, poly_sigma)
-        R2 = poly_expansion(n_l, poly_n, poly_sigma)
+        R1 = poly_expansion(p_l, poly_n, poly_sigma, use_poly_kernel)
+        R2 = poly_expansion(n_l, poly_n, poly_sigma, use_poly_kernel)
         M = update_matrices(R1, R2, u, v, zero_flow=zero_flow)
         for i in range(iterations):
-            u, v = _blur_solve(M, winsize, gaussian)
+            u, v = _blur_solve(M, winsize, gaussian, use_blur_kernel)
             if i < iterations - 1:
                 M = update_matrices(R1, R2, u, v)
     return u, v
@@ -319,6 +331,8 @@ def calc_optical_flow_farneback(
     poly_n: int = 5,
     poly_sigma: float = 1.2,
     flags: int = 0,
+    use_poly_kernel: bool | None = None,
+    use_blur_kernel: bool | None = None,
 ):
     """OpenCV-parameterized Farneback flow -> (u, v).
 
@@ -334,4 +348,4 @@ def calc_optical_flow_farneback(
     gaussian = bool(flags & 0x200)
     return _farneback_impl(prev, nxt, u0, v0, float(pyr_scale), levels,
                            winsize, iterations, poly_n, float(poly_sigma),
-                           gaussian)
+                           gaussian, use_poly_kernel, use_blur_kernel)
