@@ -379,3 +379,58 @@ class TestFarnebackSharded:
         prev, nxt = self._pair(64, 128)
         with pytest.raises(ValueError):
             farneback_sharded(prev, nxt, make_mesh(8), levels=2)
+
+
+class TestMeanShiftSharded:
+    """Tiled mean-shift filtering == single-device (the flagship BM
+    path's segmentation stage, OpticalFlow_BlockMatching.cpp:122-135)."""
+
+    def test_matches_single_device(self):
+        from tpuflow.dist import make_mesh
+        from tpuflow.segmentation.meanshift import (
+            mean_shift_filter,
+            mean_shift_filter_sharded,
+        )
+
+        mesh = make_mesh(8)
+        lab = rng.uniform(0, 1, (32, 64, 3)).astype(np.float32)
+        pos1, col1 = mean_shift_filter(jnp.asarray(lab), 4, 0.1, iters=4)
+        pos2, col2 = mean_shift_filter_sharded(lab, mesh, 4, 0.1, iters=4)
+        np.testing.assert_array_equal(np.asarray(pos2), np.asarray(pos1))
+        np.testing.assert_array_equal(np.asarray(col2), np.asarray(col1))
+
+    def test_rejects_small_tiles(self):
+        from tpuflow.dist import make_mesh
+        from tpuflow.segmentation.meanshift import mean_shift_filter_sharded
+
+        lab = rng.uniform(0, 1, (16, 32, 3)).astype(np.float32)
+        with pytest.raises(ValueError):
+            mean_shift_filter_sharded(lab, make_mesh(8), 20, 0.1)
+
+
+class TestBlockMatchingSharded:
+    """Candidate-parallel distributed BM == single-device
+    (OpticalFlow_BlockMatching.cpp:198-219 search split over the mesh)."""
+
+    def test_matches_single_device(self):
+        from tpuflow.blockmatching import block_matching_labels
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.bm import block_matching_labels_sharded
+        from tpuflow.segmentation import segment_meanshift
+
+        mesh = make_mesh(8)
+        from scipy.ndimage import gaussian_filter
+
+        base = gaussian_filter(
+            rng.uniform(0, 1, (40, 64, 3)), (2, 2, 0)).astype(np.float32)
+        cur = base[2:34, 1:49]
+        ref = base[:32, :48]
+        seg = segment_meanshift(cur, 4, 0.12, iters=3, min_size=4)
+        r1 = block_matching_labels(cur, ref, seg.labels, seg.n_regions,
+                                   search_range=9, subpixel_scale=2)
+        r2 = block_matching_labels_sharded(
+            cur, ref, seg.labels, seg.n_regions, mesh,
+            search_range=9, subpixel_scale=2)
+        np.testing.assert_array_equal(r2.region_uv, r1.region_uv)
+        np.testing.assert_array_equal(r2.region_cost, r1.region_cost)
+        np.testing.assert_array_equal(r2.u, r1.u)

@@ -149,30 +149,22 @@ def _region_costs(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
     return _cost_from_sums(sums, cur.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_regions", "search_range", "subpixel_scale",
-                     "coeff_mad", "coeff_zncc", "chunk"))
-def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
-                         n_regions: int,
-                         search_range: int, subpixel_scale: int,
-                         coeff_mad: float, coeff_zncc: float,
-                         chunk: int = 16):
-    """Best (dx, dy, cost) per region matching cur against ref.
-
-    ``chunk`` = candidates evaluated per permuted-gather pass (wider rows
-    amortize the gather's index overhead at the price of a (N, chunk*7)
-    intermediate)."""
+def search_candidates(search_range: int) -> np.ndarray:
+    """The (2R+1)^2 integer displacement grid, (n, (dy, dx)), in the
+    canonical (row-major over dy then dx) order every matcher variant
+    shares — the distributed candidate-parallel path depends on it."""
     R = search_range // 2
-    dt = cur_lab.dtype
-    cand_np = np.stack(
+    return np.stack(
         np.meshgrid(np.arange(-R, R + 1), np.arange(-R, R + 1),
-                    indexing="ij"), -1).reshape(-1, 2)  # (n, (dy, dx))
-    n_cand = cand_np.shape[0]
+                    indexing="ij"), -1).reshape(-1, 2)
+
+
+def _integer_costs(cur_lab, ref_lab, perm, bounds, n_regions: int,
+                   cand, coeff_mad: float, coeff_zncc: float, chunk: int):
+    """MAD+ZNCC cost of every candidate displacement, (n_cand_padded,
+    n_regions); ``cand`` length must be a multiple of ``chunk``."""
+    dt = cur_lab.dtype
     CH = chunk
-    pad = (-n_cand) % CH
-    cand = jnp.asarray(
-        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
     n_pix = cur_lab.shape[0] * cur_lab.shape[1]
 
     def eval_chunk(d_chunk):
@@ -192,7 +184,95 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
         return coeff_mad * mad - coeff_zncc * zncc   # (CH, n_regions)
 
     chunks = cand.reshape(-1, CH, 2)
-    costs = jax.lax.map(eval_chunk, chunks).reshape(-1, n_regions)
+    return jax.lax.map(eval_chunk, chunks).reshape(-1, n_regions)
+
+
+def _subpixel_refine(cur_lab, ref_lab, labels, perm, bounds,
+                     n_regions: int, best_d, best_cost,
+                     subpixel_scale: int, coeff_mad: float,
+                     coeff_zncc: float):
+    dt = cur_lab.dtype
+    n_pix = cur_lab.shape[0] * cur_lab.shape[1]
+    # Refine around the integer winner on a 1/subpixel grid. Every
+    # subpixel offset is a fraction in (-1, 1) around the *integer*
+    # winner, so all candidates' bilinear taps live in the same 3x3
+    # integer neighborhood: gather it ONCE (9 flat row-gathers shared
+    # by every candidate), build every candidate's moment fields, and
+    # reduce them all with a single permuted gather + range-sum pass
+    # — the same candidate-chunked scheme as the integer search
+    # (one gather/cumsum per candidate dominated this stage before).
+    s = 1.0 / subpixel_scale
+    sub_np = np.stack(
+        np.meshgrid(np.arange(-(subpixel_scale - 1), subpixel_scale),
+                    np.arange(-(subpixel_scale - 1), subpixel_scale),
+                    indexing="ij"), -1).reshape(-1, 2) * s  # (n_sub, 2)
+    n_sub = sub_np.shape[0]
+    h, w = cur_lab.shape[:2]
+    xs_i = jnp.arange(w, dtype=jnp.int32)[None, :]
+    ys_i = jnp.arange(h, dtype=jnp.int32)[:, None]
+    d_pix = best_d[labels]  # (H, W, (dy, dx)) integer-valued
+    x_base = xs_i + d_pix[..., 1].astype(jnp.int32)
+    y_base = ys_i + d_pix[..., 0].astype(jnp.int32)
+    ref_flat = ref_lab.reshape(h * w, -1)
+    n_ch = ref_flat.shape[-1]
+
+    def g(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return jnp.take(ref_flat, yy * w + xx, axis=0)
+
+    nb = {(jy, jx): g(y_base + jy, x_base + jx)
+          for jy in (-1, 0, 1) for jx in (-1, 0, 1)}  # (H, W, C) each
+
+    fields_all = []
+    for dy_f, dx_f in sub_np:
+        iy = int(np.floor(dy_f))  # -1 or 0
+        ix = int(np.floor(dx_f))
+        fx = float(dx_f - ix)
+        fy = float(dy_f - iy)
+        interp = ((1 - fx) * (1 - fy) * nb[(iy, ix)]
+                  + fx * (1 - fy) * nb[(iy, ix + 1)]
+                  + (1 - fx) * fy * nb[(iy + 1, ix)]
+                  + fx * fy * nb[(iy + 1, ix + 1)])
+        qx = x_base.astype(dt) + dx_f
+        qy = y_base.astype(dt) + dy_f
+        valid = (qx >= 0) & (qx <= w - 1) & (qy >= 0) & (qy <= h - 1)
+        fields_all.append(_moment_fields(cur_lab, interp, valid))
+    f = jnp.stack(fields_all, axis=1).reshape(n_pix, n_sub * 7)
+    fs = jnp.take(f, perm, axis=0)
+    sums = _contiguous_range_sums(fs, bounds)      # (n_regions, n_sub*7)
+    sums = jnp.transpose(
+        sums.reshape(n_regions, n_sub, 7), (1, 0, 2))
+    mad, zncc, _ = _cost_from_sums(sums, dt)
+    sub_costs = coeff_mad * mad - coeff_zncc * zncc  # (n_sub, n_regions)
+    sbest = jnp.argmin(sub_costs, axis=0)
+    best_cost = jnp.take_along_axis(sub_costs, sbest[None, :], axis=0)[0]
+    best_d = best_d + jnp.asarray(sub_np, dt)[sbest]
+    return best_d, best_cost
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_regions", "search_range", "subpixel_scale",
+                     "coeff_mad", "coeff_zncc", "chunk"))
+def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
+                         n_regions: int,
+                         search_range: int, subpixel_scale: int,
+                         coeff_mad: float, coeff_zncc: float,
+                         chunk: int = 16):
+    """Best (dx, dy, cost) per region matching cur against ref.
+
+    ``chunk`` = candidates evaluated per permuted-gather pass (wider rows
+    amortize the gather's index overhead at the price of a (N, chunk*7)
+    intermediate)."""
+    dt = cur_lab.dtype
+    cand_np = search_candidates(search_range)
+    n_cand = cand_np.shape[0]
+    pad = (-n_cand) % chunk
+    cand = jnp.asarray(
+        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    costs = _integer_costs(cur_lab, ref_lab, perm, bounds, n_regions,
+                           cand, coeff_mad, coeff_zncc, chunk)
     costs = costs[:n_cand]
     cand = cand[:n_cand]
     best = jnp.argmin(costs, axis=0)  # (n_regions,)
@@ -200,61 +280,9 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     best_d = cand[best].astype(dt)  # (n_regions, (dy, dx))
 
     if subpixel_scale > 1:
-        # Refine around the integer winner on a 1/subpixel grid. Every
-        # subpixel offset is a fraction in (-1, 1) around the *integer*
-        # winner, so all candidates' bilinear taps live in the same 3x3
-        # integer neighborhood: gather it ONCE (9 flat row-gathers shared
-        # by every candidate), build every candidate's moment fields, and
-        # reduce them all with a single permuted gather + range-sum pass
-        # — the same candidate-chunked scheme as the integer search
-        # (one gather/cumsum per candidate dominated this stage before).
-        s = 1.0 / subpixel_scale
-        sub_np = np.stack(
-            np.meshgrid(np.arange(-(subpixel_scale - 1), subpixel_scale),
-                        np.arange(-(subpixel_scale - 1), subpixel_scale),
-                        indexing="ij"), -1).reshape(-1, 2) * s  # (n_sub, 2)
-        n_sub = sub_np.shape[0]
-        h, w = cur_lab.shape[:2]
-        xs_i = jnp.arange(w, dtype=jnp.int32)[None, :]
-        ys_i = jnp.arange(h, dtype=jnp.int32)[:, None]
-        d_pix = best_d[labels]  # (H, W, (dy, dx)) integer-valued
-        x_base = xs_i + d_pix[..., 1].astype(jnp.int32)
-        y_base = ys_i + d_pix[..., 0].astype(jnp.int32)
-        ref_flat = ref_lab.reshape(h * w, -1)
-        n_ch = ref_flat.shape[-1]
-
-        def g(yy, xx):
-            yy = jnp.clip(yy, 0, h - 1)
-            xx = jnp.clip(xx, 0, w - 1)
-            return jnp.take(ref_flat, yy * w + xx, axis=0)
-
-        nb = {(jy, jx): g(y_base + jy, x_base + jx)
-              for jy in (-1, 0, 1) for jx in (-1, 0, 1)}  # (H, W, C) each
-
-        fields_all = []
-        for dy_f, dx_f in sub_np:
-            iy = int(np.floor(dy_f))  # -1 or 0
-            ix = int(np.floor(dx_f))
-            fx = float(dx_f - ix)
-            fy = float(dy_f - iy)
-            interp = ((1 - fx) * (1 - fy) * nb[(iy, ix)]
-                      + fx * (1 - fy) * nb[(iy, ix + 1)]
-                      + (1 - fx) * fy * nb[(iy + 1, ix)]
-                      + fx * fy * nb[(iy + 1, ix + 1)])
-            qx = x_base.astype(dt) + dx_f
-            qy = y_base.astype(dt) + dy_f
-            valid = (qx >= 0) & (qx <= w - 1) & (qy >= 0) & (qy <= h - 1)
-            fields_all.append(_moment_fields(cur_lab, interp, valid))
-        f = jnp.stack(fields_all, axis=1).reshape(n_pix, n_sub * 7)
-        fs = jnp.take(f, perm, axis=0)
-        sums = _contiguous_range_sums(fs, bounds)      # (n_regions, n_sub*7)
-        sums = jnp.transpose(
-            sums.reshape(n_regions, n_sub, 7), (1, 0, 2))
-        mad, zncc, _ = _cost_from_sums(sums, dt)
-        sub_costs = coeff_mad * mad - coeff_zncc * zncc  # (n_sub, n_regions)
-        sbest = jnp.argmin(sub_costs, axis=0)
-        best_cost = jnp.take_along_axis(sub_costs, sbest[None, :], axis=0)[0]
-        best_d = best_d + jnp.asarray(sub_np, dt)[sbest]
+        best_d, best_cost = _subpixel_refine(
+            cur_lab, ref_lab, labels, perm, bounds, n_regions, best_d,
+            best_cost, subpixel_scale, coeff_mad, coeff_zncc)
 
     # (dx, dy) per region + per-pixel expansion.
     uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)

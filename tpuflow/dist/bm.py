@@ -1,0 +1,112 @@
+"""Distributed block matching: search-space (candidate) parallelism.
+
+The reference's flagship block-matching search
+(``OpticalFlow_BlockMatching.cpp:198-219`` ->
+``BlockMatching<Lab>::block_matching(61, 1.0, 0.5)``) parallelizes with
+OpenMP inside the per-region loops (SURVEY.md §2.6). Regions are
+irregular, so the TPU matcher (tpuflow/blockmatching/matcher.py)
+evaluates the (2R+1)^2 candidate displacement grid densely; the natural
+multi-chip decomposition is therefore the *candidate axis*: every device
+scores an equal slice of the search grid against the full (replicated,
+KITTI-sized) frames, the tiny (n_cand, n_regions) partial cost tables
+all-gather over the mesh, and the argmin + subpixel refinement replay
+replicated — bitwise the single-device result, with the O(n_pix x
+n_cand) search cost split D ways and only O(n_cand x n_regions) floats
+on the interconnect.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpuflow.blockmatching.matcher import (
+    BlockMatchResult,
+    _integer_costs,
+    _subpixel_refine,
+    region_reduction_plan,
+    search_candidates,
+)
+from tpuflow.dist.solvers import shard_map
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_regions", "search_range", "subpixel_scale",
+                     "coeff_mad", "coeff_zncc", "chunk"))
+def _match_sharded(cur_lab, ref_lab, labels, perm, bounds, cand,
+                   mesh: Mesh, n_regions: int, search_range: int,
+                   subpixel_scale: int, coeff_mad: float,
+                   coeff_zncc: float, chunk: int):
+    n_cand = search_candidates(search_range).shape[0]
+    rep = P(None)
+
+    def body(cur_t, ref_t, labels_t, perm_t, bounds_t, cand_t):
+        local = _integer_costs(cur_t, ref_t, perm_t, bounds_t, n_regions,
+                               cand_t, coeff_mad, coeff_zncc, chunk)
+        # (D, n_local, n_regions) in device (= global candidate) order.
+        costs = lax.all_gather(local, ("ty", "tx"))
+        return costs.reshape(-1, n_regions)[None]
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(rep, rep, rep, rep, rep, P(("ty", "tx"), None)),
+        out_specs=P(("ty", "tx"), None, None))
+    costs = f(cur_lab, ref_lab, labels, perm, bounds, cand)[0][:n_cand]
+
+    dt = cur_lab.dtype
+    cand_full = jnp.asarray(search_candidates(search_range))
+    best = jnp.argmin(costs, axis=0)
+    best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
+    best_d = cand_full[best].astype(dt)
+    if subpixel_scale > 1:
+        best_d, best_cost = _subpixel_refine(
+            cur_lab, ref_lab, labels, perm, bounds, n_regions, best_d,
+            best_cost, subpixel_scale, coeff_mad, coeff_zncc)
+    uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
+    return uv, best_cost
+
+
+def block_matching_labels_sharded(
+    cur_lab,
+    ref_lab,
+    labels,
+    n_regions: int,
+    mesh: Mesh,
+    search_range: int = 61,
+    coeff_mad: float = 1.0,
+    coeff_zncc: float = 0.5,
+    subpixel_scale: int = 2,
+    chunk: int = 16,
+) -> BlockMatchResult:
+    """Distributed block_matching_labels: same result, search split over
+    the mesh's devices along the candidate axis."""
+    cur_lab = jnp.asarray(cur_lab)
+    ref_lab = jnp.asarray(ref_lab)
+    d = int(np.prod(mesh.devices.shape))
+    cand_np = search_candidates(search_range)
+    n_cand = cand_np.shape[0]
+    # Pad so every device holds a chunk-multiple slice; (0, 0) fillers
+    # are discarded after the all-gather (global order is preserved).
+    per_dev = -(-n_cand // d)
+    per_dev = -(-per_dev // chunk) * chunk
+    pad = per_dev * d - n_cand
+    cand = jnp.asarray(
+        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    perm, bounds = region_reduction_plan(labels, int(n_regions))
+    uv, cost = _match_sharded(
+        cur_lab, ref_lab, jnp.asarray(labels), jnp.asarray(perm),
+        jnp.asarray(bounds), cand, mesh, int(n_regions),
+        int(search_range), int(subpixel_scale), float(coeff_mad),
+        float(coeff_zncc), int(chunk))
+    uv = np.asarray(uv)
+    cost = np.asarray(cost)
+    lab_np = np.asarray(labels)
+    return BlockMatchResult(
+        u=uv[lab_np][..., 0], v=uv[lab_np][..., 1], cost=cost[lab_np],
+        region_uv=uv, region_cost=cost)

@@ -232,3 +232,99 @@ def segment_meanshift(
                               float(kernel_intensity), min_size)
     return SegmentationResult(labels=labels, n_regions=n,
                               shift_spatial=pos, shift_color=col)
+
+
+def mean_shift_filter_sharded(
+    lab,
+    mesh,
+    kernel_spatial: int = 20,
+    kernel_intensity: float = 16.0 / 255.0,
+    iters: int = 8,
+    margin: int | None = None,
+):
+    """Distributed :func:`mean_shift_filter` over a ("ty", "tx") mesh.
+
+    The static-shift window reads data only within E = R + margin pixels
+    of each query's ORIGIN pixel, so one halo exchange of the Lab frame
+    (width E, zero-filled at global borders — out-of-image data points
+    are masked by the global-coordinate validity test exactly as in the
+    single-device step) makes the entire iteration loop tile-local.
+    Bitwise-identical accumulation order to the single-device filter
+    (equivalence test on the virtual CPU mesh, tests/test_dist.py).
+    Multi-chip analogue of the reference's OpenMP row loop inside
+    Segmentation<Lab> (SURVEY.md §2.4, §2.6).
+    """
+    import jax as _jax
+    from jax import lax as _lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpuflow.dist.halo import halo_pad_2d
+    from tpuflow.dist.solvers import shard_map
+
+    lab = jnp.asarray(lab)
+    h, w = lab.shape[:2]
+    dt = lab.dtype
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    th, tw = h // ty, w // tx
+    R = int(kernel_spatial)
+    M = R if margin is None else int(margin)
+    E = R + M
+    if E > th or E > tw:
+        raise ValueError("tile smaller than the shift window halo")
+    hs2 = float(kernel_spatial) ** 2
+    hr2 = float(kernel_intensity) ** 2
+
+    spec = P("ty", "tx", None)
+    lab_sh = _jax.device_put(lab, NamedSharding(mesh, spec))
+
+    def tile_body(lab_t):
+        row0 = (_lax.axis_index("ty") * th).astype(dt)
+        col0 = (_lax.axis_index("tx") * tw).astype(dt)
+        labh = jnp.stack([halo_pad_2d(lab_t[..., c], E) for c in range(3)],
+                         axis=-1)
+        xs = col0 + jnp.arange(tw, dtype=dt)[None, :] * jnp.ones((th, 1), dt)
+        ys = row0 + jnp.arange(th, dtype=dt)[:, None] * jnp.ones((1, tw), dt)
+        offs = jnp.stack(
+            jnp.meshgrid(jnp.arange(-E, E + 1), jnp.arange(-E, E + 1),
+                         indexing="ij"), -1).reshape(-1, 2)
+
+        def step(state):
+            px, py, cl = state
+
+            def body(k, acc):
+                s_x, s_y, s_c, s_n = acc
+                dy = offs[k, 0]
+                dx = offs[k, 1]
+                # Data point at the static offset from the origin pixel:
+                # a dynamic window of the halo'd tile (== the roll of the
+                # global frame restricted to this tile).
+                qc = _lax.dynamic_slice(
+                    labh, (E + dy, E + dx, 0), (th, tw, 3))
+                qxf = xs + dx.astype(dt)
+                qyf = ys + dy.astype(dt)
+                valid = (qyf >= 0) & (qyf < h) & (qxf >= 0) & (qxf < w)
+                d_sp = (qxf - px) ** 2 + (qyf - py) ** 2
+                d_cl = jnp.sum((qc - cl) ** 2, axis=-1)
+                wgt = jnp.where(valid & (d_sp <= hs2) & (d_cl <= hr2),
+                                1.0, 0.0).astype(dt)
+                return (s_x + wgt * qxf, s_y + wgt * qyf,
+                        s_c + wgt[..., None] * qc, s_n + wgt)
+
+            z = jnp.zeros((th, tw), dt)
+            s_x, s_y, s_c, s_n = _lax.fori_loop(
+                0, offs.shape[0], body,
+                (z, z, jnp.zeros((th, tw, 3), dt), z))
+            n = jnp.maximum(s_n, 1.0)
+            return s_x / n, s_y / n, s_c / n[..., None]
+
+        state = (xs, ys, lab_t)
+        for _ in range(iters):
+            state = step(state)
+        px, py, cl = state
+        return jnp.stack([px, py], axis=-1), cl
+
+    f = _jax.jit(shard_map(tile_body, mesh, in_specs=spec,
+                           out_specs=(spec, spec)))
+    return f(lab_sh)
