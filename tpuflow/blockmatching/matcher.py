@@ -79,6 +79,31 @@ def region_reduction_plan(labels: np.ndarray, n_regions: int):
     return perm, bounds
 
 
+def region_bucket(n_regions: int, minimum: int = 128) -> int:
+    """Round a region count up to the next power of two (>= ``minimum``).
+
+    The jitted matchers take the region count as a static argument;
+    mean-shift region counts drift from frame to frame, and every fresh
+    count would recompile the whole search (~10 s/frame measured on the
+    v5e through the axon tunnel). Bucketing pads the per-region arrays to
+    a stable size: padded regions are empty ranges whose cost is +inf,
+    and callers slice the outputs back to the true count."""
+    b = int(minimum)
+    while b < n_regions:
+        b *= 2
+    return b
+
+
+def pad_region_bounds(bounds: np.ndarray, n_pad: int) -> np.ndarray:
+    """Extend a (n_regions + 1,) bounds array to (n_pad + 1,) by
+    repeating the final offset — the appended regions are empty."""
+    n_regions = bounds.shape[0] - 1
+    if n_pad == n_regions:
+        return bounds
+    return np.concatenate(
+        [bounds, np.full(n_pad - n_regions, bounds[-1], bounds.dtype)])
+
+
 def _contiguous_range_sums(sorted_fields: jnp.ndarray,
                            bounds: jnp.ndarray,
                            chunk: int = 512) -> jnp.ndarray:
@@ -289,6 +314,32 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     return uv, best_cost
 
 
+def _match_device(cur_lab, ref_lab, labels, n_regions: int, search_range,
+                  coeff_mad, coeff_zncc, subpixel_scale, chunk):
+    """Dispatch one direction's search; returns device arrays (uv, cost)
+    padded to the bucketed region count — no host sync."""
+    perm, bounds = region_reduction_plan(np.asarray(labels),
+                                         int(n_regions))
+    # Bucket the static region count so frame-to-frame drift in the
+    # mean-shift segmentation reuses the compiled search (a fresh count
+    # costs a ~10 s XLA recompile per frame on the tunneled v5e).
+    n_pad = region_bucket(int(n_regions))
+    bounds = pad_region_bounds(bounds, n_pad)
+    return _match_one_direction(
+        jnp.asarray(cur_lab), jnp.asarray(ref_lab), jnp.asarray(labels),
+        jnp.asarray(perm), jnp.asarray(bounds), n_pad, int(search_range),
+        int(subpixel_scale), float(coeff_mad), float(coeff_zncc),
+        int(chunk))
+
+
+def _result_from_host(uv, cost, lab_np, n_regions: int) -> BlockMatchResult:
+    uv = np.asarray(uv)[:n_regions]
+    cost = np.asarray(cost)[:n_regions]
+    return BlockMatchResult(
+        u=uv[lab_np][..., 0], v=uv[lab_np][..., 1], cost=cost[lab_np],
+        region_uv=uv, region_cost=cost)
+
+
 def block_matching_labels(
     cur_lab,
     ref_lab,
@@ -303,21 +354,11 @@ def block_matching_labels(
     """Match every region of ``cur`` against ``ref``; vectors point from
     cur pixels toward their reference-frame position (inverse flow, like
     the reference's get_prev)."""
-    cur_lab = jnp.asarray(cur_lab)
-    ref_lab = jnp.asarray(ref_lab)
-    labels_j = jnp.asarray(labels)
-    perm, bounds = region_reduction_plan(labels, int(n_regions))
-    uv, cost = _match_one_direction(
-        cur_lab, ref_lab, labels_j, jnp.asarray(perm), jnp.asarray(bounds),
-        int(n_regions), int(search_range),
-        int(subpixel_scale), float(coeff_mad), float(coeff_zncc),
-        int(chunk))
-    uv = np.asarray(uv)
-    cost = np.asarray(cost)
-    lab_np = np.asarray(labels)
-    return BlockMatchResult(
-        u=uv[lab_np][..., 0], v=uv[lab_np][..., 1], cost=cost[lab_np],
-        region_uv=uv, region_cost=cost)
+    uv, cost = _match_device(cur_lab, ref_lab, labels, n_regions,
+                             search_range, coeff_mad, coeff_zncc,
+                             subpixel_scale, chunk)
+    uv, cost = jax.device_get((uv, cost))
+    return _result_from_host(uv, cost, np.asarray(labels), int(n_regions))
 
 
 def block_matching_bidirectional(
@@ -330,15 +371,25 @@ def block_matching_bidirectional(
     coeff_mad: float = 1.0,
     coeff_zncc: float = 0.5,
     subpixel_scale: int = 2,
+    chunk: int = 16,
 ):
     """Bidirectional matching: returns (prev_result, next_result,
     t (H, W) in {-1, +1}) with t = -1 where the prev match wins
-    (BlockMatching::get's Vector_ST time direction)."""
-    r_prev = block_matching_labels(cur_lab, prev_lab, labels, n_regions,
-                                   search_range, coeff_mad, coeff_zncc,
-                                   subpixel_scale)
-    r_next = block_matching_labels(cur_lab, next_lab, labels, n_regions,
-                                   search_range, coeff_mad, coeff_zncc,
-                                   subpixel_scale)
+    (BlockMatching::get's Vector_ST time direction).
+
+    Both directions are dispatched before any host fetch, so the two
+    searches queue back-to-back on device and the tunnel round trip is
+    paid once (per-sync latency dominates small fetches on the axon
+    link)."""
+    d_prev = _match_device(cur_lab, prev_lab, labels, n_regions,
+                           search_range, coeff_mad, coeff_zncc,
+                           subpixel_scale, chunk)
+    d_next = _match_device(cur_lab, next_lab, labels, n_regions,
+                           search_range, coeff_mad, coeff_zncc,
+                           subpixel_scale, chunk)
+    (uv_p, c_p), (uv_n, c_n) = jax.device_get((d_prev, d_next))
+    lab_np = np.asarray(labels)
+    r_prev = _result_from_host(uv_p, c_p, lab_np, int(n_regions))
+    r_next = _result_from_host(uv_n, c_n, lab_np, int(n_regions))
     t = np.where(r_prev.cost <= r_next.cost, -1, 1).astype(np.int8)
     return r_prev, r_next, t

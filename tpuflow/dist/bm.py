@@ -29,6 +29,8 @@ from tpuflow.blockmatching.matcher import (
     BlockMatchResult,
     _integer_costs,
     _subpixel_refine,
+    pad_region_bounds,
+    region_bucket,
     region_reduction_plan,
     search_candidates,
 )
@@ -99,13 +101,17 @@ def block_matching_labels_sharded(
     cand = jnp.asarray(
         np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
     perm, bounds = region_reduction_plan(labels, int(n_regions))
+    # Same region-count bucketing as the single-device matcher (stable
+    # jit signature across frames).
+    n_pad_r = region_bucket(int(n_regions))
+    bounds = pad_region_bounds(bounds, n_pad_r)
     uv, cost = _match_sharded(
         cur_lab, ref_lab, jnp.asarray(labels), jnp.asarray(perm),
-        jnp.asarray(bounds), cand, mesh, int(n_regions),
+        jnp.asarray(bounds), cand, mesh, n_pad_r,
         int(search_range), int(subpixel_scale), float(coeff_mad),
         float(coeff_zncc), int(chunk))
-    uv = np.asarray(uv)
-    cost = np.asarray(cost)
+    uv = np.asarray(uv)[:n_regions]
+    cost = np.asarray(cost)[:n_regions]
     lab_np = np.asarray(labels)
     return BlockMatchResult(
         u=uv[lab_np][..., 0], v=uv[lab_np][..., 1], cost=cost[lab_np],

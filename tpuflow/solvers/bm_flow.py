@@ -386,9 +386,19 @@ def affine_parametric_flow(
     gx, gy = gradient_method_grad(interest_lab[..., 0])
     it = gradient_method_dt(reference_lab[..., 0], interest_lab[..., 0],
                             jnp.asarray(mv_u), jnp.asarray(mv_v))
-    return _irls_affine_regions(gx, gy, it, jnp.asarray(labels),
-                                int(n_regions), float(sigma), int(iter_max),
-                                error_min_threshold, normalize_steps, a0)
+    # Bucket the static region count (like the block matcher) so
+    # frame-to-frame segmentation drift reuses the compiled IRLS.
+    from tpuflow.blockmatching.matcher import region_bucket
+
+    n_pad = region_bucket(int(n_regions))
+    if a0 is not None and a0.shape[0] < n_pad:
+        a0 = jnp.concatenate(
+            [jnp.asarray(a0),
+             jnp.zeros((n_pad - a0.shape[0], 6), gx.dtype)], axis=0)
+    a, u, v = _irls_affine_regions(gx, gy, it, jnp.asarray(labels),
+                                   n_pad, float(sigma), int(iter_max),
+                                   error_min_threshold, normalize_steps, a0)
+    return a[: int(n_regions)], u, v
 
 
 # ---------------------------------------------------------------------------
@@ -524,8 +534,11 @@ def optical_flow_block_matching(
     refs = [(ref_prev, r_prev)]
     if bidirectional:
         refs.append((ref_next, r_next))
-    refined = [tuple(np.asarray(a) for a in refine(
-        rl, jnp.asarray(r.u), jnp.asarray(r.v))) for rl, r in refs]
+    # Dispatch every refinement before fetching: the refines queue
+    # back-to-back on device and the tunnel round trip is paid once.
+    refined_dev = [refine(rl, jnp.asarray(r.u), jnp.asarray(r.v))
+                   for rl, r in refs]
+    refined = jax.device_get(refined_dev)
 
     # Compose Vector_ST: BM vector + matching-direction refinement
     # (OpticalFlow_BlockMatching.cpp:307-331).
