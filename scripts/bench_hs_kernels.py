@@ -55,16 +55,19 @@ def main():
               lambda: horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA,
                                           tile_h=128, tile_w=1024, fuse=10))
     for spec in want:
-        if not (spec.startswith("tiled:") or spec.startswith("pipe:")):
+        if not spec.startswith(("tiled:", "pipe:", "roll:", "rollpipe:")):
             continue
         kind, th, tw, f = spec.split(":")
         th, tw, f = int(th), int(tw), int(f)
         from tpuflow.kernels import horn_schunck_pallas
 
         timed(f"{kind} f{f} {th}x{tw}",
-              lambda th=th, tw=tw, f=f, p_=(kind == "pipe"):
+              lambda th=th, tw=tw, f=f,
+              p_=(kind in ("pipe", "rollpipe")),
+              r_=(kind in ("roll", "rollpipe")):
               horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA, tile_h=th,
-                                  tile_w=tw, fuse=f, pipelined=p_))
+                                  tile_w=tw, fuse=f, pipelined=p_,
+                                  roll=r_))
     if "resident" in want:
         from tpuflow.kernels import horn_schunck_pallas_resident
 

@@ -92,6 +92,29 @@ class TestBlockMatching:
         assert abs(np.median(res.u) - 1.0) < 0.51
         assert abs(np.median(res.v) - 2.0) < 0.51
 
+    def test_matmul_evaluator_matches_gather(self):
+        """The strip-one-hot MXU evaluator and the permuted-gather +
+        range-sum evaluator are the same math — identical winners and
+        costs (f64; odd height exercises the strip row padding)."""
+        import jax.numpy as jnp
+
+        from tpuflow.blockmatching import block_matching_labels
+
+        rng = np.random.default_rng(3)
+        h, w = 37, 53
+        cur = rng.uniform(0, 100, (h, w, 3))
+        ref = np.roll(cur, (2, -3), (0, 1)) + rng.normal(0, 0.5, (h, w, 3))
+        labels = rng.integers(0, 9, (h, w)).astype(np.int32)
+        res = {m: block_matching_labels(jnp.asarray(cur), jnp.asarray(ref),
+                                        labels, 9, 15, subpixel_scale=2,
+                                        method=m)
+               for m in ("matmul", "gather")}
+        np.testing.assert_allclose(res["matmul"].region_uv,
+                                   res["gather"].region_uv, atol=0)
+        np.testing.assert_allclose(res["matmul"].region_cost,
+                                   res["gather"].region_cost,
+                                   rtol=1e-10, atol=1e-12)
+
     def test_subpixel_refinement(self):
         import jax.numpy as jnp
 

@@ -51,6 +51,28 @@ class TestHornSchunckPallas:
         np.testing.assert_allclose(u, u_ref, rtol=0, atol=1e-10)
         np.testing.assert_allclose(v, v_ref, rtol=0, atol=1e-10)
 
+    def test_roll_variant(self, small_pair):
+        """The full-size cyclic-rotation sweep (no shrinking slices) is
+        exact: wrap garbage must stay inside the discarded halo ring."""
+        import jax.numpy as jnp
+
+        from tpuflow.kernels import horn_schunck_pallas
+        from tpuflow.solvers import horn_schunck
+
+        prev, nxt = small_pair
+        p = jnp.asarray(prev)
+        n = jnp.asarray(nxt)
+        u_ref, v_ref = horn_schunck(p, n, 5, 7, 1.0)
+        for pipelined in (False, True):
+            u, v = horn_schunck_pallas(p, n, 5, 7, 1.0,
+                                       tile_h=32, tile_w=128, fuse=3,
+                                       roll=True, pipelined=pipelined,
+                                       interpret=True)
+            np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                       rtol=0, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                                       rtol=0, atol=1e-10)
+
 
 class TestIrlsSweepPallas:
     def test_matches_jnp_sweeps(self, fields):

@@ -212,6 +212,83 @@ def _integer_costs(cur_lab, ref_lab, perm, bounds, n_regions: int,
     return jax.lax.map(eval_chunk, chunks).reshape(-1, n_regions)
 
 
+def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
+                          cand, coeff_mad: float, coeff_zncc: float,
+                          chunk: int, radius: int):
+    """Gather-free integer search: per 8-row strip, the region one-hot
+    matrix L (strip_pixels, n_regions) is built once and every candidate
+    chunk reduces through ONE MXU matmul ``L^T @ fields`` — region sums
+    ride the systolic array instead of the permuted-gather + cumsum pass
+    (row gathers measured ~25-55 M rows/s on the v5e, making the gather
+    the whole cost of the search). The shifted reference is a cheap
+    ``dynamic_slice`` of a padded copy (contiguous copy, not a gather).
+
+    Same contract as :func:`_integer_costs`: (n_cand_padded, n_regions)
+    costs; ``cand`` length must be a multiple of ``chunk``; ``radius``
+    bounds ``max |d|`` (the reference pad margin)."""
+    dt = cur_lab.dtype
+    CH = chunk
+    R = radius
+    STRIP = 8
+    h, w = cur_lab.shape[:2]
+    n_ch_col = cur_lab.shape[-1]
+    hp = _host_cdiv(h, STRIP) * STRIP
+    n_s = hp // STRIP
+    P = STRIP * w
+    cur_p = jnp.pad(cur_lab, ((0, hp - h), (0, 0), (0, 0)))
+    inside = jnp.pad(jnp.ones((h, w), dt), ((0, hp - h), (0, 0)))
+    lab_p = jnp.pad(labels, ((0, hp - h), (0, 0)))
+    # Row pad to hp + 2R so the strip block slice never clamps; clamped
+    # starts would misalign the last strip's real rows.
+    ref_p = jnp.pad(ref_lab, ((R, R + hp - h), (R, R), (0, 0)))
+    chunks = cand.reshape(-1, CH, 2)
+    n_chunks = chunks.shape[0]
+    ys_l = jnp.arange(STRIP, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    reg_ids = jnp.arange(n_regions, dtype=jnp.int32)[None, :]
+
+    def per_strip(acc, s):
+        y0 = s * STRIP
+        lab_s = jax.lax.dynamic_slice(lab_p, (y0, 0), (STRIP, w))
+        L = (lab_s.reshape(P)[:, None] == reg_ids).astype(dt)
+        cur_s = jax.lax.dynamic_slice(
+            cur_p, (y0, 0, 0), (STRIP, w, n_ch_col)).reshape(P, n_ch_col)
+        ins_s = jax.lax.dynamic_slice(inside, (y0, 0), (STRIP, w))
+        block = jax.lax.dynamic_slice(
+            ref_p, (y0, 0, 0), (STRIP + 2 * R, w + 2 * R, n_ch_col))
+
+        def fields_for(d):
+            dy, dx = d[0], d[1]
+            sub = jax.lax.dynamic_slice(
+                block, (R + dy, R + dx, 0),
+                (STRIP, w, n_ch_col)).reshape(P, n_ch_col)
+            valid = ((y0 + ys_l + dy >= 0) & (y0 + ys_l + dy < h)
+                     & (xs + dx >= 0) & (xs + dx < w))
+            return _moment_fields(cur_s, sub,
+                                  (valid.astype(dt) * ins_s).reshape(P))
+
+        def per_chunk(d_chunk):
+            F = jax.vmap(fields_for)(d_chunk)            # (CH, P, 7)
+            F2 = jnp.transpose(F, (1, 0, 2)).reshape(P, CH * 7)
+            return jax.lax.dot_general(
+                L, F2, (((0,), (0,)), ((), ())),
+                preferred_element_type=dt)               # (n_regions, CH*7)
+
+        return acc + jax.lax.map(per_chunk, chunks), None
+
+    acc0 = jnp.zeros((n_chunks, n_regions, CH * 7), dt)
+    acc, _ = jax.lax.scan(per_strip, acc0, jnp.arange(n_s))
+    sums = jnp.transpose(
+        acc.reshape(n_chunks, n_regions, CH, 7),
+        (0, 2, 1, 3)).reshape(-1, n_regions, 7)
+    mad, zncc, _ = _cost_from_sums(sums, dt)
+    return coeff_mad * mad - coeff_zncc * zncc
+
+
+def _host_cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def _subpixel_refine(cur_lab, ref_lab, labels, perm, bounds,
                      n_regions: int, best_d, best_cost,
                      subpixel_scale: int, coeff_mad: float,
@@ -279,25 +356,34 @@ def _subpixel_refine(cur_lab, ref_lab, labels, perm, bounds,
 @functools.partial(
     jax.jit,
     static_argnames=("n_regions", "search_range", "subpixel_scale",
-                     "coeff_mad", "coeff_zncc", "chunk"))
+                     "coeff_mad", "coeff_zncc", "chunk", "method"))
 def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
                          n_regions: int,
                          search_range: int, subpixel_scale: int,
                          coeff_mad: float, coeff_zncc: float,
-                         chunk: int = 16):
+                         chunk: int = 16, method: str = "matmul"):
     """Best (dx, dy, cost) per region matching cur against ref.
 
-    ``chunk`` = candidates evaluated per permuted-gather pass (wider rows
-    amortize the gather's index overhead at the price of a (N, chunk*7)
-    intermediate)."""
+    ``method`` selects the integer-search evaluator: ``"matmul"`` is the
+    strip-one-hot MXU reduction (:func:`_integer_costs_matmul`);
+    ``"gather"`` is the permuted-gather + range-sum pass
+    (:func:`_integer_costs`). ``chunk`` = candidates evaluated per pass
+    (wider amortizes the gather / widens the matmul RHS)."""
     dt = cur_lab.dtype
     cand_np = search_candidates(search_range)
     n_cand = cand_np.shape[0]
+    if method == "matmul":
+        chunk = max(chunk, 64)
     pad = (-n_cand) % chunk
     cand = jnp.asarray(
         np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
-    costs = _integer_costs(cur_lab, ref_lab, perm, bounds, n_regions,
-                           cand, coeff_mad, coeff_zncc, chunk)
+    if method == "matmul":
+        costs = _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions,
+                                      cand, coeff_mad, coeff_zncc, chunk,
+                                      search_range // 2)
+    else:
+        costs = _integer_costs(cur_lab, ref_lab, perm, bounds, n_regions,
+                               cand, coeff_mad, coeff_zncc, chunk)
     costs = costs[:n_cand]
     cand = cand[:n_cand]
     best = jnp.argmin(costs, axis=0)  # (n_regions,)
@@ -315,7 +401,8 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
 
 
 def _match_device(cur_lab, ref_lab, labels, n_regions: int, search_range,
-                  coeff_mad, coeff_zncc, subpixel_scale, chunk):
+                  coeff_mad, coeff_zncc, subpixel_scale, chunk,
+                  method: str = "matmul"):
     """Dispatch one direction's search; returns device arrays (uv, cost)
     padded to the bucketed region count — no host sync."""
     perm, bounds = region_reduction_plan(np.asarray(labels),
@@ -329,7 +416,7 @@ def _match_device(cur_lab, ref_lab, labels, n_regions: int, search_range,
         jnp.asarray(cur_lab), jnp.asarray(ref_lab), jnp.asarray(labels),
         jnp.asarray(perm), jnp.asarray(bounds), n_pad, int(search_range),
         int(subpixel_scale), float(coeff_mad), float(coeff_zncc),
-        int(chunk))
+        int(chunk), method)
 
 
 def _result_from_host(uv, cost, lab_np, n_regions: int) -> BlockMatchResult:
@@ -350,13 +437,14 @@ def block_matching_labels(
     coeff_zncc: float = 0.5,
     subpixel_scale: int = 2,
     chunk: int = 16,
+    method: str = "matmul",
 ) -> BlockMatchResult:
     """Match every region of ``cur`` against ``ref``; vectors point from
     cur pixels toward their reference-frame position (inverse flow, like
     the reference's get_prev)."""
     uv, cost = _match_device(cur_lab, ref_lab, labels, n_regions,
                              search_range, coeff_mad, coeff_zncc,
-                             subpixel_scale, chunk)
+                             subpixel_scale, chunk, method)
     uv, cost = jax.device_get((uv, cost))
     return _result_from_host(uv, cost, np.asarray(labels), int(n_regions))
 
@@ -372,6 +460,7 @@ def block_matching_bidirectional(
     coeff_zncc: float = 0.5,
     subpixel_scale: int = 2,
     chunk: int = 16,
+    method: str = "matmul",
 ):
     """Bidirectional matching: returns (prev_result, next_result,
     t (H, W) in {-1, +1}) with t = -1 where the prev match wins
@@ -383,10 +472,10 @@ def block_matching_bidirectional(
     link)."""
     d_prev = _match_device(cur_lab, prev_lab, labels, n_regions,
                            search_range, coeff_mad, coeff_zncc,
-                           subpixel_scale, chunk)
+                           subpixel_scale, chunk, method)
     d_next = _match_device(cur_lab, next_lab, labels, n_regions,
                            search_range, coeff_mad, coeff_zncc,
-                           subpixel_scale, chunk)
+                           subpixel_scale, chunk, method)
     (uv_p, c_p), (uv_n, c_n) = jax.device_get((d_prev, d_next))
     lab_np = np.asarray(labels)
     r_prev = _result_from_host(uv_p, c_p, lab_np, int(n_regions))

@@ -81,6 +81,43 @@ def _box_valid_mxu(a: jnp.ndarray, taps: int, band: jnp.ndarray):
         preferred_element_type=rows.dtype)
 
 
+def _box_sum_roll(a: jnp.ndarray, taps: int) -> jnp.ndarray:
+    """Centered cyclic box *sum*: out[i, j] = sum over the taps x taps
+    window around (i, j) with wrap-around indexing, built from hardware
+    lane/sublane rotations (pltpu.roll) — no shrinking slices, so Mosaic
+    inserts no relayout copies. Wrap garbage stays within a radius-r ring
+    of the array edge per application."""
+    h, w = a.shape
+    r = taps // 2
+    rows = a
+    for d in range(1, r + 1):
+        rows = rows + pltpu.roll(a, d, 0) + pltpu.roll(a, h - d, 0)
+    out = rows
+    for d in range(1, r + 1):
+        out = out + pltpu.roll(rows, d, 1) + pltpu.roll(rows, w - d, 1)
+    return out
+
+
+def _hs_sweeps_roll(u, v, gxa, gya, gta, inva, mask_full, window: int,
+                    fuse: int):
+    """``fuse`` Jacobi sweeps with every field kept FULL-SIZE: the box
+    average is cyclic (:func:`_box_sum_roll`), so wrap garbage invades an
+    r-ring per sweep — exactly the ring the shrinking-slice scheme
+    discards. Valid whenever the caller's halo >= fuse * r (the same
+    invariant as :func:`_hs_sweeps`); the caller crops the core. The
+    point: zero Mosaic relayout copies per sweep (the shrinking slices'
+    misaligned lane/sublane offsets are what bound the tiled kernel —
+    BASELINE.md round-2 notes)."""
+    inv_area = jnp.asarray(1.0 / (window * window), u.dtype)
+    for _ in range(fuse):
+        ub = _box_sum_roll(u, window) * inv_area
+        vb = _box_sum_roll(v, window) * inv_area
+        upd = (gxa * ub + gya * vb + gta) * inva
+        u = (ub - gxa * upd) * mask_full
+        v = (vb - gya * upd) * mask_full
+    return u, v
+
+
 def _hs_sweeps(u, v, gxa, gya, gta, inva, mask_full, window: int,
                fuse: int, mxu: bool = False):
     """``fuse`` Jacobi sweeps on a halo'd tile with statically shrinking
@@ -131,7 +168,7 @@ def _hs_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
                us, vs, gxs, gys, gts, invs, sems,
                *, tile_h: int, tile_w: int, halo_y: int, halo_x: int,
                need: int, window: int, fuse: int, img_h: int, img_w: int,
-               mxu: bool = False):
+               mxu: bool = False, roll: bool = False):
     # halo_y/halo_x are the DMA margins (aligned to the (8, 128) memref
     # tiling Mosaic requires for HBM slices); `need` = fuse * r is the halo
     # the stencil actually consumes — the margin is cropped right after
@@ -153,6 +190,20 @@ def _hs_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
         copies.append(c)
     for c in copies:
         c.wait()
+
+    if roll:
+        # Full-size sweeps: no crop at load (no relayout), one static
+        # core slice at the end. Wrap garbage stays within the halo
+        # margin (halo >= need = fuse * r).
+        mask_full = _inside_mask(row0 - halo_y, col0 - halo_x, hh, hw,
+                                 img_h, img_w, us.dtype)
+        u = us[:] * mask_full
+        v = vs[:] * mask_full
+        u, v = _hs_sweeps_roll(u, v, gxs[:], gys[:], gts[:], invs[:],
+                               mask_full, window, fuse)
+        uo_ref[:] = u[halo_y : halo_y + tile_h, halo_x : halo_x + tile_w]
+        vo_ref[:] = v[halo_y : halo_y + tile_h, halo_x : halo_x + tile_w]
+        return
 
     ch = tile_h + 2 * need
     cw = tile_w + 2 * need
@@ -453,7 +504,7 @@ def _hs_pipelined_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
                          *, n_i: int, n_j: int, tile_h: int, tile_w: int,
                          halo_y: int, halo_x: int, need: int, window: int,
                          fuse: int, img_h: int, img_w: int,
-                         mxu: bool = False):
+                         mxu: bool = False, roll: bool = False):
     """Double-buffered variant of :func:`_hs_kernel`: one grid step loops
     over all tiles, prefetching tile t+1's six halo'd fields while tile t
     computes, and writing results back with async copies (two slots each
@@ -498,18 +549,30 @@ def _hs_pipelined_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
         j = t % n_j
         row0 = i * tile_h
         col0 = j * tile_w
-        ch = tile_h + 2 * need
-        cw = tile_w + 2 * need
-        oy = halo_y - need
-        ox = halo_x - need
-        crop = (slice(oy, oy + ch), slice(ox, ox + cw))
-        mask_full = _inside_mask(row0 - need, col0 - need, ch, cw,
-                                 img_h, img_w, bufs.dtype)
-        u = bufs[slot, 0][crop] * mask_full
-        v = bufs[slot, 1][crop] * mask_full
-        u, v = _hs_sweeps(u, v, bufs[slot, 2][crop], bufs[slot, 3][crop],
-                          bufs[slot, 4][crop], bufs[slot, 5][crop],
-                          mask_full, window, fuse, mxu=mxu)
+        if roll:
+            mask_full = _inside_mask(row0 - halo_y, col0 - halo_x, hh, hw,
+                                     img_h, img_w, bufs.dtype)
+            u = bufs[slot, 0] * mask_full
+            v = bufs[slot, 1] * mask_full
+            u, v = _hs_sweeps_roll(u, v, bufs[slot, 2], bufs[slot, 3],
+                                   bufs[slot, 4], bufs[slot, 5],
+                                   mask_full, window, fuse)
+            u = u[halo_y : halo_y + tile_h, halo_x : halo_x + tile_w]
+            v = v[halo_y : halo_y + tile_h, halo_x : halo_x + tile_w]
+        else:
+            ch = tile_h + 2 * need
+            cw = tile_w + 2 * need
+            oy = halo_y - need
+            ox = halo_x - need
+            crop = (slice(oy, oy + ch), slice(ox, ox + cw))
+            mask_full = _inside_mask(row0 - need, col0 - need, ch, cw,
+                                     img_h, img_w, bufs.dtype)
+            u = bufs[slot, 0][crop] * mask_full
+            v = bufs[slot, 1][crop] * mask_full
+            u, v = _hs_sweeps(u, v, bufs[slot, 2][crop],
+                              bufs[slot, 3][crop], bufs[slot, 4][crop],
+                              bufs[slot, 5][crop],
+                              mask_full, window, fuse, mxu=mxu)
 
         # Reuse of this output slot requires its previous copy done.
         @pl.when(t >= 2)
@@ -533,7 +596,7 @@ def _hs_pipelined_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
 @functools.partial(
     jax.jit,
     static_argnames=("window_size", "max_iterations", "tile_h", "tile_w",
-                     "fuse", "pipelined", "mxu", "interpret"))
+                     "fuse", "pipelined", "mxu", "roll", "interpret"))
 def horn_schunck_pallas(
     prev: jnp.ndarray,
     next: jnp.ndarray,
@@ -545,6 +608,7 @@ def horn_schunck_pallas(
     fuse: int = 10,
     pipelined: bool = False,
     mxu: bool = False,
+    roll: bool = False,
     interpret: bool = False,
 ):
     """Horn-Schunck flow with the fused Pallas sweep. Returns (u, v).
@@ -555,7 +619,9 @@ def horn_schunck_pallas(
     round-trip and must divide into max_iterations (the remainder runs in
     a final smaller-fuse call). ``pipelined=True`` selects the
     double-buffered kernel (input prefetch + async write-back overlap the
-    sweep compute, :func:`_hs_pipelined_kernel`).
+    sweep compute, :func:`_hs_pipelined_kernel`). ``roll=True`` replaces
+    the shrinking-slice sweeps with full-size cyclic-rotation sweeps
+    (:func:`_hs_sweeps_roll`) — no Mosaic relayout copies.
     """
     from tpuflow.solvers.horn_schunck import hs_gradients
 
@@ -593,7 +659,8 @@ def horn_schunck_pallas(
             kern = functools.partial(
                 _hs_pipelined_kernel, n_i=n_i, n_j=n_j, tile_h=tile_h,
                 tile_w=tile_w, halo_y=halo_y, halo_x=halo_x, need=need,
-                window=window_size, fuse=k, img_h=h, img_w=w, mxu=mxu)
+                window=window_size, fuse=k, img_h=h, img_w=w, mxu=mxu,
+                roll=roll)
             u_new, v_new = pl.pallas_call(
                 kern,
                 in_specs=[any_spec] * 6,
@@ -613,7 +680,7 @@ def horn_schunck_pallas(
         kern = functools.partial(
             _hs_kernel, tile_h=tile_h, tile_w=tile_w, halo_y=halo_y,
             halo_x=halo_x, need=need, window=window_size, fuse=k,
-            img_h=h, img_w=w, mxu=mxu)
+            img_h=h, img_w=w, mxu=mxu, roll=roll)
         out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
         u_new, v_new = pl.pallas_call(

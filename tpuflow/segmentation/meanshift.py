@@ -93,6 +93,11 @@ def mean_shift_filter(
     offs = jnp.stack(
         jnp.meshgrid(jnp.arange(-E, E + 1), jnp.arange(-E, E + 1),
                      indexing="ij"), -1).reshape(-1, 2)  # (dy, dx)
+    # E-padded copy: the per-offset read becomes a contiguous
+    # dynamic_slice (cheaper than a wrap-around roll; padded zeros are
+    # excluded by the validity mask exactly like the roll's wrapped
+    # values were).
+    labh = jnp.pad(lab, ((E, E), (E, E), (0, 0)))
 
     def step(state):
         px, py, cl = state  # query positions (H, W), colors (H, W, 3)
@@ -102,8 +107,8 @@ def mean_shift_filter(
             dy = offs[k, 0]
             dx = offs[k, 1]
             # Data point at the static offset from the ORIGIN pixel:
-            # contiguous rolls, no gathers.
-            qc = jnp.roll(lab, shift=(-dy, -dx), axis=(0, 1))
+            qc = jax.lax.dynamic_slice(labh, (E + dy, E + dx, 0),
+                                       (h, w, 3))
             qxf = xs + dx.astype(dt)
             qyf = ys + dy.astype(dt)
             valid = (qyf >= 0) & (qyf < h) & (qxf >= 0) & (qxf < w)
