@@ -174,6 +174,27 @@ class TestSepConvPallas:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("n", [8, 21, 48])
+    def test_uniform_taps_doubling_path(self, n):
+        """Uniform (box) taps route through the log2-doubling window sum
+        — must match the generic tap loop to f32 association noise."""
+        import jax.numpy as jnp
+
+        from tpuflow.kernels.sepconv import sep_conv2d_valid_pallas
+        from tpuflow.ops.filters import _conv2d_valid
+
+        rng = np.random.default_rng(1)
+        hp, wp = 60 + n - 1, 140 + n - 1
+        padded = jnp.asarray(rng.normal(size=(hp, wp)), jnp.float32)
+        taps = tuple([1.0 / n] * n)
+        ref = _conv2d_valid(
+            padded, jnp.full((n, n), 1.0 / n**2, jnp.float32))
+        out = sep_conv2d_valid_pallas(padded, taps, taps,
+                                      tile_h=32, tile_w=128,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_dispatch_falls_back_on_cpu(self):
         """On the CPU backend sep_conv2d keeps the jnp path (f64 oracle
         parity); the pallas path is TPU-only."""
