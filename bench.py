@@ -87,9 +87,12 @@ def bench_horn_schunck(on_tpu):
     if on_tpu:
         from tpuflow.kernels import horn_schunck_pallas
 
+        # Measured v5e optimum (scripts/bench_hs_kernels.py): pipelined
+        # DMA overlap + full-size cyclic-roll sweeps.
         dt = timed(lambda: horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA,
                                                tile_h=128, tile_w=1024,
-                                               fuse=10))
+                                               fuse=10, pipelined=True,
+                                               roll=True))
     else:
         from tpuflow.solvers import horn_schunck
 

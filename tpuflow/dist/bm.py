@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpuflow.blockmatching.matcher import (
     BlockMatchResult,
     _integer_costs,
+    _integer_costs_matmul,
     _subpixel_refine,
     pad_region_bounds,
     region_bucket,
@@ -40,17 +41,23 @@ from tpuflow.dist.solvers import shard_map
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "n_regions", "search_range", "subpixel_scale",
-                     "coeff_mad", "coeff_zncc", "chunk"))
+                     "coeff_mad", "coeff_zncc", "chunk", "method"))
 def _match_sharded(cur_lab, ref_lab, labels, perm, bounds, cand,
                    mesh: Mesh, n_regions: int, search_range: int,
                    subpixel_scale: int, coeff_mad: float,
-                   coeff_zncc: float, chunk: int):
+                   coeff_zncc: float, chunk: int, method: str = "matmul"):
     n_cand = search_candidates(search_range).shape[0]
     rep = P(None)
 
     def body(cur_t, ref_t, labels_t, perm_t, bounds_t, cand_t):
-        local = _integer_costs(cur_t, ref_t, perm_t, bounds_t, n_regions,
-                               cand_t, coeff_mad, coeff_zncc, chunk)
+        if method == "matmul":
+            local = _integer_costs_matmul(
+                cur_t, ref_t, labels_t, n_regions, cand_t, coeff_mad,
+                coeff_zncc, chunk, search_range // 2)
+        else:
+            local = _integer_costs(cur_t, ref_t, perm_t, bounds_t,
+                                   n_regions, cand_t, coeff_mad,
+                                   coeff_zncc, chunk)
         # (D, n_local, n_regions) in device (= global candidate) order.
         costs = lax.all_gather(local, ("ty", "tx"))
         return costs.reshape(-1, n_regions)[None]
@@ -85,9 +92,12 @@ def block_matching_labels_sharded(
     coeff_zncc: float = 0.5,
     subpixel_scale: int = 2,
     chunk: int = 16,
+    method: str = "matmul",
 ) -> BlockMatchResult:
     """Distributed block_matching_labels: same result, search split over
     the mesh's devices along the candidate axis."""
+    if method == "matmul":
+        chunk = max(chunk, 64)
     cur_lab = jnp.asarray(cur_lab)
     ref_lab = jnp.asarray(ref_lab)
     d = int(np.prod(mesh.devices.shape))
@@ -109,7 +119,7 @@ def block_matching_labels_sharded(
         cur_lab, ref_lab, jnp.asarray(labels), jnp.asarray(perm),
         jnp.asarray(bounds), cand, mesh, n_pad_r,
         int(search_range), int(subpixel_scale), float(coeff_mad),
-        float(coeff_zncc), int(chunk))
+        float(coeff_zncc), int(chunk), method)
     uv = np.asarray(uv)[:n_regions]
     cost = np.asarray(cost)[:n_regions]
     lab_np = np.asarray(labels)
