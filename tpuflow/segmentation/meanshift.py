@@ -120,9 +120,12 @@ def mean_shift_filter(
                     s_c + wgt[..., None] * qc, s_n + wgt)
 
         z = jnp.zeros((h, w), dt)
+        # unroll: XLA fuses 8 offsets' slices + tests into one kernel per
+        # carry round-trip — the loop is HBM-bound on the 6-field carry
+        # (~28 MB/offset), so fusing 8 offsets cuts the traffic ~5x.
         s_x, s_y, s_c, s_n = jax.lax.fori_loop(
             0, offs.shape[0], body,
-            (z, z, jnp.zeros((h, w, 3), dt), z))
+            (z, z, jnp.zeros((h, w, 3), dt), z), unroll=8)
         n = jnp.maximum(s_n, 1.0)
         return s_x / n, s_y / n, s_c / n[..., None]
 
@@ -345,7 +348,7 @@ def mean_shift_filter_sharded(
             z = jnp.zeros((th, tw), dt)
             s_x, s_y, s_c, s_n = _lax.fori_loop(
                 0, offs.shape[0], body,
-                (z, z, jnp.zeros((th, tw, 3), dt), z))
+                (z, z, jnp.zeros((th, tw, 3), dt), z), unroll=8)
             n = jnp.maximum(s_n, 1.0)
             return s_x / n, s_y / n, s_c / n[..., None]
 
