@@ -80,18 +80,16 @@ def region_reduction_plan(labels: np.ndarray, n_regions: int):
 
 
 def region_bucket(n_regions: int, minimum: int = 128) -> int:
-    """Round a region count up to the next power of two (>= ``minimum``).
+    """Round a region count up to the next multiple of 128 (>= ``minimum``).
 
     The jitted matchers take the region count as a static argument;
     mean-shift region counts drift from frame to frame, and every fresh
     count would recompile the whole search (~10 s/frame measured on the
     v5e through the axon tunnel). Bucketing pads the per-region arrays to
     a stable size: padded regions are empty ranges whose cost is +inf,
-    and callers slice the outputs back to the true count."""
-    b = int(minimum)
-    while b < n_regions:
-        b *= 2
-    return b
+    and callers slice the outputs back to the true count. 128 is the MXU
+    lane tile — the matmul evaluator's one-hot width rides it exactly."""
+    return max(int(minimum), -(-int(n_regions) // 128) * 128)
 
 
 def pad_region_bounds(bounds: np.ndarray, n_pad: int) -> np.ndarray:
