@@ -63,6 +63,44 @@ def timed(run, repeats=20, windows=3):
     return best
 
 
+def timed_scan(fn, pairs, windows=3):
+    """Per-frame time of ``fn(prev, next)`` with the frame loop INSIDE
+    one jit (lax.scan over a stacked (B, 2, H, W) batch, outputs reduced
+    to a checksum). Each separate jit invocation through the axon tunnel
+    pays a ~15 ms dispatch floor that does NOT pipeline across queued
+    calls (scripts/bench_overhead.py); scanning on device measures the
+    true device rate a non-tunneled deployment gets."""
+    import jax
+    import jax.numpy as jnp
+
+    B = pairs.shape[0]
+
+    @jax.jit
+    def run(pairs):
+        def body(c, pn):
+            out = fn(pn[0], pn[1])
+            s = sum(jnp.sum(o) for o in jax.tree_util.tree_leaves(out))
+            return c + s.astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), pairs)
+        return acc
+
+    np.asarray(run(pairs))  # compile + warm
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        np.asarray(run(pairs))
+        best = min(best, (time.perf_counter() - t0) / B)
+    return best
+
+
+def _stack_pairs(prev, nxt, b=10):
+    """B frame-pair variants (shifted copies — same work, distinct
+    data)."""
+    ps = np.stack([np.roll(prev, i, axis=1) for i in range(b)])
+    ns = np.stack([np.roll(nxt, i, axis=1) for i in range(b)])
+    return np.stack([ps, ns], axis=1)  # (B, 2, H, W)
+
+
 def _frames_1080p():
     rng = np.random.default_rng(0)
     prev = rng.uniform(0, 255, (H, W))
@@ -88,11 +126,14 @@ def bench_horn_schunck(on_tpu):
         from tpuflow.kernels import horn_schunck_pallas
 
         # Measured v5e optimum (scripts/bench_hs_kernels.py): pipelined
-        # DMA overlap + full-size cyclic-roll sweeps.
-        dt = timed(lambda: horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA,
-                                               tile_h=128, tile_w=1024,
-                                               fuse=10, pipelined=True,
-                                               roll=True))
+        # DMA overlap + full-size cyclic-roll sweeps; frame loop scanned
+        # on device (one dispatch for the batch).
+        pairs = jnp.asarray(_stack_pairs(prev, nxt), jnp.float32)
+        dt = timed_scan(
+            lambda a, b: horn_schunck_pallas(a, b, WINDOW, ITERS, ALPHA,
+                                             tile_h=128, tile_w=1024,
+                                             fuse=10, pipelined=True,
+                                             roll=True), pairs)
     else:
         from tpuflow.solvers import horn_schunck
 
@@ -137,8 +178,9 @@ def bench_farneback():
     n = jnp.asarray(nxt, jnp.float32)
     cfg = dict(pyr_scale=0.4, levels=1, winsize=48, iterations=2,
                poly_n=8, poly_sigma=1.2, flags=0)
-    dt = timed(lambda: calc_optical_flow_farneback(p, n, None, **cfg),
-               repeats=10)
+    pairs = jnp.asarray(_stack_pairs(prev, nxt, b=5), jnp.float32)
+    dt = timed_scan(
+        lambda a, b: calc_optical_flow_farneback(a, b, None, **cfg), pairs)
     vs = None
     try:
         import cv2
@@ -170,8 +212,10 @@ def bench_black_anandan(on_tpu):
     if on_tpu:
         from tpuflow.solvers.black_anandan_fast import optical_flow_pyramid_fast
 
-        dt = timed(lambda: optical_flow_pyramid_fast(
-            p, n, 255.0, param, iter_max=512, fuse=16), repeats=5)
+        pairs = jnp.asarray(_stack_pairs(prev, nxt, b=5), jnp.float32)
+        dt = timed_scan(
+            lambda a, b: optical_flow_pyramid_fast(
+                a, b, 255.0, param, iter_max=512, fuse=16)[:2], pairs)
     else:
         from tpuflow.solvers import optical_flow_pyramid
 
