@@ -35,6 +35,8 @@ levels are small enough to replicate.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -233,6 +235,39 @@ def _blur_solve_tile(M, winsize: int, use_pallas: bool):
     return _solve_flow(blurred)
 
 
+@functools.lru_cache(maxsize=64)
+def _fb_sharded_fn(mesh: Mesh, h: int, w: int, winsize: int,
+                   iterations: int, poly_n: int, poly_sigma: float,
+                   wh: int, use_pallas: bool):
+    ty, tx = mesh.devices.shape
+    th, tw = h // ty, w // tx
+    spec = P("ty", "tx")
+
+    def tile_body(p_t, n_t):
+        row0 = lax.axis_index("ty") * th
+        col0 = lax.axis_index("tx") * tw
+        R1 = _poly_tile(p_t, poly_n, poly_sigma, use_pallas)
+        R2 = _poly_tile(n_t, poly_n, poly_sigma, use_pallas)
+        # Halo'd R2 stack, exchanged once — iteration-invariant.
+        hw_ = tw + 2 * wh
+        R2h = jnp.stack([halo_pad_2d_clamp(c, wh) for c in R2], axis=-1)
+        R2h_flat = R2h.reshape((th + 2 * wh) * hw_, 5)
+
+        u = jnp.zeros((th, tw), p_t.dtype)
+        v = jnp.zeros((th, tw), p_t.dtype)
+        M = _update_matrices_tile(R1, R2h_flat, u, v, row0, col0, h, w,
+                                  wh, True, R2_center=R2)
+        for i in range(iterations):
+            u, v = _blur_solve_tile(M, winsize, use_pallas)
+            if i < iterations - 1:
+                M = _update_matrices_tile(R1, R2h_flat, u, v, row0, col0,
+                                          h, w, wh, False)
+        return u, v
+
+    return jax.jit(shard_map(tile_body, mesh, in_specs=(spec, spec),
+                             out_specs=(spec, spec)))
+
+
 def farneback_sharded(
     prev: jnp.ndarray,
     nxt: jnp.ndarray,
@@ -273,32 +308,10 @@ def farneback_sharded(
     if use_pallas is None:
         use_pallas = _mesh_on_tpu(mesh)
 
-    spec = P("ty", "tx")
-    sharding = NamedSharding(mesh, spec)
+    sharding = NamedSharding(mesh, P("ty", "tx"))
     prev = jax.device_put(jnp.asarray(prev), sharding)
     nxt = jax.device_put(jnp.asarray(nxt), sharding)
-
-    def tile_body(p_t, n_t):
-        row0 = lax.axis_index("ty") * th
-        col0 = lax.axis_index("tx") * tw
-        R1 = _poly_tile(p_t, poly_n, poly_sigma, use_pallas)
-        R2 = _poly_tile(n_t, poly_n, poly_sigma, use_pallas)
-        # Halo'd R2 stack, exchanged once — iteration-invariant.
-        hw_ = tw + 2 * wh
-        R2h = jnp.stack([halo_pad_2d_clamp(c, wh) for c in R2], axis=-1)
-        R2h_flat = R2h.reshape((th + 2 * wh) * hw_, 5)
-
-        u = jnp.zeros((th, tw), p_t.dtype)
-        v = jnp.zeros((th, tw), p_t.dtype)
-        M = _update_matrices_tile(R1, R2h_flat, u, v, row0, col0, h, w,
-                                  wh, True, R2_center=R2)
-        for i in range(iterations):
-            u, v = _blur_solve_tile(M, winsize, use_pallas)
-            if i < iterations - 1:
-                M = _update_matrices_tile(R1, R2h_flat, u, v, row0, col0,
-                                          h, w, wh, False)
-        return u, v
-
-    f = jax.jit(shard_map(tile_body, mesh, in_specs=(spec, spec),
-                          out_specs=(spec, spec)))
+    f = _fb_sharded_fn(mesh, h, w, int(winsize), int(iterations),
+                       int(poly_n), float(poly_sigma), int(wh),
+                       bool(use_pallas))
     return f(prev, nxt)

@@ -16,10 +16,17 @@ iteration, and zero-filled global-border halos match the reference's
 BORDER_CONSTANT/zeropad convention, so the distributed solve matches the
 single-device solve to float associativity (verified in
 tests/test_dist.py; SURVEY.md §2.6).
+
+Compiled-program caching: every ``shard_map`` body is built inside an
+``lru_cache``-ed factory keyed on the static parameters (mesh included —
+it hashes). Building ``jax.jit(shard_map(...))`` per call created a fresh
+jit cache each time and RECOMPILED every invocation (~60 s/call on the
+tunneled v5e; the weak-scaling harness measured 265 s/run before this).
 """
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +52,8 @@ from tpuflow.dist.halo import halo_pad_2d
 from tpuflow.solvers.horn_schunck import hs_gradients
 from tpuflow.solvers.mestimators import geman_mcclure_psi, geman_mcclure_rho
 
+SPEC = P("ty", "tx")
+
 
 def _mesh_on_tpu(mesh: Mesh) -> bool:
     return mesh.devices.flat[0].platform == "tpu"
@@ -61,6 +70,31 @@ def _box_valid(padded: jnp.ndarray, size: int) -> jnp.ndarray:
     for d in range(1, size):
         out = out + rows[:, d : w - size + 1 + d]
     return out * (1.0 / (size * size))
+
+
+@functools.lru_cache(maxsize=64)
+def _hs_sharded_fn(mesh: Mesh, window_size: int, max_iterations: int,
+                   alpha: float):
+    r = window_size // 2
+
+    def tile_body(gx_t, gy_t, gt_t):
+        denom = alpha * alpha + gx_t * gx_t + gy_t * gy_t
+        u0 = jnp.zeros_like(gt_t)
+        v0 = jnp.zeros_like(gt_t)
+
+        def body(_, uv):
+            u, v = uv
+            up = halo_pad_2d(u, r)
+            vp = halo_pad_2d(v, r)
+            ubar = _box_valid(up, window_size)
+            vbar = _box_valid(vp, window_size)
+            upd = (gx_t * ubar + gy_t * vbar + gt_t) / denom
+            return ubar - gx_t * upd, vbar - gy_t * upd
+
+        return lax.fori_loop(0, max_iterations, body, (u0, v0))
+
+    return jax.jit(shard_map(tile_body, mesh, in_specs=(SPEC,) * 3,
+                             out_specs=(SPEC, SPEC)))
 
 
 def horn_schunck_sharded(
@@ -80,85 +114,28 @@ def horn_schunck_sharded(
     ty, tx = mesh.devices.shape
     if h % ty or w % tx:
         raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
-    spec = P("ty", "tx")
-    sharding = NamedSharding(mesh, spec)
+    sharding = NamedSharding(mesh, SPEC)
     prev = jax.device_put(prev, sharding)
     next = jax.device_put(next, sharding)
-    r = window_size // 2
 
     # Gradients: auto-sharded (XLA handles the reflect101 halo).
     gx, gy, gt = jax.jit(hs_gradients)(prev, next)
-
-    def tile_body(gx_t, gy_t, gt_t):
-        denom = alpha * alpha + gx_t * gx_t + gy_t * gy_t
-        u0 = jnp.zeros_like(gt_t)
-        v0 = jnp.zeros_like(gt_t)
-
-        def body(_, uv):
-            u, v = uv
-            up = halo_pad_2d(u, r)
-            vp = halo_pad_2d(v, r)
-            ubar = _box_valid(up, window_size)
-            vbar = _box_valid(vp, window_size)
-            upd = (gx_t * ubar + gy_t * vbar + gt_t) / denom
-            return ubar - gx_t * upd, vbar - gy_t * upd
-
-        return lax.fori_loop(0, max_iterations, body, (u0, v0))
-
-    f = jax.jit(shard_map(tile_body, mesh, in_specs=(spec, spec, spec),
-                          out_specs=(spec, spec)))
+    f = _hs_sharded_fn(mesh, int(window_size), int(max_iterations),
+                       float(alpha))
     return f(gx, gy, gt)
 
 
-def horn_schunck_sharded_fused(
-    prev: jnp.ndarray,
-    next: jnp.ndarray,
-    mesh: Mesh,
-    window_size: int = 5,
-    max_iterations: int = 100,
-    alpha: float = 1.0,
-    fuse: int = 5,
-    use_pallas: bool | None = None,
-    interpret: bool = False,
-):
-    """Horn-Schunck with k sweeps per halo exchange, Pallas tile bodies.
-
-    Exchanges a (fuse * r)-wide halo once per block of ``fuse``
-    iterations (ppermute) and runs the sweeps on statically shrinking
-    regions. The sweep block itself is the SAME code as the single-chip
-    Pallas kernel (:func:`tpuflow.kernels.hs_stencil._hs_sweeps`): on TPU
-    meshes it runs as :func:`tpuflow.kernels.hs_tile_sweeps` — one
-    pallas_call per block with the whole halo'd tile in VMEM — so the
-    distributed path runs at kernel speed instead of XLA's pathological
-    stencil lowering (CLAUDE.md); elsewhere (CPU test meshes) the
-    identical jnp body runs directly (``use_pallas=None`` auto-detects;
-    ``interpret=True`` forces the Pallas kernel in interpret mode).
-    Bitwise-equivalent Jacobi: an inside-image mask from global tile
-    coordinates re-zeroes u, v outside the frame after every sweep,
-    preserving BORDER_CONSTANT semantics through the halo zone.
-    """
+@functools.lru_cache(maxsize=64)
+def _hs_sharded_fused_fn(mesh: Mesh, h: int, w: int, window_size: int,
+                         max_iterations: int, alpha: float, fuse: int,
+                         use_pallas: bool, interpret: bool):
     from tpuflow.kernels.hs_stencil import (
         _hs_sweeps,
         _inside_mask,
         hs_tile_sweeps,
     )
 
-    h, w = prev.shape
-    ty, tx = mesh.devices.shape
-    if h % ty or w % tx:
-        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
-    spec = P("ty", "tx")
-    sharding = NamedSharding(mesh, spec)
-    prev = jax.device_put(prev, sharding)
-    next = jax.device_put(next, sharding)
     r = window_size // 2
-    halo = fuse * r
-    if h // ty <= halo or w // tx <= halo:
-        raise ValueError("tile smaller than the fused halo; lower fuse")
-    if use_pallas is None:
-        use_pallas = _mesh_on_tpu(mesh) or interpret
-
-    gx, gy, gt = jax.jit(hs_gradients)(prev, next)
     n_blocks, rem = divmod(max_iterations, fuse)
 
     def tile_body(gx_t, gy_t, gt_t):
@@ -195,8 +172,55 @@ def horn_schunck_sharded_fused(
             u, v = run_block(u, v, rem)
         return u, v
 
-    f = jax.jit(shard_map(tile_body, mesh, in_specs=(spec, spec, spec),
-                          out_specs=(spec, spec)))
+    return jax.jit(shard_map(tile_body, mesh, in_specs=(SPEC,) * 3,
+                             out_specs=(SPEC, SPEC)))
+
+
+def horn_schunck_sharded_fused(
+    prev: jnp.ndarray,
+    next: jnp.ndarray,
+    mesh: Mesh,
+    window_size: int = 5,
+    max_iterations: int = 100,
+    alpha: float = 1.0,
+    fuse: int = 5,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+):
+    """Horn-Schunck with k sweeps per halo exchange, Pallas tile bodies.
+
+    Exchanges a (fuse * r)-wide halo once per block of ``fuse``
+    iterations (ppermute) and runs the sweeps on statically shrinking
+    regions. The sweep block itself is the SAME code as the single-chip
+    Pallas kernel (:func:`tpuflow.kernels.hs_stencil._hs_sweeps`): on TPU
+    meshes it runs as :func:`tpuflow.kernels.hs_tile_sweeps` — one
+    pallas_call per block with the whole halo'd tile in VMEM — so the
+    distributed path runs at kernel speed instead of XLA's pathological
+    stencil lowering (CLAUDE.md); elsewhere (CPU test meshes) the
+    identical jnp body runs directly (``use_pallas=None`` auto-detects;
+    ``interpret=True`` forces the Pallas kernel in interpret mode).
+    Bitwise-equivalent Jacobi: an inside-image mask from global tile
+    coordinates re-zeroes u, v outside the frame after every sweep,
+    preserving BORDER_CONSTANT semantics through the halo zone.
+    """
+    h, w = prev.shape
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    sharding = NamedSharding(mesh, SPEC)
+    prev = jax.device_put(prev, sharding)
+    next = jax.device_put(next, sharding)
+    r = window_size // 2
+    halo = fuse * r
+    if h // ty <= halo or w // tx <= halo:
+        raise ValueError("tile smaller than the fused halo; lower fuse")
+    if use_pallas is None:
+        use_pallas = _mesh_on_tpu(mesh) or interpret
+
+    gx, gy, gt = jax.jit(hs_gradients)(prev, next)
+    f = _hs_sharded_fused_fn(mesh, h, w, int(window_size),
+                             int(max_iterations), float(alpha), int(fuse),
+                             bool(use_pallas), bool(interpret))
     return f(gx, gy, gt)
 
 
@@ -225,26 +249,11 @@ def _neighbor_terms(u_p, v_p, u, v, sigma_s, mask_l, mask_r, mask_t, mask_b,
     return nx, ny
 
 
-def irls_level_sharded(
-    u0, v0, gx, gy, it, mesh: Mesh,
-    lambda_d: float, lambda_s: float, sigma_d: float, sigma_s: float,
-    iter_max: int, error_min_threshold: float, is_level0: bool,
-    energy_every: int = 64,
-):
-    """Distributed IRLS relaxation level, semantics of
-    IRLS_OpticalFlow_Pyramid (OpticalFlow.cpp:213-270) over the mesh.
-
-    sup uses pmax, the energy uses psum; all devices follow the same
-    stopping decision.
-    """
-    h, w = gx.shape
-    ty, tx = mesh.devices.shape
-    if h % ty or w % tx:
-        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
-    spec = P("ty", "tx")
-    sharding = NamedSharding(mesh, spec)
-    args = [jax.device_put(a, sharding) for a in (u0, v0, gx, gy, it)]
-
+@functools.lru_cache(maxsize=64)
+def _irls_sharded_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
+                     lambda_s: float, sigma_d: float, sigma_s: float,
+                     iter_max: int, error_min_threshold: float,
+                     is_level0: bool, energy_every: int):
     def tile_body(u0_t, v0_t, gx_t, gy_t, it_t):
         th, tw = gx_t.shape
         iy = lax.axis_index("ty")
@@ -303,50 +312,47 @@ def irls_level_sharded(
             (u0_t, v0_t, E0, jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
         return u, v
 
-    f = jax.jit(shard_map(tile_body, mesh, in_specs=(spec,) * 5,
-                          out_specs=(spec, spec)))
-    return f(*args)
+    return jax.jit(shard_map(tile_body, mesh, in_specs=(SPEC,) * 5,
+                             out_specs=(SPEC, SPEC)))
 
 
-def irls_level_sharded_fused(
+def irls_level_sharded(
     u0, v0, gx, gy, it, mesh: Mesh,
     lambda_d: float, lambda_s: float, sigma_d: float, sigma_s: float,
     iter_max: int, error_min_threshold: float, is_level0: bool,
-    fuse: int = 16,
-    use_pallas: bool | None = None,
-    interpret: bool = False,
+    energy_every: int = 64,
 ):
-    """Distributed IRLS level with ``fuse`` sweeps per halo exchange and
-    Pallas tile bodies — the multi-chip analogue of
-    :func:`tpuflow.solvers.black_anandan_fast.irls_level_fast`.
+    """Distributed IRLS relaxation level, semantics of
+    IRLS_OpticalFlow_Pyramid (OpticalFlow.cpp:213-270) over the mesh.
 
-    Each block exchanges a ``fuse``-wide halo once (ppermute) and runs
-    ``fuse`` Jacobi sweeps on statically shrinking regions — the same
-    code as the single-chip kernel
-    (:func:`tpuflow.kernels.irls_stencil._irls_sweeps`; as a pallas_call
-    on TPU meshes, plain jnp elsewhere). The energy stop test (psum) runs
-    between blocks at the fast-path cadence: every 64 iterations at
-    level 0 (the reference's exact cadence, OpticalFlow.cpp:248), every
-    ``fuse`` above (coarser early-stop, identical descent). ppermute
-    latency count drops by ``fuse`` vs :func:`irls_level_sharded`.
+    sup uses pmax, the energy uses psum; all devices follow the same
+    stopping decision.
     """
+    h, w = gx.shape
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    sharding = NamedSharding(mesh, SPEC)
+    args = [jax.device_put(a, sharding) for a in (u0, v0, gx, gy, it)]
+    f = _irls_sharded_fn(mesh, h, w, float(lambda_d), float(lambda_s),
+                         float(sigma_d), float(sigma_s), int(iter_max),
+                         float(error_min_threshold), bool(is_level0),
+                         int(energy_every))
+    return f(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _irls_sharded_fused_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
+                           lambda_s: float, sigma_d: float, sigma_s: float,
+                           iter_max: int, error_min_threshold: float,
+                           is_level0: bool, fuse: int, use_pallas: bool,
+                           interpret: bool):
     from tpuflow.kernels.irls_stencil import (
         _irls_sweeps,
         _nb_masks,
         irls_tile_sweeps,
     )
 
-    h, w = gx.shape
-    ty, tx = mesh.devices.shape
-    if h % ty or w % tx:
-        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
-    if h // ty <= fuse or w // tx <= fuse:
-        raise ValueError("tile smaller than the fused halo; lower fuse")
-    if use_pallas is None:
-        use_pallas = _mesh_on_tpu(mesh) or interpret
-    spec = P("ty", "tx")
-    sharding = NamedSharding(mesh, spec)
-    args = [jax.device_put(a, sharding) for a in (u0, v0, gx, gy, it)]
     check_every = 64 if is_level0 else fuse
     blocks_per_check = max(check_every // fuse, 1)
     n_blocks = -(-iter_max // fuse)
@@ -426,6 +432,44 @@ def irls_level_sharded_fused(
                          jnp.bool_(False)))
         return u, v
 
-    f = jax.jit(shard_map(tile_body, mesh, in_specs=(spec,) * 5,
-                          out_specs=(spec, spec)))
+    return jax.jit(shard_map(tile_body, mesh, in_specs=(SPEC,) * 5,
+                             out_specs=(SPEC, SPEC)))
+
+
+def irls_level_sharded_fused(
+    u0, v0, gx, gy, it, mesh: Mesh,
+    lambda_d: float, lambda_s: float, sigma_d: float, sigma_s: float,
+    iter_max: int, error_min_threshold: float, is_level0: bool,
+    fuse: int = 16,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+):
+    """Distributed IRLS level with ``fuse`` sweeps per halo exchange and
+    Pallas tile bodies — the multi-chip analogue of
+    :func:`tpuflow.solvers.black_anandan_fast.irls_level_fast`.
+
+    Each block exchanges a ``fuse``-wide halo once (ppermute) and runs
+    ``fuse`` Jacobi sweeps on statically shrinking regions — the same
+    code as the single-chip kernel
+    (:func:`tpuflow.kernels.irls_stencil._irls_sweeps`; as a pallas_call
+    on TPU meshes, plain jnp elsewhere). The energy stop test (psum) runs
+    between blocks at the fast-path cadence: every 64 iterations at
+    level 0 (the reference's exact cadence, OpticalFlow.cpp:248), every
+    ``fuse`` above (coarser early-stop, identical descent). ppermute
+    latency count drops by ``fuse`` vs :func:`irls_level_sharded`.
+    """
+    h, w = gx.shape
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    if h // ty <= fuse or w // tx <= fuse:
+        raise ValueError("tile smaller than the fused halo; lower fuse")
+    if use_pallas is None:
+        use_pallas = _mesh_on_tpu(mesh) or interpret
+    sharding = NamedSharding(mesh, SPEC)
+    args = [jax.device_put(a, sharding) for a in (u0, v0, gx, gy, it)]
+    f = _irls_sharded_fused_fn(mesh, h, w, float(lambda_d), float(lambda_s),
+                               float(sigma_d), float(sigma_s), int(iter_max),
+                               float(error_min_threshold), bool(is_level0),
+                               int(fuse), bool(use_pallas), bool(interpret))
     return f(*args)

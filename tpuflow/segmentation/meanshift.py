@@ -267,52 +267,24 @@ def segment_meanshift(
                               shift_spatial=pos, shift_color=col)
 
 
-def mean_shift_filter_sharded(
-    lab,
-    mesh,
-    kernel_spatial: int = 20,
-    kernel_intensity: float = 16.0 / 255.0,
-    iters: int = 8,
-    margin: int | None = None,
-):
-    """Distributed :func:`mean_shift_filter` over a ("ty", "tx") mesh.
-
-    The static-shift window reads data only within E = R + margin pixels
-    of each query's ORIGIN pixel, so one halo exchange of the Lab frame
-    (width E, zero-filled at global borders — out-of-image data points
-    are masked by the global-coordinate validity test exactly as in the
-    single-device step) makes the entire iteration loop tile-local.
-    Bitwise-identical accumulation order to the single-device filter
-    (equivalence test on the virtual CPU mesh, tests/test_dist.py).
-    Multi-chip analogue of the reference's OpenMP row loop inside
-    Segmentation<Lab> (SURVEY.md §2.4, §2.6).
-    """
+@functools.lru_cache(maxsize=32)
+def _ms_sharded_fn(mesh, h: int, w: int, kernel_spatial: int,
+                   kernel_intensity: float, iters: int, E: int):
     import jax as _jax
     from jax import lax as _lax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from tpuflow.dist.halo import halo_pad_2d
     from tpuflow.dist.solvers import shard_map
 
-    lab = jnp.asarray(lab)
-    h, w = lab.shape[:2]
-    dt = lab.dtype
     ty, tx = mesh.devices.shape
-    if h % ty or w % tx:
-        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
     th, tw = h // ty, w // tx
-    R = int(kernel_spatial)
-    M = R if margin is None else int(margin)
-    E = R + M
-    if E > th or E > tw:
-        raise ValueError("tile smaller than the shift window halo")
     hs2 = float(kernel_spatial) ** 2
     hr2 = float(kernel_intensity) ** 2
-
     spec = P("ty", "tx", None)
-    lab_sh = _jax.device_put(lab, NamedSharding(mesh, spec))
 
     def tile_body(lab_t):
+        dt = lab_t.dtype
         row0 = (_lax.axis_index("ty") * th).astype(dt)
         col0 = (_lax.axis_index("tx") * tw).astype(dt)
         labh = jnp.stack([halo_pad_2d(lab_t[..., c], E) for c in range(3)],
@@ -358,6 +330,46 @@ def mean_shift_filter_sharded(
         px, py, cl = state
         return jnp.stack([px, py], axis=-1), cl
 
-    f = _jax.jit(shard_map(tile_body, mesh, in_specs=spec,
-                           out_specs=(spec, spec)))
+    return _jax.jit(shard_map(tile_body, mesh, in_specs=spec,
+                              out_specs=(spec, spec)))
+
+
+def mean_shift_filter_sharded(
+    lab,
+    mesh,
+    kernel_spatial: int = 20,
+    kernel_intensity: float = 16.0 / 255.0,
+    iters: int = 8,
+    margin: int | None = None,
+):
+    """Distributed :func:`mean_shift_filter` over a ("ty", "tx") mesh.
+
+    The static-shift window reads data only within E = R + margin pixels
+    of each query's ORIGIN pixel, so one halo exchange of the Lab frame
+    (width E, zero-filled at global borders — out-of-image data points
+    are masked by the global-coordinate validity test exactly as in the
+    single-device step) makes the entire iteration loop tile-local.
+    Bitwise-identical accumulation order to the single-device filter
+    (equivalence test on the virtual CPU mesh, tests/test_dist.py).
+    Multi-chip analogue of the reference's OpenMP row loop inside
+    Segmentation<Lab> (SURVEY.md §2.4, §2.6).
+    """
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    lab = jnp.asarray(lab)
+    h, w = lab.shape[:2]
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    th, tw = h // ty, w // tx
+    R = int(kernel_spatial)
+    M = R if margin is None else int(margin)
+    E = R + M
+    if E > th or E > tw:
+        raise ValueError("tile smaller than the shift window halo")
+
+    lab_sh = _jax.device_put(lab, NamedSharding(mesh, P("ty", "tx", None)))
+    f = _ms_sharded_fn(mesh, h, w, int(kernel_spatial),
+                       float(kernel_intensity), int(iters), E)
     return f(lab_sh)
