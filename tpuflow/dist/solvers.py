@@ -52,6 +52,8 @@ from tpuflow.dist.halo import halo_pad_2d
 from tpuflow.solvers.horn_schunck import hs_gradients
 from tpuflow.solvers.mestimators import geman_mcclure_psi, geman_mcclure_rho
 
+_hs_gradients_jit = jax.jit(hs_gradients)
+
 SPEC = P("ty", "tx")
 
 
@@ -119,7 +121,7 @@ def horn_schunck_sharded(
     next = jax.device_put(next, sharding)
 
     # Gradients: auto-sharded (XLA handles the reflect101 halo).
-    gx, gy, gt = jax.jit(hs_gradients)(prev, next)
+    gx, gy, gt = _hs_gradients_jit(prev, next)
     f = _hs_sharded_fn(mesh, int(window_size), int(max_iterations),
                        float(alpha))
     return f(gx, gy, gt)
@@ -217,7 +219,7 @@ def horn_schunck_sharded_fused(
     if use_pallas is None:
         use_pallas = _mesh_on_tpu(mesh) or interpret
 
-    gx, gy, gt = jax.jit(hs_gradients)(prev, next)
+    gx, gy, gt = _hs_gradients_jit(prev, next)
     f = _hs_sharded_fused_fn(mesh, h, w, int(window_size),
                              int(max_iterations), float(alpha), int(fuse),
                              bool(use_pallas), bool(interpret))
