@@ -94,6 +94,183 @@ def _irls_sweeps(u, v, gxa, gya, ita, nb_masks, sup_x, sup_y, fuse: int,
     return u, v
 
 
+def _irls_sweeps_gated(u, v, gxa, gya, ita, laba, nb_masks, sup_x, sup_y,
+                       fuse: int, lambda_d: float, lambda_s: float,
+                       sigma_d: float, sigma_s: float):
+    """``fuse`` REGION-GATED IRLS sweeps (Error_u_Block,
+    OpticalFlow_BlockMatching.cpp:465-514): the neighbor term is gated by
+    label equality and weighted by the direction-coherence factor
+    0.5 * (1 + cos(u, u_nbr)) — bitwise the math of
+    tpuflow.solvers.bm_flow._neighbor_terms, on a halo'd tile with
+    statically shrinking valid regions. ``laba`` carries the region
+    labels as floats (exact for the int region ids)."""
+    hh, hw = u.shape
+    sd = sigma_d
+    ss = sigma_s
+    for t in range(fuse):
+        s_h = hh - 2 * t
+        s_w = hw - 2 * t
+        ctr = (slice(1, s_h - 1), slice(1, s_w - 1))
+        uc = u[ctr]
+        vc = v[ctr]
+        o = t + 1
+        gxc = gxa[o : o + s_h - 2, o : o + s_w - 2]
+        gyc = gya[o : o + s_h - 2, o : o + s_w - 2]
+        itc = ita[o : o + s_h - 2, o : o + s_w - 2]
+        labc = laba[o : o + s_h - 2, o : o + s_w - 2]
+
+        psi_d = _psi_gm(gxc * uc + gyc * vc + itc, sd)
+        norm_c = jnp.sqrt(uc * uc + vc * vc)
+        nx = jnp.zeros_like(uc)
+        ny = jnp.zeros_like(vc)
+        for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            un = u[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
+            vn = v[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
+            ln = laba[o + dy : o + dy + s_h - 2, o + dx : o + dx + s_w - 2]
+            inb = nb_masks[(dx, dy)][o : o + s_h - 2, o : o + s_w - 2]
+            gate = inb * (ln == labc).astype(uc.dtype)
+            nn = jnp.sqrt(un * un + vn * vn)
+            prod = norm_c * nn
+            cosang = jnp.where(prod > 0,
+                               (uc * un + vc * vn)
+                               / jnp.maximum(prod, 1e-30), 1.0)
+            m = gate * (0.5 * (1.0 + cosang))
+            nx = nx + m * _psi_gm(uc - un, ss)
+            ny = ny + m * _psi_gm(vc - vn, ss)
+        u = uc - (lambda_d * gxc * psi_d + lambda_s * nx) / sup_x
+        v = vc - (lambda_d * gyc * psi_d + lambda_s * ny) / sup_y
+    return u, v
+
+
+def _irls_gated_kernel(supx_ref, supy_ref,
+                       u_hbm, v_hbm, gx_hbm, gy_hbm, it_hbm, lab_hbm,
+                       uo_ref, vo_ref,
+                       us, vs, gxs, gys, its, labs, sems,
+                       *, tile_h: int, tile_w: int, halo_y: int,
+                       halo_x: int, need: int, fuse: int,
+                       img_h: int, img_w: int, lambda_d: float,
+                       lambda_s: float, sigma_d: float, sigma_s: float):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row0 = i * tile_h
+    col0 = j * tile_w
+    hh = tile_h + 2 * halo_y
+    hw = tile_w + 2 * halo_x
+
+    copies = []
+    for idx, (src, dst) in enumerate(
+            ((u_hbm, us), (v_hbm, vs), (gx_hbm, gxs), (gy_hbm, gys),
+             (it_hbm, its), (lab_hbm, labs))):
+        c = pltpu.make_async_copy(
+            src.at[pl.ds(row0, hh), pl.ds(col0, hw)], dst, sems.at[idx])
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+    dt = us.dtype
+    ch = tile_h + 2 * need
+    cw = tile_w + 2 * need
+    oy = halo_y - need
+    ox = halo_x - need
+    crop = (slice(oy, oy + ch), slice(ox, ox + cw))
+    nb_masks = _nb_masks(row0 - need, col0 - need, ch, cw, img_h, img_w, dt)
+    u, v = _irls_sweeps_gated(us[crop], vs[crop], gxs[crop], gys[crop],
+                              its[crop], labs[crop], nb_masks,
+                              supx_ref[0, 0], supy_ref[0, 0], fuse,
+                              lambda_d, lambda_s, sigma_d, sigma_s)
+    uo_ref[:] = u
+    vo_ref[:] = v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "lambda_d", "lambda_s", "sigma_d", "sigma_s",
+                     "tile_h", "tile_w", "fuse", "interpret"))
+def irls_gated_sweep_pallas(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    it: jnp.ndarray,
+    labels_f: jnp.ndarray,
+    sup_x: jnp.ndarray,
+    sup_y: jnp.ndarray,
+    n_iters: int,
+    lambda_d: float = 5.0,
+    lambda_s: float = 1.0,
+    sigma_d: float = 0.1,
+    sigma_s: float = 0.1,
+    tile_h: int = 256,
+    tile_w: int = 512,
+    fuse: int = 16,
+    interpret: bool = False,
+):
+    """``n_iters`` fused region-gated IRLS sweeps (the flagship BM
+    refinement's hot loop, IRLS_OpticalFlow_GradientMethod); returns
+    (u, v). ``labels_f`` = region labels cast to the flow dtype. Padded
+    halo labels are -1 (never equal to a real label -> gated off, which
+    matches the whole-frame formulation where out-of-frame neighbors are
+    masked)."""
+    h, w = u.shape
+    dt = u.dtype
+    tile_h = min(tile_h, _cdiv(h, 8) * 8)
+    tile_w = min(tile_w, _cdiv(w, 128) * 128)
+    n_i = _cdiv(h, tile_h)
+    n_j = _cdiv(w, tile_w)
+    hp = n_i * tile_h
+    wp = n_j * tile_w
+
+    supx = jnp.asarray(sup_x, dt).reshape(1, 1)
+    supy = jnp.asarray(sup_y, dt).reshape(1, 1)
+
+    def run_block(u, v, k):
+        need = k
+        halo_y = _cdiv(need, 4) * 4
+        halo_x = _cdiv(need, 64) * 64
+
+        def pad_h(a, fill=0.0):
+            return jnp.pad(a, ((halo_y, hp - h + halo_y),
+                               (halo_x, wp - w + halo_x)),
+                           constant_values=fill)
+
+        kern = functools.partial(
+            _irls_gated_kernel, tile_h=tile_h, tile_w=tile_w,
+            halo_y=halo_y, halo_x=halo_x, need=need, fuse=k,
+            img_h=h, img_w=w, lambda_d=float(lambda_d),
+            lambda_s=float(lambda_s), sigma_d=float(sigma_d),
+            sigma_s=float(sigma_s))
+        hh = tile_h + 2 * halo_y
+        hw = tile_w + 2 * halo_x
+        any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+        smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        u_new, v_new = pl.pallas_call(
+            kern,
+            grid=(n_i, n_j),
+            in_specs=[smem_spec, smem_spec] + [any_spec] * 6,
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((hp, wp), dt),
+                       jax.ShapeDtypeStruct((hp, wp), dt)),
+            scratch_shapes=[pltpu.VMEM((hh, hw), dt)] * 6
+            + [pltpu.SemaphoreType.DMA((6,))],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(supx, supy, pad_h(u), pad_h(v), pad_h(gx), pad_h(gy), pad_h(it),
+          pad_h(labels_f, -1.0))
+        return u_new[:h, :w], v_new[:h, :w]
+
+    n_full, rem = divmod(n_iters, fuse)
+    if n_full:
+        u, v = jax.lax.fori_loop(
+            0, n_full, lambda _, uv: run_block(*uv, fuse), (u, v))
+    if rem:
+        u, v = run_block(u, v, rem)
+    return u, v
+
+
 def _irls_kernel(supx_ref, supy_ref,
                  u_hbm, v_hbm, gx_hbm, gy_hbm, it_hbm,
                  uo_ref, vo_ref,

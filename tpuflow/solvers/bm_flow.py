@@ -249,6 +249,98 @@ def irls_gradient_method(
     return u, v, E, n, trace
 
 
+@partial(jax.jit, static_argnames=("lambda_d", "lambda_s", "sigma_d",
+                                   "sigma_s", "iter_max", "fuse", "tile_h",
+                                   "tile_w", "interpret"))
+def irls_gradient_method_fast(
+    gx, gy, it, labels,
+    lambda_d: float, lambda_s: float, sigma_d: float, sigma_s: float,
+    iter_max: int, error_min_threshold: float,
+    u0=None, v0=None,
+    fuse: int = 16,
+    tile_h: int = 256,
+    tile_w: int = 512,
+    interpret: bool = False,
+):
+    """:func:`irls_gradient_method` on the fused region-gated Pallas
+    sweep (:func:`tpuflow.kernels.irls_stencil.irls_gated_sweep_pallas`):
+    blocks of ``fuse`` in-VMEM sweeps, energy + 3-strikes checks between
+    blocks every 64 iterations. The descent is bit-identical to the
+    reference formulation; only the early-stop decision points move from
+    sweeps (1, 65, ...) to (64, 128, ...) — same deviation contract as
+    tpuflow.solvers.black_anandan_fast. Returns (u, v, E, blocks,
+    trace)."""
+    sup_x = lambda_d * jnp.max(gx * gx) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
+    sup_y = lambda_d * jnp.max(gy * gy) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
+    from tpuflow.kernels.irls_stencil import irls_gated_sweep_pallas
+
+    labels_f = labels.astype(gx.dtype)
+    blocks_per_check = max(64 // fuse, 1)
+    n_blocks = -(-iter_max // fuse)
+    n_checks = max(-(-n_blocks // blocks_per_check), 1)
+
+    def sweep_block(u, v):
+        return irls_gated_sweep_pallas(
+            u, v, gx, gy, it, labels_f, sup_x, sup_y, fuse,
+            float(lambda_d), float(lambda_s), float(sigma_d),
+            float(sigma_s), tile_h, tile_w, fuse, interpret)
+
+    def energy(u, v):
+        center = geman_mcclure_rho(gx * u + gy * v + it, sigma_d)
+        return jnp.sum(lambda_d * center
+                       + lambda_s * _neighbor_energy(u, v, labels, sigma_s))
+
+    def cond(carry):
+        u, v, E, inc, b, stop, trace = carry
+        return jnp.logical_and(b < n_blocks, jnp.logical_not(stop))
+
+    def body(carry):
+        u, v, E, inc, b, _, trace = carry
+        u, v = sweep_block(u, v)
+        do_check = (b % blocks_per_check) == (blocks_per_check - 1)
+
+        def check(args):
+            u, v, E, inc = args
+            E_new = energy(u, v)
+            return E_new, jnp.where(E_new > E, inc + 1, 0)
+
+        E_new, inc_new = jax.lax.cond(
+            do_check, check, lambda args: (args[2], args[3]),
+            (u, v, E, inc))
+        trace = jax.lax.cond(
+            do_check,
+            lambda: trace.at[b // blocks_per_check].set(E_new),
+            lambda: trace)
+        stop = jnp.logical_and(
+            do_check,
+            jnp.logical_or(E_new < error_min_threshold, inc_new > 3))
+        return u, v, E_new, inc_new, b + 1, stop, trace
+
+    z_u = jnp.zeros_like(gx) if u0 is None else u0
+    z_v = jnp.zeros_like(gx) if v0 is None else v0
+    E0 = jnp.asarray(0.0, gx.dtype)
+    trace0 = jnp.full((n_checks,), jnp.nan, gx.dtype)
+    u, v, E, _, b, _, trace = jax.lax.while_loop(
+        cond, body, (z_u, z_v, E0, jnp.int32(0), jnp.int32(0),
+                     jnp.bool_(False), trace0))
+    return u, v, E, b, trace
+
+
+def _use_gated_kernel(dtype) -> bool:
+    """Fast gated-IRLS path on TPU backends, exact jnp path elsewhere
+    (CPU = the f64 oracle-parity mode)."""
+    import os
+
+    if os.environ.get("TPUFLOW_NO_PALLAS"):
+        return False
+    if dtype != jnp.float32:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def gradient_method_flow(
     reference_lab: jnp.ndarray,
     interest_lab: jnp.ndarray,
@@ -274,10 +366,16 @@ def gradient_method_flow(
     gx, gy = gradient_method_grad(interest_lab[..., 0])
     it = gradient_method_dt(reference_lab[..., 0], interest_lab[..., 0],
                             mv_u, mv_v)
-    u, v, _, _, trace = irls_gradient_method(
-        gx, gy, it, jnp.asarray(labels),
-        lambda_d, lambda_s, sigma_d, sigma_s,
-        int(iter_max), error_min_threshold, u0, v0)
+    if _use_gated_kernel(gx.dtype):
+        u, v, _, _, trace = irls_gradient_method_fast(
+            gx, gy, it, jnp.asarray(labels),
+            lambda_d, lambda_s, sigma_d, sigma_s,
+            int(iter_max), error_min_threshold, u0, v0)
+    else:
+        u, v, _, _, trace = irls_gradient_method(
+            gx, gy, it, jnp.asarray(labels),
+            lambda_d, lambda_s, sigma_d, sigma_s,
+            int(iter_max), error_min_threshold, u0, v0)
     from tpuflow.solvers.black_anandan import _emit_energy_trace
 
     _emit_energy_trace(0, trace)
