@@ -92,6 +92,23 @@ class TestBlockMatching:
         assert abs(np.median(res.u) - 1.0) < 0.51
         assert abs(np.median(res.v) - 2.0) < 0.51
 
+    def test_ms_filter_kernel_matches_jnp(self):
+        """The VMEM-resident Pallas mean-shift filter (interpret mode) is
+        bitwise the jnp static-shift filter (multi-tile grid)."""
+        import jax.numpy as jnp
+
+        from tpuflow.kernels.ms_filter import mean_shift_filter_pallas
+        from tpuflow.segmentation.meanshift import mean_shift_filter
+
+        rng = np.random.default_rng(4)
+        lab = rng.uniform(0, 1, (36, 52, 3)).astype(np.float32)
+        pos1, col1 = mean_shift_filter(jnp.asarray(lab), 4, 0.12, iters=3)
+        pos2, col2 = mean_shift_filter_pallas(
+            jnp.asarray(lab), 4, 0.12, iters=3,
+            tile_h=16, tile_w=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(pos2), np.asarray(pos1))
+        np.testing.assert_array_equal(np.asarray(col2), np.asarray(col1))
+
     def test_gated_irls_kernel_matches_jnp(self):
         """The fused region-gated Pallas sweep (interpret mode) ==
         the whole-frame jnp formulation (irls_gradient_method's body),

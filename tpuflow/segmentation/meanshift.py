@@ -249,6 +249,21 @@ def _merge_labels(pos: np.ndarray, col: np.ndarray,
     return lab.astype(np.int32), n
 
 
+def _use_ms_kernel(dtype) -> bool:
+    """VMEM-resident Pallas filter on TPU backends (the XLA offset loop
+    is carry-traffic bound); jnp path elsewhere."""
+    import os
+
+    if os.environ.get("TPUFLOW_NO_PALLAS"):
+        return False
+    if dtype != jnp.float32:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def segment_meanshift(
     lab: np.ndarray,
     kernel_spatial: int = 20,
@@ -257,8 +272,15 @@ def segment_meanshift(
     min_size: int = 16,
 ) -> SegmentationResult:
     """Full segmentation: device mean-shift filtering + host labeling."""
-    pos, col = mean_shift_filter(jnp.asarray(lab), kernel_spatial,
-                                 float(kernel_intensity), iters)
+    lab_j = jnp.asarray(lab)
+    if _use_ms_kernel(lab_j.dtype):
+        from tpuflow.kernels.ms_filter import mean_shift_filter_pallas
+
+        pos, col = mean_shift_filter_pallas(lab_j, kernel_spatial,
+                                            float(kernel_intensity), iters)
+    else:
+        pos, col = mean_shift_filter(lab_j, kernel_spatial,
+                                     float(kernel_intensity), iters)
     pos = np.asarray(pos)
     col = np.asarray(col)
     labels, n = _merge_labels(pos, col, float(kernel_spatial),
