@@ -18,7 +18,9 @@ from tpuflow.kernels.hs_stencil import (  # noqa: F401
     hs_tile_sweeps,
 )
 from tpuflow.kernels.irls_stencil import (  # noqa: F401
+    irls_gated_sweep_pallas,
     irls_sweep_pallas,
     irls_tile_sweeps,
 )
+from tpuflow.kernels.ms_filter import mean_shift_filter_pallas  # noqa: F401
 from tpuflow.kernels.sepconv import sep_conv2d_valid_pallas  # noqa: F401
