@@ -327,10 +327,19 @@ def irls_gradient_method_fast(
 
 
 def _use_gated_kernel(dtype) -> bool:
-    """Fast gated-IRLS path on TPU backends, exact jnp path elsewhere
-    (CPU = the f64 oracle-parity mode)."""
+    """Opt-in (TPUFLOW_GATED_IRLS=1): measured on the v5e, the fused
+    gated sweep did not beat the jnp formulation for the flagship's
+    2048-iteration refine (steady state 4.00 vs 3.56 s/frame-pair) and
+    its fuse=16 body costs an ~18 min first-frame remote compile — the
+    whole-frame jnp sweep at ~0.27 ms/iteration is already fast because
+    the region gate's sqrt/cosine math makes the loop compute-bound, not
+    HBM-bound (fusing iterations buys nothing). Kept for architectures
+    where the trade flips; exactness pinned by
+    tests/test_bm_flow.py::test_gated_irls_kernel_matches_jnp."""
     import os
 
+    if not os.environ.get("TPUFLOW_GATED_IRLS"):
+        return False
     if os.environ.get("TPUFLOW_NO_PALLAS"):
         return False
     if dtype != jnp.float32:
