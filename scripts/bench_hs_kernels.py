@@ -54,18 +54,23 @@ def main():
         timed("tiled f10 128x1024",
               lambda: horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA,
                                           tile_h=128, tile_w=1024, fuse=10))
+    pb = p.astype(jnp.bfloat16)
+    nb = n.astype(jnp.bfloat16)
     for spec in want:
-        if not spec.startswith(("tiled:", "pipe:", "roll:", "rollpipe:")):
+        parts = spec.split(":")
+        kind = parts[0]
+        if kind not in ("tiled", "pipe", "roll", "rollpipe"):
             continue
-        kind, th, tw, f = spec.split(":")
-        th, tw, f = int(th), int(tw), int(f)
+        th, tw, f = int(parts[1]), int(parts[2]), int(parts[3])
+        bf16 = len(parts) > 4 and parts[4] == "bf16"
         from tpuflow.kernels import horn_schunck_pallas
 
-        timed(f"{kind} f{f} {th}x{tw}",
-              lambda th=th, tw=tw, f=f,
+        a, b = (pb, nb) if bf16 else (p, n)
+        timed(f"{kind} f{f} {th}x{tw}{' bf16' if bf16 else ''}",
+              lambda a=a, b=b, th=th, tw=tw, f=f,
               p_=(kind in ("pipe", "rollpipe")),
               r_=(kind in ("roll", "rollpipe")):
-              horn_schunck_pallas(p, n, WINDOW, ITERS, ALPHA, tile_h=th,
+              horn_schunck_pallas(a, b, WINDOW, ITERS, ALPHA, tile_h=th,
                                   tile_w=tw, fuse=f, pipelined=p_,
                                   roll=r_))
     if "resident" in want:

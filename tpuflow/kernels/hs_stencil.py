@@ -643,7 +643,11 @@ def horn_schunck_pallas(
 
     def run_block(u, v, k):
         need = k * r
-        halo_y = _cdiv(need, 4) * 4
+        # DMA margins aligned to the memref tiling: (8, 128) for 32-bit,
+        # (16, 128) for 16-bit dtypes (2*halo_y must hit the sublane
+        # tile; halo_x the lane tile).
+        sub = 8 if dt.itemsize < 4 else 4
+        halo_y = _cdiv(need, sub) * sub
         halo_x = _cdiv(need, 64) * 64
 
         def pad_h(a):
