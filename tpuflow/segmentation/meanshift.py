@@ -250,10 +250,18 @@ def _merge_labels(pos: np.ndarray, col: np.ndarray,
 
 
 def _use_ms_kernel(dtype) -> bool:
-    """VMEM-resident Pallas filter on TPU backends (the XLA offset loop
-    is carry-traffic bound); jnp path elsewhere."""
+    """Opt-in (TPUFLOW_MS_KERNEL=1): the VMEM-resident Pallas filter
+    measured SLOWER than the 8x-unrolled jnp offset loop on the v5e
+    (flagship steady state 4.30 vs 3.56 s/frame-pair) — two hardware
+    rotations per channel per offset cost more than the fused
+    dynamic-slice reads XLA emits, and the carry set XLA round-trips is
+    amortized 8 offsets at a time. Kept for architectures where the
+    trade flips; bitwise-pinned by
+    tests/test_bm_flow.py::test_ms_filter_kernel_matches_jnp."""
     import os
 
+    if not os.environ.get("TPUFLOW_MS_KERNEL"):
+        return False
     if os.environ.get("TPUFLOW_NO_PALLAS"):
         return False
     if dtype != jnp.float32:
