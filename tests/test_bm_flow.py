@@ -92,6 +92,33 @@ class TestBlockMatching:
         assert abs(np.median(res.u) - 1.0) < 0.51
         assert abs(np.median(res.v) - 2.0) < 0.51
 
+    def test_auto_margin_matches_full(self):
+        """The certified reduced-margin segmentation equals the full
+        margin=R run (the drift certificate guarantees every gather saw
+        its whole kernel window)."""
+        import jax.numpy as jnp
+
+        from tpuflow.segmentation import segment_meanshift
+        from tpuflow.segmentation.meanshift import mean_shift_filter
+
+        rng = np.random.default_rng(12)
+        from scipy.ndimage import gaussian_filter
+
+        lab = gaussian_filter(rng.uniform(0, 1, (30, 44, 3)),
+                              (2, 2, 0)).astype(np.float32)
+        s_auto = segment_meanshift(lab, 6, 0.1, iters=4, min_size=4)
+        s_full = segment_meanshift(lab, 6, 0.1, iters=4, min_size=4,
+                                   margin=6)
+        np.testing.assert_array_equal(s_auto.labels, s_full.labels)
+        np.testing.assert_array_equal(s_auto.shift_spatial,
+                                      s_full.shift_spatial)
+        # with_drift returns the same (pos, color) plus the certificate.
+        p1, c1 = mean_shift_filter(jnp.asarray(lab), 6, 0.1, iters=4)
+        p2, c2, drift = mean_shift_filter(jnp.asarray(lab), 6, 0.1,
+                                          iters=4, with_drift=True)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        assert float(drift) >= 0.0
+
     def test_ms_filter_kernel_matches_jnp(self):
         """The VMEM-resident Pallas mean-shift filter (interpret mode) is
         bitwise the jnp static-shift filter (multi-tile grid)."""

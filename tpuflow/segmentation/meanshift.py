@@ -62,13 +62,14 @@ class SegmentationResult:
 
 @functools.partial(jax.jit, static_argnames=("kernel_spatial",
                                              "kernel_intensity", "iters",
-                                             "margin"))
+                                             "margin", "with_drift"))
 def mean_shift_filter(
     lab: jnp.ndarray,
     kernel_spatial: int = 20,
     kernel_intensity: float = 16.0 / 255.0,
     iters: int = 8,
     margin: int | None = None,
+    with_drift: bool = False,
 ):
     """Run ``iters`` mean-shift steps; returns (pos (H,W,2) xy, color (H,W,3)).
 
@@ -76,6 +77,13 @@ def mean_shift_filter(
     ``kernel_spatial`` (pixels), color radius ``kernel_intensity``
     (Euclidean in Lab). ``margin`` bounds the tracked mode drift (exact
     for drift <= margin; defaults to kernel_spatial).
+
+    ``with_drift=True`` additionally returns the max |pos - origin| seen
+    at any GATHER (i.e. over every intermediate query position). This
+    certifies a reduced margin after the fact: positions stay exact up
+    to the first drift > margin, so a reported max drift <= margin
+    proves every gather saw its full kernel window
+    (:func:`segment_meanshift`'s adaptive-margin fast path).
     """
     h, w = lab.shape[:2]
     dt = lab.dtype
@@ -130,10 +138,18 @@ def mean_shift_filter(
         return s_x / n, s_y / n, s_c / n[..., None]
 
     state = (xs, ys, lab)
+    max_drift = jnp.asarray(0.0, dt)
     for _ in range(iters):
+        if with_drift:
+            px, py, _ = state
+            d2 = (px - xs) ** 2 + (py - ys) ** 2
+            max_drift = jnp.maximum(max_drift, jnp.sqrt(jnp.max(d2)))
         state = step(state)
     px, py, cl = state
-    return jnp.stack([px, py], axis=-1), cl
+    pos = jnp.stack([px, py], axis=-1)
+    if with_drift:
+        return pos, cl, max_drift
+    return pos, cl
 
 
 def _merge_labels(pos: np.ndarray, col: np.ndarray,
@@ -278,17 +294,37 @@ def segment_meanshift(
     kernel_intensity: float = 16.0 / 255.0,
     iters: int = 8,
     min_size: int = 16,
+    margin: int | str | None = "auto",
 ) -> SegmentationResult:
-    """Full segmentation: device mean-shift filtering + host labeling."""
+    """Full segmentation: device mean-shift filtering + host labeling.
+
+    ``margin="auto"`` (default) first filters with a reduced drift
+    margin (R/2, shrinking the (2(R+M)+1)^2 offset grid ~1.8x) while
+    tracking the max query drift at every gather; if the certificate
+    fails (drift exceeded the margin — positions past the first
+    violation could be wrong) it reruns with the exact full margin.
+    Mean-shift modes rarely drift beyond half a kernel radius, so the
+    fast pass almost always certifies. Pass an int (or None = full R)
+    to pin the margin."""
     lab_j = jnp.asarray(lab)
+    R = int(kernel_spatial)
     if _use_ms_kernel(lab_j.dtype):
         from tpuflow.kernels.ms_filter import mean_shift_filter_pallas
 
         pos, col = mean_shift_filter_pallas(lab_j, kernel_spatial,
                                             float(kernel_intensity), iters)
+    elif margin == "auto" and R > 2:
+        m0 = max(R // 2, 1)
+        pos, col, drift = mean_shift_filter(
+            lab_j, kernel_spatial, float(kernel_intensity), iters,
+            margin=m0, with_drift=True)
+        if float(drift) > m0:
+            pos, col = mean_shift_filter(lab_j, kernel_spatial,
+                                         float(kernel_intensity), iters)
     else:
-        pos, col = mean_shift_filter(lab_j, kernel_spatial,
-                                     float(kernel_intensity), iters)
+        pos, col = mean_shift_filter(
+            lab_j, kernel_spatial, float(kernel_intensity), iters,
+            margin=None if margin in (None, "auto") else int(margin))
     pos = np.asarray(pos)
     col = np.asarray(col)
     labels, n = _merge_labels(pos, col, float(kernel_spatial),
