@@ -41,6 +41,30 @@ class TestDenseStream:
             assert abs(np.median(u[20:-20, 20:-20]) + 2.0) < 0.3
             assert abs(np.median(v[20:-20, 20:-20])) < 0.3
 
+    def test_batched_scan_matches_generator(self):
+        """The device-scanned clip API == the per-frame generator
+        (same pairs, same config, flags=0)."""
+        from tpuflow.pipeline.streaming import (
+            SyntheticSource,
+            dense_flow_stream,
+            dense_flow_stream_batched,
+        )
+
+        src = SyntheticSource(n_frames=4, h=60, w=100, dx=1.0, dy=0.0)
+        frames = [np.asarray(f, np.float32) for f in src]
+        outs = list(dense_flow_stream(
+            iter(frames), working_size=None, pyr_scale=0.5, levels=1,
+            winsize=9, iterations=2, poly_n=5, poly_sigma=1.1))
+        us, vs = dense_flow_stream_batched(
+            np.stack(frames), pyr_scale=0.5, levels=1, winsize=9,
+            iterations=2, poly_n=5, poly_sigma=1.1)
+        assert us.shape == (3, 60, 100)
+        for k, (gray, u, v) in enumerate(outs):
+            np.testing.assert_allclose(np.asarray(us[k]), u,
+                                       rtol=0, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(vs[k]), v,
+                                       rtol=0, atol=1e-5)
+
     def test_warm_start_carries_flow(self):
         from tpuflow.pipeline.streaming import (
             DenseStreamState,

@@ -172,6 +172,45 @@ def dense_flow_stream(
         state.prev_gray = gray
 
 
+def dense_flow_stream_batched(
+    frames: np.ndarray,
+    pyr_scale: float = 0.4,
+    levels: int = 1,
+    winsize: int = 48,
+    iterations: int = 2,
+    poly_n: int = 8,
+    poly_sigma: float = 1.2,
+):
+    """:func:`dense_flow_stream` with the frame loop ON DEVICE: one jit
+    runs the whole (T, H, W) gray clip through ``lax.scan`` (carry = the
+    previous frame, DenseFlow.cpp:51's warm state) and returns
+    (u, v) stacks of shape (T-1, H, W).
+
+    Serving rationale: a per-frame host loop pays a fixed dispatch cost
+    per frame (~15 ms through the axon tunnel, which does not pipeline —
+    scripts/bench_overhead.py); scanning on device pays it once per
+    clip. Same per-pair math as the generator (flags=0, zero initial
+    flow, DenseFlow.cpp:37)."""
+    import jax
+
+    from tpuflow.solvers import calc_optical_flow_farneback
+
+    frames = jnp.asarray(frames, jnp.float32)
+
+    @jax.jit
+    def run(stack):
+        def body(prev, cur):
+            u, v = calc_optical_flow_farneback(
+                prev, cur, None, pyr_scale, levels, winsize, iterations,
+                poly_n, poly_sigma, 0)
+            return cur, (u, v)
+
+        _, (us, vs) = jax.lax.scan(body, stack[0], stack[1:])
+        return us, vs
+
+    return run(frames)
+
+
 # ---------------------------------------------------------------------------
 # Sparse feature tracking
 
