@@ -57,7 +57,10 @@ def weak_scaling_report(
         def run():
             u, v = horn_schunck_sharded_fused(
                 prev, nxt, mesh, window_size, iterations, 1.0, fuse)
-            jax.block_until_ready((u, v))
+            # Hard device-to-host fetch: block_until_ready alone can
+            # return before execution finishes through the axon tunnel
+            # (CLAUDE.md timing rules).
+            np.asarray(u)
 
         run()  # compile
         t0 = time.perf_counter()
