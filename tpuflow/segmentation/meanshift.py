@@ -341,6 +341,48 @@ def segment_meanshift(
                               shift_spatial=pos, shift_color=col)
 
 
+def segment_meanshift_async(
+    lab,
+    kernel_spatial: int = 20,
+    kernel_intensity: float = 16.0 / 255.0,
+    iters: int = 8,
+    min_size: int = 16,
+    margin: int | None = None,
+):
+    """:func:`segment_meanshift` split into device dispatch + deferred
+    host finalize.
+
+    Dispatches the mean-shift filter on device and returns a zero-arg
+    ``finalize`` callable that fetches the filter output and runs the
+    host labeling. Callers queue *other* device work between dispatch
+    and finalize so the host labeling (~0.15-1 s at KITTI res) overlaps
+    with it — the flagship driver overlaps the new frame's labeling with
+    the middle frame's block matching + refinement
+    (device order: filter first, so the fetch inside ``finalize`` only
+    waits for the filter, not the queued matching work).
+    """
+    lab_j = jnp.asarray(lab)
+    if _use_ms_kernel(lab_j.dtype):
+        from tpuflow.kernels.ms_filter import mean_shift_filter_pallas
+
+        pos, col = mean_shift_filter_pallas(lab_j, kernel_spatial,
+                                            float(kernel_intensity), iters)
+    else:
+        pos, col = mean_shift_filter(
+            lab_j, kernel_spatial, float(kernel_intensity), iters,
+            margin=None if margin is None else int(margin))
+
+    def finalize() -> SegmentationResult:
+        pos_np = np.asarray(pos)
+        col_np = np.asarray(col)
+        labels, n = _merge_labels(pos_np, col_np, float(kernel_spatial),
+                                  float(kernel_intensity), min_size)
+        return SegmentationResult(labels=labels, n_regions=n,
+                                  shift_spatial=pos_np, shift_color=col_np)
+
+    return finalize
+
+
 @functools.lru_cache(maxsize=32)
 def _ms_sharded_fn(mesh, h: int, w: int, kernel_spatial: int,
                    kernel_intensity: float, iters: int, E: int):

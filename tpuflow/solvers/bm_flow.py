@@ -43,10 +43,6 @@ from tpuflow.core.config import (
     MultipleMotionParam,
 )
 from tpuflow.segmentation import SegmentationResult, segment_meanshift
-from tpuflow.blockmatching import (
-    block_matching_bidirectional,
-    block_matching_labels,
-)
 from tpuflow.solvers.mestimators import geman_mcclure_psi, geman_mcclure_rho
 
 LAMBDA_D = 5.0
@@ -579,7 +575,22 @@ def optical_flow_block_matching(
     where they came from/go to in the reference frame, with t = -1
     (previous) or +1 (next). Pass the returned state back in for
     bidirectional matching on subsequent frames.
+
+    Steady-state pipelining: the bidirectional match + refinement run on
+    the *middle* frame with the segmentation computed on the PREVIOUS
+    call, so the new frame's segmentation is independent of them. The
+    driver dispatches the new frame's mean-shift filter first, queues
+    every search/refine behind it, and only then fetches the filter
+    output — the host labeling (+ quantize/shift side outputs) runs
+    while the device works through the queued matching (~1 s of host
+    work hidden behind ~2 s of device work per frame at KITTI res).
     """
+    from tpuflow.blockmatching.matcher import (
+        _match_device,
+        _result_from_host,
+    )
+    from tpuflow.segmentation import segment_meanshift_async
+
     if param is None:
         param = MultipleMotionParam()
     if state is None:
@@ -597,36 +608,53 @@ def optical_flow_block_matching(
                                    kernel_intensity)
         state.push(it_lab, np.asarray(it_norm), seg_it)
     itp1_norm, itp1_lab = to_lab(np.asarray(itp1_rgb))
-    seg_new = segment_meanshift(np.asarray(itp1_lab), kernel_spatial,
-                                kernel_intensity)
-    state.push(itp1_lab, np.asarray(itp1_norm), seg_new)
+    # Device filter dispatched FIRST; labeling deferred until the
+    # matching work below is queued behind it.
+    finalize_seg = segment_meanshift_async(itp1_lab, kernel_spatial,
+                                           kernel_intensity)
 
-    bidirectional = len(state.lab_frames) >= 3
+    # With the new frame not yet pushed: state[0] = middle frame,
+    # state[1] = previous-previous (the bidirectional refs,
+    # OpticalFlow_BlockMatching.cpp:84-93).
+    bidirectional = len(state.lab_frames) >= 2
     if bidirectional:
-        interest_lab = state.lab_frames[1]
-        seg = state.segmentations[1]
-        ref_prev = state.lab_frames[2]
-        ref_next = state.lab_frames[0]
-        r_prev, r_next, t = block_matching_bidirectional(
-            interest_lab, ref_prev, ref_next, seg.labels, seg.n_regions,
-            search_range, subpixel_scale=subpixel_scale)
-    else:
         interest_lab = state.lab_frames[0]
         seg = state.segmentations[0]
         ref_prev = state.lab_frames[1]
-        r_prev = block_matching_labels(
-            interest_lab, ref_prev, seg.labels, seg.n_regions,
-            search_range, subpixel_scale=subpixel_scale)
-        r_next = None
-        t = np.full(seg.labels.shape, -1, np.int8)
+        ref_next = itp1_lab
+        d_prev = _match_device(interest_lab, ref_prev, seg.labels,
+                               seg.n_regions, search_range, 1.0, 0.5,
+                               subpixel_scale, 16, "matmul")
+        d_next = _match_device(interest_lab, ref_next, seg.labels,
+                               seg.n_regions, search_range, 1.0, 0.5,
+                               subpixel_scale, 16, "matmul")
+        bm_dev = [d_prev, d_next]
+    else:
+        # First pair: the interest frame IS the new frame, so its
+        # segmentation gates the match — finalize before dispatching
+        # (cold path, once per sequence).
+        seg_new = finalize_seg()
+        finalize_seg = lambda: seg_new  # noqa: E731
+        interest_lab = itp1_lab
+        seg = seg_new
+        ref_prev = state.lab_frames[0]
+        bm_dev = [_match_device(interest_lab, ref_prev, seg.labels,
+                                seg.n_regions, search_range, 1.0, 0.5,
+                                subpixel_scale, 16, "matmul")]
 
     labels_j = jnp.asarray(seg.labels)
     zeros = jnp.zeros_like(jnp.asarray(interest_lab)[..., 0])
 
-    def refine(reference_lab, mv_u, mv_v):
+    def refine(reference_lab, bm_uv):
         if mode == MODE_OUTPUT_AFFINE_BLOCKMATCHING:
+            # AffineParametric receives the real per-pixel BM field —
+            # the reference zeroes MV only in the gradient branch
+            # (OpticalFlow_BlockMatching.cpp:278-304). Gathered on
+            # device from the search output so the refine still queues
+            # behind the search without a host sync.
+            mv = bm_uv[labels_j]
             _, u, v = affine_parametric_flow(
-                reference_lab, interest_lab, mv_u, mv_v,
+                reference_lab, interest_lab, mv[..., 0], mv[..., 1],
                 seg.labels, seg.n_regions,
                 iter_max=min(iter_max, 256),
                 error_min_threshold=param.error_min_threshold)
@@ -638,36 +666,47 @@ def optical_flow_block_matching(
             iter_max=iter_max,
             error_min_threshold=param.error_min_threshold)
 
-    refs = [(ref_prev, r_prev)]
+    refs = [(ref_prev, bm_dev[0][0])]
     if bidirectional:
-        refs.append((ref_next, r_next))
-    # Dispatch every refinement before fetching: the refines queue
-    # back-to-back on device and the tunnel round trip is paid once.
-    refined_dev = [refine(rl, jnp.asarray(r.u), jnp.asarray(r.v))
-                   for rl, r in refs]
-    refined = jax.device_get(refined_dev)
+        refs.append((ref_next, bm_dev[1][0]))
+    # Dispatch every refinement before fetching: searches + refines
+    # queue back-to-back on device behind the mean-shift filter.
+    refined_dev = [refine(rl, duv) for rl, duv in refs]
+
+    # Everything is queued — fetch the filter output (ready after the
+    # first ~1 s of device work) and run the host labeling while the
+    # device finishes the searches and refines.
+    seg_new = finalize_seg()
+    state.push(itp1_lab, np.asarray(itp1_norm), seg_new)
+    quantized = _quantize_colors(np.asarray(itp1_norm), seg_new)
+    xy = np.mgrid[0 : seg.labels.shape[0], 0 : seg.labels.shape[1]]
+    shift = np.stack([seg_new.shift_spatial[..., 0] - xy[1],
+                      seg_new.shift_spatial[..., 1] - xy[0]], axis=-1)
+
+    bm, refined = jax.device_get((bm_dev, refined_dev))
+    lab_np = np.asarray(seg.labels)
+    r_prev = _result_from_host(bm[0][0], bm[0][1], lab_np, seg.n_regions)
 
     # Compose Vector_ST: BM vector + matching-direction refinement
     # (OpticalFlow_BlockMatching.cpp:307-331).
     if bidirectional:
+        r_next = _result_from_host(bm[1][0], bm[1][1], lab_np,
+                                   seg.n_regions)
+        t = np.where(r_prev.cost <= r_next.cost, -1, 1).astype(np.int8)
         u_bm = np.where(t < 0, r_prev.u, r_next.u)
         v_bm = np.where(t < 0, r_prev.v, r_next.v)
         u_out = u_bm + np.where(t < 0, refined[0][0], refined[1][0])
         v_out = v_bm + np.where(t < 0, refined[0][1], refined[1][1])
     else:
+        t = np.full(seg.labels.shape, -1, np.int8)
         u_bm = r_prev.u
         v_bm = r_prev.v
         u_out = u_bm + refined[0][0]
         v_out = v_bm + refined[0][1]
-
-    rgb_for_quant = state.rgb_frames[0]
-    xy = np.mgrid[0 : seg.labels.shape[0], 0 : seg.labels.shape[1]]
-    shift = np.stack([seg_new.shift_spatial[..., 0] - xy[1],
-                      seg_new.shift_spatial[..., 1] - xy[0]], axis=-1)
     out = BMFlowOutput(
         u=np.asarray(u_out), v=np.asarray(v_out), t=t,
         segmentation=seg,
-        quantized_rgb=_quantize_colors(rgb_for_quant, seg_new),
+        quantized_rgb=quantized,
         shift_vector=shift,
         bm_u=u_bm, bm_v=v_bm,
         bidirectional=bidirectional)
