@@ -59,17 +59,20 @@ def main():
     for spec in want:
         parts = spec.split(":")
         kind = parts[0]
-        if kind not in ("tiled", "pipe", "roll", "rollpipe"):
+        if kind not in ("tiled", "pipe", "roll", "rollpipe", "broll",
+                        "brollpipe"):
             continue
         th, tw, f = int(parts[1]), int(parts[2]), int(parts[3])
         bf16 = len(parts) > 4 and parts[4] == "bf16"
         from tpuflow.kernels import horn_schunck_pallas
 
         a, b = (pb, nb) if bf16 else (p, n)
+        roll_arg = ("batched" if kind.startswith("b")
+                    else kind in ("roll", "rollpipe"))
         timed(f"{kind} f{f} {th}x{tw}{' bf16' if bf16 else ''}",
               lambda a=a, b=b, th=th, tw=tw, f=f,
-              p_=(kind in ("pipe", "rollpipe")),
-              r_=(kind in ("roll", "rollpipe")):
+              p_=(kind in ("pipe", "rollpipe", "brollpipe")),
+              r_=roll_arg:
               horn_schunck_pallas(a, b, WINDOW, ITERS, ALPHA, tile_h=th,
                                   tile_w=tw, fuse=f, pipelined=p_,
                                   roll=r_))

@@ -63,15 +63,16 @@ class TestHornSchunckPallas:
         p = jnp.asarray(prev)
         n = jnp.asarray(nxt)
         u_ref, v_ref = horn_schunck(p, n, 5, 7, 1.0)
-        for pipelined in (False, True):
-            u, v = horn_schunck_pallas(p, n, 5, 7, 1.0,
-                                       tile_h=32, tile_w=128, fuse=3,
-                                       roll=True, pipelined=pipelined,
-                                       interpret=True)
-            np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
-                                       rtol=0, atol=1e-10)
-            np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
-                                       rtol=0, atol=1e-10)
+        for roll in (True, "batched"):
+            for pipelined in (False, True):
+                u, v = horn_schunck_pallas(p, n, 5, 7, 1.0,
+                                           tile_h=32, tile_w=128, fuse=3,
+                                           roll=roll, pipelined=pipelined,
+                                           interpret=True)
+                np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                           rtol=0, atol=1e-10)
+                np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                                           rtol=0, atol=1e-10)
 
 
 class TestIrlsSweepPallas:

@@ -53,19 +53,30 @@ def weak_scaling_report(
         rng = np.random.default_rng(0)
         prev = rng.uniform(0, 255, (h, w)).astype(np.float32)
         nxt = np.roll(prev, 2, axis=1)
+        # Pre-place the inputs with the mesh sharding: host->device
+        # transfer is NOT part of the solve (through the axon tunnel a
+        # 4 MB upload costs more than the 100-iteration solve itself).
+        from jax.sharding import NamedSharding
+
+        from tpuflow.dist.solvers import SPEC
+
+        sharding = NamedSharding(mesh, SPEC)
+        prev_d = jax.device_put(prev, sharding)
+        nxt_d = jax.device_put(nxt, sharding)
 
         def run():
-            u, v = horn_schunck_sharded_fused(
-                prev, nxt, mesh, window_size, iterations, 1.0, fuse)
-            # Hard device-to-host fetch: block_until_ready alone can
-            # return before execution finishes through the axon tunnel
-            # (CLAUDE.md timing rules).
-            np.asarray(u)
+            return horn_schunck_sharded_fused(
+                prev_d, nxt_d, mesh, window_size, iterations, 1.0, fuse)
 
-        run()  # compile
+        np.asarray(run()[0][:1, :1])  # compile + hard sync
         t0 = time.perf_counter()
         for _ in range(repeats):
-            run()
+            u, _ = run()
+        # One tiny hard fetch after queueing every repeat: the device
+        # executes dispatches in order, so fetching any element of the
+        # last result forces them all; block_until_ready alone can
+        # return early through the axon tunnel (CLAUDE.md timing rules).
+        np.asarray(u[:1, :1])
         dt = (time.perf_counter() - t0) / repeats
         if t_base is None:
             t_base = dt

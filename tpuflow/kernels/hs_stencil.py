@@ -118,6 +118,30 @@ def _hs_sweeps_roll(u, v, gxa, gya, gta, inva, mask_full, window: int,
     return u, v
 
 
+def _hs_sweeps_roll_batched(u, v, gxa, gya, gta, inva, mask_full,
+                            window: int, fuse: int):
+    """:func:`_hs_sweeps_roll` with u and v stacked on the sublane axis:
+    one (2*hh, hw) array rides every roll/add, halving the instruction
+    count of the box pass (the sweep is VPU-issue-bound, BASELINE.md).
+    Cross-field wrap garbage from the cyclic rolls lands in the same
+    discarded halo rings as same-field wrap garbage (block edges are the
+    fields' halo margins), so the caller's halo >= fuse * r invariant is
+    unchanged."""
+    hh = u.shape[0]
+    inv_area = jnp.asarray(1.0 / (window * window), u.dtype)
+    uv = jnp.concatenate([u, v], axis=0)
+    for _ in range(fuse):
+        b = _box_sum_roll(uv, window) * inv_area
+        ub = b[:hh]
+        vb = b[hh:]
+        # Pointwise update kept in the exact per-element op order of
+        # :func:`_hs_sweeps_roll` (bitwise-identical results).
+        upd = (gxa * ub + gya * vb + gta) * inva
+        uv = jnp.concatenate([(ub - gxa * upd) * mask_full,
+                              (vb - gya * upd) * mask_full], axis=0)
+    return uv[:hh], uv[hh:]
+
+
 def _hs_sweeps(u, v, gxa, gya, gta, inva, mask_full, window: int,
                fuse: int, mxu: bool = False):
     """``fuse`` Jacobi sweeps on a halo'd tile with statically shrinking
@@ -199,8 +223,10 @@ def _hs_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
                                  img_h, img_w, us.dtype)
         u = us[:] * mask_full
         v = vs[:] * mask_full
-        u, v = _hs_sweeps_roll(u, v, gxs[:], gys[:], gts[:], invs[:],
-                               mask_full, window, fuse)
+        sweep = (_hs_sweeps_roll_batched if roll == "batched"
+                 else _hs_sweeps_roll)
+        u, v = sweep(u, v, gxs[:], gys[:], gts[:], invs[:],
+                     mask_full, window, fuse)
         uo_ref[:] = u[halo_y : halo_y + tile_h, halo_x : halo_x + tile_w]
         vo_ref[:] = v[halo_y : halo_y + tile_h, halo_x : halo_x + tile_w]
         return
@@ -554,9 +580,11 @@ def _hs_pipelined_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
                                      img_h, img_w, bufs.dtype)
             u = bufs[slot, 0] * mask_full
             v = bufs[slot, 1] * mask_full
-            u, v = _hs_sweeps_roll(u, v, bufs[slot, 2], bufs[slot, 3],
-                                   bufs[slot, 4], bufs[slot, 5],
-                                   mask_full, window, fuse)
+            sweep = (_hs_sweeps_roll_batched if roll == "batched"
+                     else _hs_sweeps_roll)
+            u, v = sweep(u, v, bufs[slot, 2], bufs[slot, 3],
+                         bufs[slot, 4], bufs[slot, 5],
+                         mask_full, window, fuse)
             u = u[halo_y : halo_y + tile_h, halo_x : halo_x + tile_w]
             v = v[halo_y : halo_y + tile_h, halo_x : halo_x + tile_w]
         else:
@@ -608,7 +636,7 @@ def horn_schunck_pallas(
     fuse: int = 10,
     pipelined: bool = False,
     mxu: bool = False,
-    roll: bool = False,
+    roll: bool | str = False,
     interpret: bool = False,
 ):
     """Horn-Schunck flow with the fused Pallas sweep. Returns (u, v).
@@ -621,7 +649,10 @@ def horn_schunck_pallas(
     double-buffered kernel (input prefetch + async write-back overlap the
     sweep compute, :func:`_hs_pipelined_kernel`). ``roll=True`` replaces
     the shrinking-slice sweeps with full-size cyclic-rotation sweeps
-    (:func:`_hs_sweeps_roll`) — no Mosaic relayout copies.
+    (:func:`_hs_sweeps_roll`) — no Mosaic relayout copies;
+    ``roll="batched"`` additionally stacks u and v on the sublane axis so
+    every roll/add instruction carries both fields
+    (:func:`_hs_sweeps_roll_batched`).
     """
     from tpuflow.solvers.horn_schunck import hs_gradients
 
