@@ -250,13 +250,48 @@ def bench_bm_flagship():
 
 
 def bench_weak_scaling_row():
-    from tpuflow.dist.scaling import weak_scaling_report
+    """1-device fused-sharded-HS device rate by two-point timing.
 
-    # 1000 iterations so the ~15 ms tunnel dispatch floor is <15% of the
-    # ~110 ms solve (the device rate is what weak scaling is about).
-    rep = weak_scaling_report(tile_hw=(512, 1024), iterations=1000, fuse=10,
-                              repeats=3)
-    return rep["runs"][0]
+    Times 100- and 300-iteration solves and divides the extra 200
+    iterations by the time delta: the ~15 ms tunnel dispatch floor, the
+    gradient pre-pass and the result fetch are identical in both and
+    cancel, leaving the pure sweep rate (a 1000-iteration single
+    program compiles for >10 min through the tunnel, so stretching one
+    call is not an option)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from tpuflow.dist.mesh import make_mesh
+    from tpuflow.dist.solvers import SPEC, horn_schunck_sharded_fused
+
+    th, tw = 512, 1024
+    mesh = make_mesh(1)
+    rng = np.random.default_rng(0)
+    prev = rng.uniform(0, 255, (th, tw)).astype(np.float32)
+    sharding = NamedSharding(mesh, SPEC)
+    prev_d = jax.device_put(prev, sharding)
+    nxt_d = jax.device_put(np.roll(prev, 2, axis=1), sharding)
+
+    def run(iters):
+        u, _ = horn_schunck_sharded_fused(prev_d, nxt_d, mesh, 5, iters,
+                                          1.0, 10)
+        return u
+
+    def measure(iters, repeats=4):
+        np.asarray(run(iters)[:1, :1])  # compile + sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                u = run(iters)
+            np.asarray(u[:1, :1])
+            best = min(best, (time.perf_counter() - t0) / repeats)
+        return best
+
+    t100 = measure(100)
+    t300 = measure(300)
+    rate = th * tw * 200 / max(t300 - t100, 1e-9) / 1e6
+    return {"mpix_per_s": rate, "seconds_100": t100, "seconds_300": t300}
 
 
 def main() -> None:

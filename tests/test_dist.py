@@ -434,3 +434,105 @@ class TestBlockMatchingSharded:
         np.testing.assert_array_equal(r2.region_uv, r1.region_uv)
         np.testing.assert_array_equal(r2.region_cost, r1.region_cost)
         np.testing.assert_array_equal(r2.u, r1.u)
+
+
+class TestGatedRefineSharded:
+    """Distributed region-gated IRLS refine (the flagship's
+    OpticalFlow_GradientMethod) vs the single-chip descent."""
+
+    def test_matches_single_device(self):
+        import jax.numpy as jnp
+
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.bm_refine import gradient_method_flow_sharded
+        from tpuflow.solvers.bm_flow import gradient_method_flow
+
+        rng = np.random.default_rng(17)
+        mesh = make_mesh(8)
+        ty, tx = mesh.devices.shape
+        h, w = 24 * ty, 24 * tx
+        from scipy.ndimage import gaussian_filter
+
+        base = gaussian_filter(rng.uniform(0, 1, (h + 4, w + 4, 3)),
+                               (2, 2, 0))
+        interest = jnp.asarray(base[:h, :w])
+        reference = jnp.asarray(base[2 : 2 + h, 1 : 1 + w])
+        # Random-ish regions spanning tile boundaries.
+        labels = ((np.add.outer(np.arange(h) // 7, np.arange(w) // 9))
+                  % 5).astype(np.int32)
+        # iter_max below the 64-iteration energy cadence: neither path
+        # early-stops, so the descents must agree step for step.
+        zeros = jnp.zeros((h, w), interest.dtype)
+        u_ref, v_ref = gradient_method_flow(
+            reference, interest, zeros, zeros, jnp.asarray(labels),
+            iter_max=32, error_min_threshold=0.0, zero_warp=True)
+        u_d, v_d, trace = gradient_method_flow_sharded(
+            reference, interest, labels, mesh, iter_max=32,
+            error_min_threshold=0.0, fuse=8)
+        np.testing.assert_allclose(np.asarray(u_d), np.asarray(u_ref),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_ref),
+                                   rtol=0, atol=1e-12)
+
+    def test_energy_trace_cadence(self):
+        import jax.numpy as jnp
+
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.bm_refine import gradient_method_flow_sharded
+
+        rng = np.random.default_rng(18)
+        mesh = make_mesh(4)
+        ty, tx = mesh.devices.shape
+        h, w = 24 * ty, 24 * tx
+        interest = jnp.asarray(rng.uniform(0, 1, (h, w, 3)))
+        reference = jnp.asarray(rng.uniform(0, 1, (h, w, 3)))
+        labels = (np.arange(h * w).reshape(h, w) // (h * w // 4)).astype(
+            np.int32)
+        u, v, trace = gradient_method_flow_sharded(
+            reference, interest, labels, mesh, iter_max=128,
+            error_min_threshold=0.0, fuse=8)
+        trace = np.asarray(trace)
+        assert trace.shape == (2,)  # checks at iterations 64 and 128
+        assert np.all(np.isfinite(trace))
+        # IRLS energy decreases across the cadence on this budget.
+        assert trace[1] <= trace[0]
+
+
+class TestFlagshipSharded:
+    """optical_flow_block_matching(mesh=...) — every device stage
+    multi-chip — vs the single-device driver."""
+
+    def test_driver_matches_single_device(self):
+        from tpuflow.dist import make_mesh
+        from tpuflow.solvers.bm_flow import (
+            BMFlowState,
+            optical_flow_block_matching,
+        )
+
+        rng = np.random.default_rng(23)
+        mesh = make_mesh(8)
+        from scipy.ndimage import gaussian_filter
+
+        h, w = 48, 64
+        base = gaussian_filter(rng.uniform(40, 200, (h + 8, w + 8, 3)),
+                               (2, 2, 0)).astype(np.float32)
+        frames = [base[s : s + h, 2 * s : 2 * s + w] for s in (0, 2, 4)]
+
+        def run(mesh_arg):
+            st = BMFlowState()
+            for i in range(1, 3):
+                out, st = optical_flow_block_matching(
+                    frames[i - 1], frames[i], mode=0, iter_max=64,
+                    search_range=9, kernel_spatial=6, state=st,
+                    mesh=mesh_arg)
+            return out
+
+        ref = run(None)
+        dist = run(mesh)
+        assert dist.bidirectional and ref.bidirectional
+        np.testing.assert_array_equal(dist.segmentation.labels,
+                                      ref.segmentation.labels)
+        np.testing.assert_array_equal(dist.t, ref.t)
+        np.testing.assert_array_equal(dist.bm_u, ref.bm_u)
+        np.testing.assert_allclose(dist.u, ref.u, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(dist.v, ref.v, rtol=0, atol=1e-5)

@@ -10,3 +10,6 @@ from tpuflow.dist.pyramid import optical_flow_pyramid_sharded  # noqa: F401
 from tpuflow.dist.scaling import weak_scaling_report  # noqa: F401
 from tpuflow.dist.farneback import farneback_sharded  # noqa: F401
 from tpuflow.dist.bm import block_matching_labels_sharded  # noqa: F401
+from tpuflow.dist.bm_refine import (  # noqa: F401
+    gradient_method_flow_sharded,
+)

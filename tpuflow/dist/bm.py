@@ -81,6 +81,39 @@ def _match_sharded(cur_lab, ref_lab, labels, perm, bounds, cand,
     return uv, best_cost
 
 
+def _match_device_sharded(cur_lab, ref_lab, labels, n_regions: int,
+                          mesh: Mesh, search_range, coeff_mad, coeff_zncc,
+                          subpixel_scale, chunk, method: str = "matmul"):
+    """Dispatch one direction's candidate-parallel search over the mesh;
+    returns device arrays (uv, cost) padded to the bucketed region count
+    — no host sync (the distributed twin of matcher._match_device)."""
+    if method == "matmul":
+        chunk = max(chunk, 64)
+    cur_lab = jnp.asarray(cur_lab)
+    ref_lab = jnp.asarray(ref_lab)
+    d = int(np.prod(mesh.devices.shape))
+    cand_np = search_candidates(search_range)
+    n_cand = cand_np.shape[0]
+    # Pad so every device holds a chunk-multiple slice; (0, 0) fillers
+    # are discarded after the all-gather (global order is preserved).
+    per_dev = -(-n_cand // d)
+    per_dev = -(-per_dev // chunk) * chunk
+    pad = per_dev * d - n_cand
+    cand = jnp.asarray(
+        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    perm, bounds = region_reduction_plan(np.asarray(labels),
+                                         int(n_regions))
+    # Same region-count bucketing as the single-device matcher (stable
+    # jit signature across frames).
+    n_pad_r = region_bucket(int(n_regions))
+    bounds = pad_region_bounds(bounds, n_pad_r)
+    return _match_sharded(
+        cur_lab, ref_lab, jnp.asarray(labels), jnp.asarray(perm),
+        jnp.asarray(bounds), cand, mesh, n_pad_r,
+        int(search_range), int(subpixel_scale), float(coeff_mad),
+        float(coeff_zncc), int(chunk), method)
+
+
 def block_matching_labels_sharded(
     cur_lab,
     ref_lab,
@@ -96,30 +129,9 @@ def block_matching_labels_sharded(
 ) -> BlockMatchResult:
     """Distributed block_matching_labels: same result, search split over
     the mesh's devices along the candidate axis."""
-    if method == "matmul":
-        chunk = max(chunk, 64)
-    cur_lab = jnp.asarray(cur_lab)
-    ref_lab = jnp.asarray(ref_lab)
-    d = int(np.prod(mesh.devices.shape))
-    cand_np = search_candidates(search_range)
-    n_cand = cand_np.shape[0]
-    # Pad so every device holds a chunk-multiple slice; (0, 0) fillers
-    # are discarded after the all-gather (global order is preserved).
-    per_dev = -(-n_cand // d)
-    per_dev = -(-per_dev // chunk) * chunk
-    pad = per_dev * d - n_cand
-    cand = jnp.asarray(
-        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
-    perm, bounds = region_reduction_plan(labels, int(n_regions))
-    # Same region-count bucketing as the single-device matcher (stable
-    # jit signature across frames).
-    n_pad_r = region_bucket(int(n_regions))
-    bounds = pad_region_bounds(bounds, n_pad_r)
-    uv, cost = _match_sharded(
-        cur_lab, ref_lab, jnp.asarray(labels), jnp.asarray(perm),
-        jnp.asarray(bounds), cand, mesh, n_pad_r,
-        int(search_range), int(subpixel_scale), float(coeff_mad),
-        float(coeff_zncc), int(chunk), method)
+    uv, cost = _match_device_sharded(
+        cur_lab, ref_lab, labels, n_regions, mesh, search_range,
+        coeff_mad, coeff_zncc, subpixel_scale, chunk, method)
     uv = np.asarray(uv)[:n_regions]
     cost = np.asarray(cost)[:n_regions]
     lab_np = np.asarray(labels)

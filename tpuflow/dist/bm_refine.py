@@ -1,0 +1,254 @@
+"""Distributed region-gated IRLS refinement — the flagship BM path's
+OpticalFlow_GradientMethod over a device mesh.
+
+Multi-chip analogue of :func:`tpuflow.solvers.bm_flow.gradient_method_flow`
+(OpticalFlow_BlockMatching.cpp:367-462, the ``#pragma omp parallel for``
+site loop at :433-441 as SURVEY.md §2.6's shard_map/ppermute scheme):
+
+- gradients + dt are computed inside the shard_map from 1-px ppermute
+  halos, with the single-chip mirror-border values re-selected at the
+  global image edge (bitwise the op order of ``gradient_method_grad`` /
+  ``gradient_method_dt_zero`` — the flagship zeroes MV before this
+  refine, so the dt needs no warp gather);
+- the IRLS loop exchanges a ``fuse``-wide halo once per block of
+  ``fuse`` region-gated Jacobi sweeps
+  (:func:`tpuflow.kernels.irls_stencil._irls_sweeps_gated` — the same
+  tile body as the single-chip kernel) — label halos carry REAL
+  neighbor-tile labels, so the region gate is exact across tile
+  boundaries;
+- sup uses pmax, the 64-iteration energy cadence + 3-strikes divergence
+  stop use psum (every device takes the same stopping decision), and the
+  E(n) trace comes back at the reference cadence
+  (OpticalFlow.cpp:261-265).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding
+
+from tpuflow.dist.halo import halo_pad_2d
+from tpuflow.dist.solvers import SPEC, shard_map
+from tpuflow.solvers.mestimators import geman_mcclure_psi, geman_mcclure_rho
+
+
+def _fwd_mirror(tile_p, dx: int, dy: int, at_xedge, at_yedge, th: int,
+                tw: int):
+    """Value of img.get_mirror(x + dx, y + dy) for dx, dy in {0, 1} on a
+    1-px halo-padded tile: the +1 neighbor from the halo, re-selected to
+    the -1 neighbor at the global far edge (mirror: 2w-2-(w) = w-2)."""
+
+    def sl(ddy, ddx):
+        return lax.dynamic_slice(tile_p, (1 + ddy, 1 + ddx), (th, tw))
+
+    if dx and dy:
+        a = jnp.where(at_xedge, sl(1, -1), sl(1, 1))
+        b = jnp.where(at_xedge, sl(-1, -1), sl(-1, 1))
+        return jnp.where(at_yedge, b, a)
+    if dx:
+        return jnp.where(at_xedge, sl(0, -1), sl(0, 1))
+    if dy:
+        return jnp.where(at_yedge, sl(-1, 0), sl(1, 0))
+    return sl(0, 0)
+
+
+def _grad_dt_tile(int_t, ref_t, at_xedge, at_yedge):
+    """gx, gy (2x2 forward diff of the interest tile) and the zero-warp
+    dt — bitwise the op order of gradient_method_grad /
+    gradient_method_dt_zero (OpticalFlow_BlockMatching.cpp:372-397)."""
+    th, tw = int_t.shape
+    int_p = halo_pad_2d(int_t, 1)
+    ref_p = halo_pad_2d(ref_t, 1)
+
+    def at(p, ddx, ddy):
+        return _fwd_mirror(p, ddx, ddy, at_xedge, at_yedge, th, tw)
+
+    i00 = at(int_p, 0, 0)
+    i10 = at(int_p, 1, 0)
+    i01 = at(int_p, 0, 1)
+    i11 = at(int_p, 1, 1)
+    gx = ((i10 - i00) + (i11 - i01)) / 2.0
+    gy = ((i01 - i00) + (i11 - i10)) / 2.0
+    it = (at(ref_p, 0, 0) - i00
+          + at(ref_p, 1, 0) - i10
+          + at(ref_p, 0, 1) - i01
+          + at(ref_p, 1, 1) - i11) / 4.0
+    return gx, gy, it
+
+
+def _gated_energy_tile(u, v, lab_t, gx, gy, it, masks,
+                       lambda_d: float, lambda_s: float,
+                       sigma_d: float, sigma_s: float):
+    """Local term of Error_MultipleMotion_Block
+    (OpticalFlow_BlockMatching.cpp:540-590) on a tile: 1-px ppermute
+    halos, same per-site op order as
+    tpuflow.solvers.bm_flow._neighbor_energy; the caller psums."""
+    th, tw = u.shape
+    dt = u.dtype
+    u_p = halo_pad_2d(u, 1)
+    v_p = halo_pad_2d(v, 1)
+    lab_p = halo_pad_2d(lab_t, 1)
+    norm_c = jnp.sqrt(u * u + v * v)
+    E = jnp.zeros_like(u)
+
+    def sl(a, dy, dx):
+        return lax.dynamic_slice(a, (1 + dy, 1 + dx), (th, tw))
+
+    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        un = sl(u_p, dy, dx)
+        vn = sl(v_p, dy, dx)
+        ln = sl(lab_p, dy, dx)
+        gate = masks[(dx, dy)] * (ln == lab_t).astype(dt)
+        nn = jnp.sqrt(un * un + vn * vn)
+        prod = norm_c * nn
+        cosang = jnp.where(prod > 0,
+                           (u * un + v * vn) / jnp.maximum(prod, 1e-30),
+                           1.0)
+        m = gate * (0.5 * (1.0 + cosang))
+        E = E + m * (geman_mcclure_rho(u - un, sigma_s)
+                     + geman_mcclure_rho(v - vn, sigma_s))
+    center = geman_mcclure_rho(gx * u + gy * v + it, sigma_d)
+    return jnp.sum(lambda_d * center + lambda_s * E)
+
+
+@functools.lru_cache(maxsize=64)
+def _gated_sharded_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
+                      lambda_s: float, sigma_d: float, sigma_s: float,
+                      iter_max: int, error_min_threshold: float,
+                      fuse: int):
+    from tpuflow.kernels.irls_stencil import _irls_sweeps_gated, _nb_masks
+
+    blocks_per_check = max(64 // fuse, 1)
+    n_blocks = -(-iter_max // fuse)
+    n_checks = max(-(-n_blocks // blocks_per_check), 1)
+
+    def tile_body(int_t, ref_t, lab_t):
+        th, tw = int_t.shape
+        dt = int_t.dtype
+        iy = lax.axis_index("ty")
+        ix = lax.axis_index("tx")
+        xg = ix * tw + jnp.arange(tw)[None, :]
+        yg = iy * th + jnp.arange(th)[:, None]
+        at_xedge = jnp.broadcast_to(xg == w - 1, (th, tw))
+        at_yedge = jnp.broadcast_to(yg == h - 1, (th, tw))
+
+        gx, gy, it = _grad_dt_tile(int_t, ref_t, at_xedge, at_yedge)
+
+        sup_x = (lambda_d
+                 * lax.pmax(lax.pmax(jnp.max(gx * gx), "tx"), "ty")
+                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
+        sup_y = (lambda_d
+                 * lax.pmax(lax.pmax(jnp.max(gy * gy), "tx"), "ty")
+                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
+
+        row0 = iy * th - fuse
+        col0 = ix * tw - fuse
+        nb = _nb_masks(row0, col0, th + 2 * fuse, tw + 2 * fuse, h, w, dt)
+        # Static across sweeps: exchange the field/label halos once.
+        gx_p = halo_pad_2d(gx, fuse)
+        gy_p = halo_pad_2d(gy, fuse)
+        it_p = halo_pad_2d(it, fuse)
+        lab_p = halo_pad_2d(lab_t, fuse)
+
+        # 1-px masks for the energy's neighbor gating (global border).
+        e_masks = {}
+        for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            ok = ((yg + dy >= 0) & (yg + dy < h)
+                  & (xg + dx >= 0) & (xg + dx < w))
+            e_masks[(dx, dy)] = jnp.broadcast_to(ok, (th, tw)).astype(dt)
+
+        def energy(u, v):
+            local = _gated_energy_tile(u, v, lab_t, gx, gy, it, e_masks,
+                                       lambda_d, lambda_s, sigma_d,
+                                       sigma_s)
+            return lax.psum(lax.psum(local, "tx"), "ty")
+
+        def sweep_block(u, v):
+            return _irls_sweeps_gated(
+                halo_pad_2d(u, fuse), halo_pad_2d(v, fuse),
+                gx_p, gy_p, it_p, lab_p, nb, sup_x, sup_y, fuse,
+                lambda_d, lambda_s, sigma_d, sigma_s)
+
+        def cond(carry):
+            u, v, E, inc, b, stop, trace = carry
+            return jnp.logical_and(b < n_blocks, jnp.logical_not(stop))
+
+        def body(carry):
+            u, v, E, inc, b, _, trace = carry
+            u, v = sweep_block(u, v)
+            do_check = (b % blocks_per_check) == (blocks_per_check - 1)
+
+            def check(args):
+                u, v, E, inc = args
+                E_new = energy(u, v)
+                return E_new, jnp.where(E_new > E, inc + 1, 0)
+
+            E_new, inc_new = lax.cond(
+                do_check, check, lambda args: (args[2], args[3]),
+                (u, v, E, inc))
+            trace = lax.cond(
+                do_check,
+                lambda: trace.at[b // blocks_per_check].set(E_new),
+                lambda: trace)
+            stop = jnp.logical_and(
+                do_check,
+                jnp.logical_or(E_new < error_min_threshold, inc_new > 3))
+            return u, v, E_new, inc_new, b + 1, stop, trace
+
+        E0 = jnp.asarray(0.0, dt)
+        trace0 = jnp.full((n_checks,), jnp.nan, dt)
+        u, v, E, _, b, _, trace = lax.while_loop(
+            cond, body,
+            (jnp.zeros_like(gx), jnp.zeros_like(gx), E0, jnp.int32(0),
+             jnp.int32(0), jnp.bool_(False), trace0))
+        return u, v, trace
+
+    return jax.jit(shard_map(
+        tile_body, mesh, in_specs=(SPEC, SPEC, SPEC),
+        out_specs=(SPEC, SPEC, jax.sharding.PartitionSpec())))
+
+
+def gradient_method_flow_sharded(
+    reference_lab,
+    interest_lab,
+    labels,
+    mesh: Mesh,
+    lambda_d: float = 5.0,
+    lambda_s: float = 1.0,
+    sigma_d: float = 0.2 / np.sqrt(2.0),
+    sigma_s: float = 0.03 / np.sqrt(2.0),
+    iter_max: int = 2048,
+    error_min_threshold: float = 1.0e-6,
+    fuse: int = 8,
+):
+    """Distributed OpticalFlow_GradientMethod: returns (u, v, trace).
+
+    Same descent as :func:`tpuflow.solvers.bm_flow.gradient_method_flow`
+    with ``zero_warp=True`` (the flagship's reproduced MV-zeroing); the
+    early-stop decision points sit at the fused-block cadence (64, 128,
+    ... iterations — the fast-kernel contract of
+    ``irls_gradient_method_fast``). ``labels`` may be any int map; it is
+    carried as float for the tile-edge-exact region gate.
+    """
+    h, w = labels.shape
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    if h // ty <= fuse or w // tx <= fuse:
+        raise ValueError("tile smaller than the fused halo; lower fuse")
+    interest_l = jnp.asarray(interest_lab)[..., 0]
+    reference_l = jnp.asarray(reference_lab)[..., 0]
+    dt = interest_l.dtype
+    sharding = NamedSharding(mesh, SPEC)
+    args = [jax.device_put(a, sharding)
+            for a in (interest_l, reference_l,
+                      jnp.asarray(labels).astype(dt))]
+    f = _gated_sharded_fn(mesh, h, w, float(lambda_d), float(lambda_s),
+                          float(sigma_d), float(sigma_s), int(iter_max),
+                          float(error_min_threshold), int(fuse))
+    return f(*args)

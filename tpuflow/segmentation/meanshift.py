@@ -348,6 +348,7 @@ def segment_meanshift_async(
     iters: int = 8,
     min_size: int = 16,
     margin: int | None = None,
+    mesh=None,
 ):
     """:func:`segment_meanshift` split into device dispatch + deferred
     host finalize.
@@ -360,9 +361,17 @@ def segment_meanshift_async(
     the middle frame's block matching + refinement
     (device order: filter first, so the fetch inside ``finalize`` only
     waits for the filter, not the queued matching work).
+
+    ``mesh`` routes the filter through
+    :func:`mean_shift_filter_sharded` (image tiled over the device
+    mesh); the labeling is global and stays on the host.
     """
     lab_j = jnp.asarray(lab)
-    if _use_ms_kernel(lab_j.dtype):
+    if mesh is not None:
+        pos, col = mean_shift_filter_sharded(
+            lab_j, mesh, kernel_spatial, float(kernel_intensity), iters,
+            margin=margin)
+    elif _use_ms_kernel(lab_j.dtype):
         from tpuflow.kernels.ms_filter import mean_shift_filter_pallas
 
         pos, col = mean_shift_filter_pallas(lab_j, kernel_spatial,

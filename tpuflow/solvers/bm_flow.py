@@ -109,6 +109,26 @@ def gradient_method_dt(reference_l: jnp.ndarray, interest_l: jnp.ndarray,
             + ref_at(1, 1) - int_at(1, 1)) / 4.0
 
 
+@jax.jit
+def gradient_method_dt_zero(reference_l: jnp.ndarray,
+                            interest_l: jnp.ndarray):
+    """:func:`gradient_method_dt` specialized to MV == 0 (the flagship's
+    gradient branch zeroes MV before refinement,
+    OpticalFlow_BlockMatching.cpp:291-293): the floor-warp gather
+    degenerates to static mirror shifts — no gather op, so it runs at
+    shift speed on TPU and partitions cleanly under GSPMD (a gather
+    would force an all-gather of the reference tile). Bitwise-identical
+    op order to the general path with zero MV."""
+
+    def at(img, ddx, ddy):
+        return _mirror_shift(img, ddx, ddy)
+
+    return (at(reference_l, 0, 0) - at(interest_l, 0, 0)
+            + at(reference_l, 1, 0) - at(interest_l, 1, 0)
+            + at(reference_l, 0, 1) - at(interest_l, 0, 1)
+            + at(reference_l, 1, 1) - at(interest_l, 1, 1)) / 4.0
+
+
 # ---------------------------------------------------------------------------
 # Region-gated IRLS (OpticalFlow_GradientMethod)
 
@@ -360,17 +380,24 @@ def gradient_method_flow(
     error_min_threshold: float = 1.0e-6,
     u0=None,
     v0=None,
+    zero_warp: bool = False,
 ):
     """OpticalFlow_GradientMethod (OpticalFlow_BlockMatching.cpp:367-409).
 
     NOTE: the reference zeroes MV before refinement ("for DEBUG",
     lines 291-293) — callers decide whether to warp (pass zeros to
-    reproduce the reference exactly). ``u0``/``v0`` warm-start the IRLS
+    reproduce the reference exactly; ``zero_warp=True`` additionally
+    routes the dt through the gather-free specialization
+    :func:`gradient_method_dt_zero`). ``u0``/``v0`` warm-start the IRLS
     (streaming pipelines; the reference always starts from zero).
     """
     gx, gy = gradient_method_grad(interest_lab[..., 0])
-    it = gradient_method_dt(reference_lab[..., 0], interest_lab[..., 0],
-                            mv_u, mv_v)
+    if zero_warp:
+        it = gradient_method_dt_zero(reference_lab[..., 0],
+                                     interest_lab[..., 0])
+    else:
+        it = gradient_method_dt(reference_lab[..., 0], interest_lab[..., 0],
+                                mv_u, mv_v)
     if _use_gated_kernel(gx.dtype):
         u, v, _, _, trace = irls_gradient_method_fast(
             gx, gy, it, jnp.asarray(labels),
@@ -568,6 +595,7 @@ def optical_flow_block_matching(
     kernel_spatial: int = 20,
     kernel_intensity: float = 16.0 / 255.0,
     subpixel_scale: int = 2,
+    mesh=None,
 ) -> tuple[BMFlowOutput, BMFlowState]:
     """The flagship driver (OpticalFlow_BlockMatching.cpp:13-362).
 
@@ -575,6 +603,13 @@ def optical_flow_block_matching(
     where they came from/go to in the reference frame, with t = -1
     (previous) or +1 (next). Pass the returned state back in for
     bidirectional matching on subsequent frames.
+
+    ``mesh`` (a ("ty", "tx") jax.sharding.Mesh; image dims must divide
+    it) runs every device stage multi-chip: the mean-shift filter tiled
+    with halo exchange, the BM searches candidate-parallel, and the
+    gradient-method refinement tiled with fused ppermute halos
+    (tpuflow.dist). The host labeling is global either way; the affine
+    refinement (MODE AFFINE) currently stays single-device.
 
     Steady-state pipelining: the bidirectional match + refinement run on
     the *middle* frame with the segmentation computed on the PREVIOUS
@@ -611,7 +646,20 @@ def optical_flow_block_matching(
     # Device filter dispatched FIRST; labeling deferred until the
     # matching work below is queued behind it.
     finalize_seg = segment_meanshift_async(itp1_lab, kernel_spatial,
-                                           kernel_intensity)
+                                           kernel_intensity, mesh=mesh)
+
+    if mesh is not None:
+        from tpuflow.dist.bm import _match_device_sharded
+
+        def match_dev(cur, ref, seg):
+            return _match_device_sharded(
+                cur, ref, seg.labels, seg.n_regions, mesh, search_range,
+                1.0, 0.5, subpixel_scale, 16, "matmul")
+    else:
+        def match_dev(cur, ref, seg):
+            return _match_device(cur, ref, seg.labels, seg.n_regions,
+                                 search_range, 1.0, 0.5, subpixel_scale,
+                                 16, "matmul")
 
     # With the new frame not yet pushed: state[0] = middle frame,
     # state[1] = previous-previous (the bidirectional refs,
@@ -622,13 +670,8 @@ def optical_flow_block_matching(
         seg = state.segmentations[0]
         ref_prev = state.lab_frames[1]
         ref_next = itp1_lab
-        d_prev = _match_device(interest_lab, ref_prev, seg.labels,
-                               seg.n_regions, search_range, 1.0, 0.5,
-                               subpixel_scale, 16, "matmul")
-        d_next = _match_device(interest_lab, ref_next, seg.labels,
-                               seg.n_regions, search_range, 1.0, 0.5,
-                               subpixel_scale, 16, "matmul")
-        bm_dev = [d_prev, d_next]
+        bm_dev = [match_dev(interest_lab, ref_prev, seg),
+                  match_dev(interest_lab, ref_next, seg)]
     else:
         # First pair: the interest frame IS the new frame, so its
         # segmentation gates the match — finalize before dispatching
@@ -638,9 +681,7 @@ def optical_flow_block_matching(
         interest_lab = itp1_lab
         seg = seg_new
         ref_prev = state.lab_frames[0]
-        bm_dev = [_match_device(interest_lab, ref_prev, seg.labels,
-                                seg.n_regions, search_range, 1.0, 0.5,
-                                subpixel_scale, 16, "matmul")]
+        bm_dev = [match_dev(interest_lab, ref_prev, seg)]
 
     labels_j = jnp.asarray(seg.labels)
     zeros = jnp.zeros_like(jnp.asarray(interest_lab)[..., 0])
@@ -660,11 +701,23 @@ def optical_flow_block_matching(
                 error_min_threshold=param.error_min_threshold)
             return u, v
         # The reference zeroes MV before the gradient method
-        # (OpticalFlow_BlockMatching.cpp:291-293) — reproduced here.
+        # (OpticalFlow_BlockMatching.cpp:291-293) — reproduced here via
+        # the gather-free zero-warp dt.
+        if mesh is not None:
+            from tpuflow.dist.bm_refine import gradient_method_flow_sharded
+            from tpuflow.solvers.black_anandan import _emit_energy_trace
+
+            u, v, trace = gradient_method_flow_sharded(
+                reference_lab, interest_lab, seg.labels, mesh,
+                iter_max=iter_max,
+                error_min_threshold=param.error_min_threshold)
+            _emit_energy_trace(0, trace)
+            return u, v
         return gradient_method_flow(
             reference_lab, interest_lab, zeros, zeros, labels_j,
             iter_max=iter_max,
-            error_min_threshold=param.error_min_threshold)
+            error_min_threshold=param.error_min_threshold,
+            zero_warp=True)
 
     refs = [(ref_prev, bm_dev[0][0])]
     if bidirectional:
