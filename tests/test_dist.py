@@ -536,3 +536,88 @@ class TestFlagshipSharded:
         np.testing.assert_array_equal(dist.bm_u, ref.bm_u)
         np.testing.assert_allclose(dist.u, ref.u, rtol=0, atol=1e-5)
         np.testing.assert_allclose(dist.v, ref.v, rtol=0, atol=1e-5)
+
+
+class TestAffineSharded:
+    def test_matches_single_device(self):
+        import jax.numpy as jnp
+
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.bm_refine import affine_parametric_flow_sharded
+        from tpuflow.solvers.bm_flow import affine_parametric_flow
+
+        rng = np.random.default_rng(29)
+        mesh = make_mesh(8)
+        ty, tx = mesh.devices.shape
+        h, w = 24 * ty, 24 * tx
+        from scipy.ndimage import gaussian_filter
+
+        base = gaussian_filter(rng.uniform(0, 1, (h + 8, w + 8, 3)),
+                               (2, 2, 0))
+        interest = jnp.asarray(base[:h, :w])
+        reference = jnp.asarray(base[3 : 3 + h, 1 : 1 + w])
+        labels = ((np.add.outer(np.arange(h) // 11, np.arange(w) // 13))
+                  % 4).astype(np.int32)
+        n_regions = 4
+        # Constant-per-region BM warp field (what the driver feeds in).
+        reg_uv = rng.integers(-3, 4, size=(n_regions, 2)).astype(np.float64)
+        mv_u = reg_uv[labels][..., 0]
+        mv_v = reg_uv[labels][..., 1]
+        # The reference's omega=1 step is marginally stable on regions
+        # this large (see affine_parametric_flow's normalize_steps note),
+        # so psum-reassociation noise amplifies over long horizons:
+        # compare the raw step over a short horizon and the stabilized
+        # step over the full budget.
+        for it_n, ns, atol in ((2, False, 1e-12), (24, True, 1e-12)):
+            a_ref, u_ref, v_ref = affine_parametric_flow(
+                reference, interest, mv_u, mv_v, labels, n_regions,
+                iter_max=it_n, error_min_threshold=0.0,
+                normalize_steps=ns)
+            a_d, u_d, v_d = affine_parametric_flow_sharded(
+                reference, interest, mv_u, mv_v, labels, n_regions, mesh,
+                iter_max=it_n, error_min_threshold=0.0,
+                normalize_steps=ns)
+            np.testing.assert_allclose(np.asarray(a_d), np.asarray(a_ref),
+                                       rtol=0, atol=atol)
+            np.testing.assert_allclose(np.asarray(u_d), np.asarray(u_ref),
+                                       rtol=0, atol=atol)
+            np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_ref),
+                                       rtol=0, atol=atol)
+
+
+    def test_affine_driver_matches_single_device(self):
+        from tpuflow.core.config import MODE_OUTPUT_AFFINE_BLOCKMATCHING
+        from tpuflow.dist import make_mesh
+        from tpuflow.solvers.bm_flow import (
+            BMFlowState,
+            optical_flow_block_matching,
+        )
+
+        rng = np.random.default_rng(31)
+        mesh = make_mesh(8)
+        from scipy.ndimage import gaussian_filter
+
+        h, w = 48, 64
+        base = gaussian_filter(rng.uniform(40, 200, (h + 8, w + 8, 3)),
+                               (2, 2, 0)).astype(np.float32)
+        frames = [base[s : s + h, 2 * s : 2 * s + w] for s in (0, 2, 4)]
+
+        def run(mesh_arg):
+            st = BMFlowState()
+            for i in range(1, 3):
+                out, st = optical_flow_block_matching(
+                    frames[i - 1], frames[i],
+                    mode=MODE_OUTPUT_AFFINE_BLOCKMATCHING, iter_max=4,
+                    search_range=9, kernel_spatial=6, state=st,
+                    mesh=mesh_arg)
+            return out
+
+        # Short horizon: the reference's omega=1 affine step amplifies
+        # f32 psum-reassociation noise on large regions (see
+        # test_matches_single_device's note).
+        ref = run(None)
+        dist = run(mesh)
+        np.testing.assert_array_equal(dist.t, ref.t)
+        np.testing.assert_array_equal(dist.bm_u, ref.bm_u)
+        np.testing.assert_allclose(dist.u, ref.u, rtol=0, atol=5e-4)
+        np.testing.assert_allclose(dist.v, ref.v, rtol=0, atol=5e-4)

@@ -11,5 +11,6 @@ from tpuflow.dist.scaling import weak_scaling_report  # noqa: F401
 from tpuflow.dist.farneback import farneback_sharded  # noqa: F401
 from tpuflow.dist.bm import block_matching_labels_sharded  # noqa: F401
 from tpuflow.dist.bm_refine import (  # noqa: F401
+    affine_parametric_flow_sharded,
     gradient_method_flow_sharded,
 )

@@ -252,3 +252,185 @@ def gradient_method_flow_sharded(
                           float(sigma_d), float(sigma_s), int(iter_max),
                           float(error_min_threshold), int(fuse))
     return f(*args)
+
+
+def _mirror_idx(i, n: int):
+    """img.get_mirror index fold (same formula as
+    tpuflow.solvers.bm_flow.gradient_method_dt)."""
+    i = jnp.abs(i)
+    period = 2 * n - 2 if n > 1 else 1
+    i = i % period
+    return jnp.where(i >= n, period - i, i)
+
+
+def _warp_dt_tile(int_t, ref_t, mv_u, mv_v, row0, col0, h: int, w: int,
+                  R: int, at_xedge, at_yedge):
+    """4-tap dt under the floor(MV) warp on a tile
+    (OpticalFlow_BlockMatching.cpp:385-397): the reference tile carries
+    an R-wide ppermute halo sized for the displacement bound, the warped
+    reads resolve locally (mirror folds at the global border stay within
+    the halo when R >= 2 * (max|MV| + 2)); the interest taps are the
+    static mirror shifts. Bitwise the op order of gradient_method_dt."""
+    th, tw = int_t.shape
+    int_p = halo_pad_2d(int_t, 1)
+    ref_p = halo_pad_2d(ref_t, R)
+    xs_g = jnp.broadcast_to(col0 + jnp.arange(tw)[None, :], (th, tw))
+    ys_g = jnp.broadcast_to(row0 + jnp.arange(th)[:, None], (th, tw))
+    xt = xs_g + jnp.floor(mv_u).astype(jnp.int32)
+    yt = ys_g + jnp.floor(mv_v).astype(jnp.int32)
+
+    def ref_at(ddx, ddy):
+        gy = _mirror_idx(yt + ddy, h)
+        gx = _mirror_idx(xt + ddx, w)
+        ly = jnp.clip(gy - row0 + R, 0, th + 2 * R - 1)
+        lx = jnp.clip(gx - col0 + R, 0, tw + 2 * R - 1)
+        return ref_p[ly, lx]
+
+    def int_at(ddx, ddy):
+        return _fwd_mirror(int_p, ddx, ddy, at_xedge, at_yedge, th, tw)
+
+    return (ref_at(0, 0) - int_at(0, 0)
+            + ref_at(1, 0) - int_at(1, 0)
+            + ref_at(0, 1) - int_at(0, 1)
+            + ref_at(1, 1) - int_at(1, 1)) / 4.0
+
+
+@functools.lru_cache(maxsize=64)
+def _affine_sharded_fn(mesh: Mesh, h: int, w: int, n_regions: int,
+                       sigma: float, iter_max: int,
+                       error_min_threshold: float, normalize_steps: bool,
+                       R: int):
+    def tile_body(int_t, ref_t, lab_t, mvu_t, mvv_t):
+        th, tw = int_t.shape
+        dt = int_t.dtype
+        iy = lax.axis_index("ty")
+        ix = lax.axis_index("tx")
+        row0 = iy * th
+        col0 = ix * tw
+        xg = col0 + jnp.arange(tw)[None, :]
+        yg = row0 + jnp.arange(th)[:, None]
+        at_xedge = jnp.broadcast_to(xg == w - 1, (th, tw))
+        at_yedge = jnp.broadcast_to(yg == h - 1, (th, tw))
+
+        # gx, gy from the interest tile (gradient_method_grad op order).
+        int_p = halo_pad_2d(int_t, 1)
+        i00 = _fwd_mirror(int_p, 0, 0, at_xedge, at_yedge, th, tw)
+        i10 = _fwd_mirror(int_p, 1, 0, at_xedge, at_yedge, th, tw)
+        i01 = _fwd_mirror(int_p, 0, 1, at_xedge, at_yedge, th, tw)
+        i11 = _fwd_mirror(int_p, 1, 1, at_xedge, at_yedge, th, tw)
+        gx = ((i10 - i00) + (i11 - i01)) / 2.0
+        gy = ((i01 - i00) + (i11 - i10)) / 2.0
+        it = _warp_dt_tile(int_t, ref_t, mvu_t, mvv_t, row0, col0, h, w,
+                           R, at_xedge, at_yedge)
+
+        x = xg.astype(dt) * jnp.ones((th, 1), dt)
+        y = yg.astype(dt) * jnp.ones((1, tw), dt)
+        basis = jnp.stack([gx, gx * x, gx * y, gy, gy * x, gy * y], axis=0)
+        flat = lab_t.reshape(-1)
+
+        def seg(f):
+            local = jax.ops.segment_sum(f.reshape(-1), flat,
+                                        num_segments=n_regions)
+            return lax.psum(lax.psum(local, "tx"), "ty")
+
+        def seg_max(f):
+            local = jax.ops.segment_max(f.reshape(-1), flat,
+                                        num_segments=n_regions)
+            return lax.pmax(lax.pmax(local, "tx"), "ty")
+
+        sup = jnp.stack([2.0 * seg_max(basis[i] ** 2) / sigma**2
+                         for i in range(6)], axis=-1)
+        omega = 1.0
+        tiny = jnp.abs(sup) < 1.0e-10
+        step = jnp.where(tiny,
+                         omega * 1.0e10 * jnp.where(sup >= 0, 1.0, -1.0),
+                         omega / jnp.where(tiny, 1.0, sup))
+        if normalize_steps:
+            counts = seg(jnp.ones((th, tw), dt))
+            step = step / jnp.maximum(counts, 1.0)[:, None]
+
+        def flow_of(a):
+            a_pix = a[lab_t]
+            u = a_pix[..., 0] + a_pix[..., 1] * x + a_pix[..., 2] * y
+            v = a_pix[..., 3] + a_pix[..., 4] * x + a_pix[..., 5] * y
+            return u, v
+
+        def energy_of(a):
+            u, v = flow_of(a)
+            r = geman_mcclure_rho(gx * u + gy * v + it, sigma)
+            return seg(r)
+
+        def body(n, carry):
+            a, done = carry
+            u, v = flow_of(a)
+            psi = geman_mcclure_psi(gx * u + gy * v + it, sigma)
+            dE = jnp.stack([seg(basis[i] * psi) for i in range(6)],
+                           axis=-1)
+            a_new = a - step * dE
+            a = jnp.where(done[:, None], a, a_new)
+            E = energy_of(a)
+            done = jnp.logical_or(done, E < error_min_threshold)
+            return a, done
+
+        a0 = jnp.zeros((n_regions, 6), dt)
+        done0 = jnp.zeros((n_regions,), bool)
+        a, _ = lax.fori_loop(0, iter_max, body, (a0, done0))
+        u, v = flow_of(a)
+        return a, u, v
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(shard_map(
+        tile_body, mesh, in_specs=(SPEC,) * 5,
+        out_specs=(P(), SPEC, SPEC)))
+
+
+def affine_parametric_flow_sharded(
+    reference_lab,
+    interest_lab,
+    mv_u,
+    mv_v,
+    labels,
+    n_regions: int,
+    mesh: Mesh,
+    sigma: float = 0.2 / np.sqrt(2.0),
+    iter_max: int = 256,
+    error_min_threshold: float = 1.0e-6,
+    normalize_steps: bool = False,
+    max_displacement: int | None = None,
+):
+    """Distributed AffineParametric (Affine_BlockMatching.cpp:11-77):
+    per-region 6-parameter robust fit of the residual under the BM warp,
+    segment reductions psum'd over the mesh, parameter tables replicated.
+    Returns (a (n_regions, 6), u, v). ``max_displacement`` bounds |MV|
+    for the warp halo (default: its observed max)."""
+    from tpuflow.blockmatching.matcher import region_bucket
+
+    h, w = labels.shape
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    if max_displacement is None:
+        # Host fetch — pass an explicit bound to keep dispatch sync-free.
+        mv_u_np = np.asarray(mv_u)
+        mv_v_np = np.asarray(mv_v)
+        max_displacement = int(np.ceil(max(
+            float(np.max(np.abs(mv_u_np))), float(np.max(np.abs(mv_v_np))),
+            0.0)))
+    R = 2 * (int(max_displacement) + 2)
+    if h // ty <= R or w // tx <= R:
+        raise ValueError("tile smaller than the warp halo; shrink the "
+                         "displacement bound or the mesh")
+    interest_l = jnp.asarray(interest_lab)[..., 0]
+    reference_l = jnp.asarray(reference_lab)[..., 0]
+    dt = interest_l.dtype
+    n_pad = region_bucket(int(n_regions))
+    sharding = NamedSharding(mesh, SPEC)
+    args = [jax.device_put(jnp.asarray(a), sharding)
+            for a in (interest_l, reference_l, jnp.asarray(labels),
+                      jnp.asarray(mv_u, dt), jnp.asarray(mv_v, dt))]
+    f = _affine_sharded_fn(mesh, h, w, n_pad, float(sigma), int(iter_max),
+                           float(error_min_threshold),
+                           bool(normalize_steps), int(R))
+    a, u, v = f(*args)
+    return a[: int(n_regions)], u, v

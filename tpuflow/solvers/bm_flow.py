@@ -607,9 +607,9 @@ def optical_flow_block_matching(
     ``mesh`` (a ("ty", "tx") jax.sharding.Mesh; image dims must divide
     it) runs every device stage multi-chip: the mean-shift filter tiled
     with halo exchange, the BM searches candidate-parallel, and the
-    gradient-method refinement tiled with fused ppermute halos
-    (tpuflow.dist). The host labeling is global either way; the affine
-    refinement (MODE AFFINE) currently stays single-device.
+    gradient-method refinement tiled with fused ppermute halos, and the
+    affine refinement with psum'd per-region moment reductions
+    (tpuflow.dist). The host labeling is global either way.
 
     Steady-state pipelining: the bidirectional match + refinement run on
     the *middle* frame with the segmentation computed on the PREVIOUS
@@ -694,6 +694,20 @@ def optical_flow_block_matching(
             # device from the search output so the refine still queues
             # behind the search without a host sync.
             mv = bm_uv[labels_j]
+            if mesh is not None:
+                from tpuflow.dist.bm_refine import (
+                    affine_parametric_flow_sharded,
+                )
+
+                # Static displacement bound from the search geometry
+                # (subpixel adds < 1 px) keeps the dispatch sync-free.
+                _, u, v = affine_parametric_flow_sharded(
+                    reference_lab, interest_lab, mv[..., 0], mv[..., 1],
+                    seg.labels, seg.n_regions, mesh,
+                    iter_max=min(iter_max, 256),
+                    error_min_threshold=param.error_min_threshold,
+                    max_displacement=search_range // 2 + 1)
+                return u, v
             _, u, v = affine_parametric_flow(
                 reference_lab, interest_lab, mv[..., 0], mv[..., 1],
                 seg.labels, seg.n_regions,
