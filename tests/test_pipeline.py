@@ -347,3 +347,40 @@ class TestFlagshipOrchestrator:
         opts = parse_args_to_options(args)
         assert opts.filter_param.std_deviation == 7.5
         assert opts.debug_dumps
+
+
+class TestMeshPipeline:
+    def test_devices_option_matches_single_chip(self, tmp_path):
+        """Options.devices (CLI --devices) routes the flagship branch
+        through the mesh path and produces the same flow files as the
+        single-chip run (frame dims must divide the mesh)."""
+        from tpuflow.cli.parser import build_parser, parse_args_to_options
+        from tpuflow.core.config import (
+            MODE_OUTPUT_OPTICALFLOW_BLOCKMATCHING,
+            Options,
+        )
+        from tpuflow.core.io import read_flow
+        from tpuflow.pipeline.orchestrator import run_pipeline
+
+        # The CLI flag lands in Options.devices.
+        args = build_parser().parse_args(
+            ["-i", "x", "-o", "y", "--devices", "8"])
+        assert parse_args_to_options(args).devices == 8
+
+        pattern = _write_motion_frames(tmp_path)
+        outs = {}
+        for tag, n_dev in (("one", 0), ("mesh", 8)):
+            out_pattern = str(tmp_path / (tag + "_%04d.dat"))
+            opts = Options()
+            opts.mode = MODE_OUTPUT_OPTICALFLOW_BLOCKMATCHING
+            opts.devices = n_dev
+            mm = opts.multiple_motion_param
+            mm.irls_iter_max = 40
+            mm.bm_search_range = 7
+            mm.bm_kernel_spatial = 5
+            run_pipeline(pattern, out_pattern, 0, 2, opts)
+            outs[tag] = read_flow(tmp_path / (tag + "_0001.dat"))
+        np.testing.assert_allclose(outs["mesh"][0], outs["one"][0],
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(outs["mesh"][1], outs["one"][1],
+                                   rtol=0, atol=1e-4)

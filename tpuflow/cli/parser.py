@@ -117,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="path for per-frame pipeline state checkpoints")
     p.add_argument("--telemetry", action="store_true",
                    help="emit JSON-lines telemetry on stderr")
+    p.add_argument("--devices", type=int, default=0,
+                   help="tile the block-matching path over N devices "
+                   "(2-D mesh; image dims must divide it; 0 = single "
+                   "chip)")
     return p
 
 
@@ -190,6 +194,7 @@ def parse_args_to_options(args) -> Options:
                             "blue": BLUE}[args.superimpose]
     opts.x11_plot = args.x11_plot
     opts.debug_dumps = args.debug_dumps
+    opts.devices = args.devices
     return opts
 
 

@@ -156,6 +156,9 @@ class Options:
     filter_param: FilterParam = field(default_factory=FilterParam)
     plot_param: PlotParam = field(default_factory=PlotParam)
     x11_plot: bool = False
+    # Tile the flagship BM path over this many devices (0 = single
+    # chip): mesh-mode optical_flow_block_matching (tpuflow.dist).
+    devices: int = 0
     # Opt-in equivalents of the reference's compiled-in debug dumps:
     # Pyramid_%04d.pgm (MultiResolution.cpp:86-94, DEBUG_PYRAMID),
     # filtered.pgm (MeaningfulAlignments/Detection.cpp:67-79) and

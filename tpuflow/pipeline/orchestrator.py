@@ -205,6 +205,11 @@ def process_frame(
 
             bm_mode = (MODE_OUTPUT_AFFINE_BLOCKMATCHING
                        if mode & MODE_OUTPUT_AFFINE_BLOCKMATCHING else 0)
+            mesh = None
+            if getattr(opts, "devices", 0):
+                from tpuflow.dist import make_mesh
+
+                mesh = make_mesh(int(opts.devices))
             with trace_span("pipeline.bm_flow"):
                 out, state.bm_state = optical_flow_block_matching(
                     state.prev_rgb, proc_rgb, float(maxint), mm,
@@ -213,7 +218,8 @@ def process_frame(
                     search_range=mm.bm_search_range,
                     kernel_spatial=mm.bm_kernel_spatial,
                     kernel_intensity=mm.bm_kernel_intensity,
-                    subpixel_scale=mm.bm_subpixel_scale)
+                    subpixel_scale=mm.bm_subpixel_scale,
+                    mesh=mesh)
             results["flow"] = out
             if write_outputs:
                 from tpuflow.pipeline.motion_compensation import compensate
