@@ -255,14 +255,18 @@ def bench_weak_scaling_row():
     Times 100- and 300-iteration solves and divides the extra 200
     iterations by the time delta: the ~15 ms tunnel dispatch floor, the
     gradient pre-pass and the result fetch are identical in both and
-    cancel, leaving the pure sweep rate (a 1000-iteration single
-    program compiles for >10 min through the tunnel, so stretching one
-    call is not an option)."""
+    cancel, leaving the pure sweep rate. The iteration count is a
+    RUNTIME operand (horn_schunck_sharded_fused_dynamic) so both points
+    share one compiled program — a fresh fused program costs a ~25 min
+    Mosaic compile through the tunnel."""
     import jax
     from jax.sharding import NamedSharding
 
     from tpuflow.dist.mesh import make_mesh
-    from tpuflow.dist.solvers import SPEC, horn_schunck_sharded_fused
+    from tpuflow.dist.solvers import (
+        SPEC,
+        horn_schunck_sharded_fused_dynamic,
+    )
 
     th, tw = 512, 1024
     mesh = make_mesh(1)
@@ -273,8 +277,8 @@ def bench_weak_scaling_row():
     nxt_d = jax.device_put(np.roll(prev, 2, axis=1), sharding)
 
     def run(iters):
-        u, _ = horn_schunck_sharded_fused(prev_d, nxt_d, mesh, 5, iters,
-                                          1.0, 10)
+        u, _ = horn_schunck_sharded_fused_dynamic(
+            prev_d, nxt_d, mesh, 5, iters, 1.0, 10)
         return u
 
     def measure(iters, repeats=4):

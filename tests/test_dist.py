@@ -621,3 +621,28 @@ class TestAffineSharded:
         np.testing.assert_array_equal(dist.bm_u, ref.bm_u)
         np.testing.assert_allclose(dist.u, ref.u, rtol=0, atol=5e-4)
         np.testing.assert_allclose(dist.v, ref.v, rtol=0, atol=5e-4)
+
+
+class TestDynamicFused:
+    def test_dynamic_matches_static(self):
+        import jax.numpy as jnp
+
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.solvers import (
+            horn_schunck_sharded_fused,
+            horn_schunck_sharded_fused_dynamic,
+        )
+
+        mesh = make_mesh(8)
+        ty, tx = mesh.devices.shape
+        h, w = 24 * ty, 24 * tx
+        r = np.random.default_rng(13)
+        prev = jnp.asarray(r.uniform(0, 255, (h, w)))
+        nxt = jnp.asarray(np.roll(np.asarray(prev), 1, axis=1))
+        for iters in (4, 12):
+            u1, v1 = horn_schunck_sharded_fused(prev, nxt, mesh, 5, iters,
+                                                1.0, fuse=4)
+            u2, v2 = horn_schunck_sharded_fused_dynamic(
+                prev, nxt, mesh, 5, iters, 1.0, fuse=4)
+            np.testing.assert_array_equal(np.asarray(u2), np.asarray(u1))
+            np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))

@@ -226,6 +226,97 @@ def horn_schunck_sharded_fused(
     return f(gx, gy, gt)
 
 
+@functools.lru_cache(maxsize=16)
+def _hs_sharded_fused_dyn_fn(mesh: Mesh, h: int, w: int, window_size: int,
+                             alpha: float, fuse: int, use_pallas: bool,
+                             interpret: bool):
+    """:func:`_hs_sharded_fused_fn` with the BLOCK COUNT as a runtime
+    operand: one compiled program serves every iteration budget that is
+    a multiple of ``fuse``. Exists for the weak-scaling harness's
+    two-point timing — a fresh fused program costs a ~25-minute Mosaic
+    compile through the axon tunnel, so measuring 100 vs 300 iterations
+    must not need two programs."""
+    from tpuflow.kernels.hs_stencil import (
+        _hs_sweeps,
+        _inside_mask,
+        hs_tile_sweeps,
+    )
+
+    r = window_size // 2
+
+    def tile_body(n_blocks, gx_t, gy_t, gt_t):
+        th, tw = gx_t.shape
+        inv_denom = 1.0 / (alpha * alpha + gx_t * gx_t + gy_t * gy_t)
+        iy = lax.axis_index("ty")
+        ix = lax.axis_index("tx")
+
+        def run_block(u, v):
+            hk = fuse * r
+            u_p = halo_pad_2d(u, hk)
+            v_p = halo_pad_2d(v, hk)
+            gx_p = halo_pad_2d(gx_t, hk)
+            gy_p = halo_pad_2d(gy_t, hk)
+            gt_p = halo_pad_2d(gt_t, hk)
+            inv_p = halo_pad_2d(inv_denom, hk)
+            row0 = iy * th - hk
+            col0 = ix * tw - hk
+            if use_pallas:
+                return hs_tile_sweeps(u_p, v_p, gx_p, gy_p, gt_p, inv_p,
+                                      row0, col0, h, w, window_size, fuse,
+                                      interpret=interpret)
+            mask = _inside_mask(row0, col0, th + 2 * hk, tw + 2 * hk,
+                                h, w, u.dtype)
+            return _hs_sweeps(u_p * mask, v_p * mask, gx_p, gy_p, gt_p,
+                              inv_p, mask, window_size, fuse)
+
+        u = jnp.zeros_like(gt_t)
+        v = jnp.zeros_like(gt_t)
+        u, v, _ = lax.while_loop(
+            lambda c: c[2] < n_blocks,
+            lambda c: (*run_block(c[0], c[1]), c[2] + 1),
+            (u, v, jnp.int32(0)))
+        return u, v
+
+    return jax.jit(shard_map(tile_body, mesh,
+                             in_specs=(P(), SPEC, SPEC, SPEC),
+                             out_specs=(SPEC, SPEC)))
+
+
+def horn_schunck_sharded_fused_dynamic(
+    prev: jnp.ndarray,
+    next: jnp.ndarray,
+    mesh: Mesh,
+    window_size: int = 5,
+    max_iterations: int = 100,
+    alpha: float = 1.0,
+    fuse: int = 5,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+):
+    """:func:`horn_schunck_sharded_fused` with a runtime iteration count
+    (must be a multiple of ``fuse``); same result, one compile for all
+    budgets."""
+    h, w = prev.shape
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    if max_iterations % fuse:
+        raise ValueError("max_iterations must be a multiple of fuse")
+    sharding = NamedSharding(mesh, SPEC)
+    prev = jax.device_put(prev, sharding)
+    next = jax.device_put(next, sharding)
+    r = window_size // 2
+    if h // ty <= fuse * r or w // tx <= fuse * r:
+        raise ValueError("tile smaller than the fused halo; lower fuse")
+    if use_pallas is None:
+        use_pallas = _mesh_on_tpu(mesh) or interpret
+    gx, gy, gt = _hs_gradients_jit(prev, next)
+    f = _hs_sharded_fused_dyn_fn(mesh, h, w, int(window_size),
+                                 float(alpha), int(fuse),
+                                 bool(use_pallas), bool(interpret))
+    return f(jnp.int32(max_iterations // fuse), gx, gy, gt)
+
+
 # ---------------------------------------------------------------------------
 # Distributed Black-Anandan IRLS level
 
