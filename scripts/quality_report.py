@@ -106,6 +106,39 @@ def main() -> None:
     report["pallas_kernel_max_err"] = float(
         jnp.max(jnp.maximum(jnp.abs(uk - ur), jnp.abs(vk - vr))))
 
+    # Flagship BM driver quality: motion-compensation PSNR (the
+    # reference's de-facto quality measure is eyeballing the compensated
+    # frame, OpticalFlow.cpp:420-426 — report it as a number) on a
+    # motion-rich crop (~13 px median camera motion). Cropped because
+    # the CPU backend runs the full mean-shift in minutes at full frame.
+    # Caveat carried from the reference's own cost design: region BM
+    # minimizes MAD+ZNCC per mean-shift region, which on ambiguous
+    # low-texture regions picks matches that cost less but compensate
+    # worse than MSE-optimal flow — region vectors agree with OpenCV
+    # Farneback's per-region medians on the large textured regions.
+    from tpuflow.pipeline.motion_compensation import compensate
+    from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+    cp = prev[130 : 258, 700 : 956]
+    cn = nxt[130 : 258, 700 : 956]
+    out, _ = optical_flow_block_matching(cp, cn, 255.0, iter_max=256,
+                                         search_range=61, kernel_spatial=8)
+
+    def psnr(a, b):
+        mse = float(np.mean((a - b) ** 2))
+        return 99.0 if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+
+    gp = _gray(cp)
+    gn = _gray(cn)
+    comp = np.asarray(compensate(jnp.asarray(gp),
+                                 jnp.asarray(out.u), jnp.asarray(out.v)))
+    comp_bm = np.asarray(compensate(jnp.asarray(gp),
+                                    jnp.asarray(out.bm_u),
+                                    jnp.asarray(out.bm_v)))
+    report["bm_flow_compensation_psnr_db"] = round(psnr(comp, gn), 2)
+    report["bm_only_compensation_psnr_db"] = round(psnr(comp_bm, gn), 2)
+    report["identity_psnr_db"] = round(psnr(gp, gn), 2)
+
     print(json.dumps(report, indent=2))
 
 
