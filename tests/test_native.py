@@ -113,3 +113,45 @@ class TestNativeQuiver:
                 if 0 <= x1 < w - 1 and 0 <= y1 < h - 1:
                     out[y1, x1] = (255, 0, 0)
         np.testing.assert_array_equal(nat, out)
+
+
+class TestLabelRegionsNative:
+    def test_bitwise_vs_python(self):
+        from scipy.ndimage import gaussian_filter
+
+        from tpuflow.native import label_regions
+        from tpuflow.segmentation.meanshift import _merge_labels_py
+
+        rng = np.random.default_rng(41)
+        h, w = 60, 90
+        pos = np.stack(np.meshgrid(np.arange(w), np.arange(h))[::1],
+                       axis=-1).astype(np.float64)[..., ::-1]
+        pos = np.ascontiguousarray(pos)
+        pos += gaussian_filter(rng.normal(0, 3, (h, w, 2)), (4, 4, 0))
+        col = gaussian_filter(rng.uniform(0, 1, (h, w, 3)), (5, 5, 0))
+        for ks, ki, ms in ((6.0, 0.12, 1), (6.0, 0.12, 16),
+                           (3.0, 0.05, 8)):
+            lab_n, n_n = label_regions(pos, col, ks, ki, ms)
+            lab_p, n_p = _merge_labels_py(pos, col, ks, ki, ms)
+            assert n_n == n_p
+            np.testing.assert_array_equal(lab_n, lab_p)
+
+    def test_on_mean_shift_output(self):
+        import jax.numpy as jnp
+        from scipy.ndimage import gaussian_filter
+
+        from tpuflow.native import label_regions
+        from tpuflow.segmentation.meanshift import (
+            _merge_labels_py,
+            mean_shift_filter,
+        )
+
+        rng = np.random.default_rng(43)
+        lab = gaussian_filter(rng.uniform(0, 1, (48, 64, 3)), (3, 3, 0))
+        pos, col = mean_shift_filter(jnp.asarray(lab), 6, 0.12, iters=4)
+        pos = np.asarray(pos)
+        col = np.asarray(col)
+        lab_n, n_n = label_regions(pos, col, 6.0, 0.12, 16)
+        lab_p, n_p = _merge_labels_py(pos, col, 6.0, 0.12, 16)
+        assert n_n == n_p
+        np.testing.assert_array_equal(lab_n, lab_p)

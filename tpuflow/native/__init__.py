@@ -84,8 +84,32 @@ def load_library() -> ctypes.CDLL:
     lib.tf_prefetcher_next.restype = ctypes.POINTER(TfImage)
     lib.tf_prefetcher_next.argtypes = [ctypes.c_void_p]
     lib.tf_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    lib.tf_label_regions.restype = ctypes.c_int32
+    lib.tf_label_regions.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return lib
+
+
+def label_regions(pos: np.ndarray, col: np.ndarray, kernel_spatial: float,
+                  kernel_intensity: float, min_size: int):
+    """Native mean-shift region formation (tf_label_regions): 4-adjacent
+    mode merge + tiny-region absorption — bit-identical to the Python
+    tpuflow.segmentation.meanshift._merge_labels. Returns (labels, n)."""
+    lib = load_library()
+    h, w = pos.shape[:2]
+    pos = np.ascontiguousarray(pos, np.float64)
+    col = np.ascontiguousarray(col, np.float64)
+    out = np.empty((h, w), np.int32)
+    n = lib.tf_label_regions(
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        col.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        h, w, (0.5 * float(kernel_spatial)) ** 2,
+        float(kernel_intensity) ** 2, int(min_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out, int(n)
 
 
 def _image_to_numpy(lib, img_ptr) -> tuple[np.ndarray, int]:

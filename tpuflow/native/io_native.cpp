@@ -15,6 +15,7 @@
 // C ABI only (ctypes-friendly); all buffers are caller-owned or returned
 // via tf_free().
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -312,6 +313,204 @@ void tf_prefetcher_destroy(Prefetcher* p) {
     for (auto& t : p->workers) t.join();
     for (auto* img : p->done) tf_free_image(img);
     delete p;
+}
+
+// ---------------------------------------------------------------------------
+// Mean-shift region formation — the host half of Segmentation<Lab>
+// (missing-submodule behavior, SURVEY.md §2.4): union 4-adjacent pixels
+// whose filtered modes agree within half a spatial kernel and one
+// intensity kernel, then absorb regions smaller than min_size into the
+// most-similar touching neighbor by region mean color. Bit-identical
+// partition, numbering and merge order to the Python implementation
+// (tpuflow/segmentation/meanshift.py::_merge_labels) — pinned by
+// tests/test_native.py.
+//
+// pos: H*W*2 doubles (mode x, y), col: H*W*3 doubles, out: H*W int32.
+// sp_th/cl_th are the SQUARED thresholds. Returns the region count.
+
+static int32_t uf_find(std::vector<int32_t>& p, int32_t i) {
+    while (p[i] != i) {
+        p[i] = p[p[i]];
+        i = p[i];
+    }
+    return i;
+}
+
+int32_t tf_label_regions(const double* pos, const double* col,
+                         int32_t h, int32_t w, double sp_th, double cl_th,
+                         int32_t min_size, int32_t* out) {
+    const int64_t npix = (int64_t)h * w;
+    std::vector<int32_t> parent(npix);
+    for (int64_t i = 0; i < npix; i++) parent[i] = (int32_t)i;
+
+    auto close = [&](int64_t a, int64_t b) {
+        double dx = pos[2 * a] - pos[2 * b];
+        double dy = pos[2 * a + 1] - pos[2 * b + 1];
+        if (dx * dx + dy * dy > sp_th) return false;
+        double d0 = col[3 * a] - col[3 * b];
+        double d1 = col[3 * a + 1] - col[3 * b + 1];
+        double d2 = col[3 * a + 2] - col[3 * b + 2];
+        return d0 * d0 + d1 * d1 + d2 * d2 <= cl_th;
+    };
+    for (int32_t y = 0; y < h; y++) {
+        for (int32_t x = 0; x < w; x++) {
+            int64_t i = (int64_t)y * w + x;
+            if (y + 1 < h && close(i, i + w)) {
+                int32_t ra = uf_find(parent, (int32_t)i);
+                int32_t rb = uf_find(parent, (int32_t)(i + w));
+                if (ra != rb) parent[rb] = ra;
+            }
+            if (x + 1 < w && close(i, i + 1)) {
+                int32_t ra = uf_find(parent, (int32_t)i);
+                int32_t rb = uf_find(parent, (int32_t)(i + 1));
+                if (ra != rb) parent[rb] = ra;
+            }
+        }
+    }
+    // Label components by first occurrence in pixel scan order (the
+    // numbering scipy's connected_components produces).
+    std::vector<int32_t> root_label(npix, -1);
+    int32_t n = 0;
+    for (int64_t i = 0; i < npix; i++) {
+        int32_t r = uf_find(parent, (int32_t)i);
+        if (root_label[r] < 0) root_label[r] = n++;
+        out[i] = root_label[r];
+    }
+    if (min_size <= 1) return n;
+
+    // Region-level tiny absorption — same arrays, same iteration order
+    // as the Python version so the result is bitwise identical.
+    std::vector<int64_t> counts(n, 0);
+    std::vector<double> col_sums((size_t)n * 3, 0.0);
+    for (int64_t i = 0; i < npix; i++) {
+        int32_t l = out[i];
+        counts[l]++;
+        col_sums[3 * (size_t)l] += col[3 * i];
+        col_sums[3 * (size_t)l + 1] += col[3 * i + 1];
+        col_sums[3 * (size_t)l + 2] += col[3 * i + 2];
+    }
+    // Deduplicated directed adjacency, sorted by a * n + b.
+    std::vector<int64_t> edge_keys;
+    for (int32_t y = 0; y < h; y++) {
+        for (int32_t x = 0; x < w; x++) {
+            int64_t i = (int64_t)y * w + x;
+            if (y + 1 < h && out[i] != out[i + w]) {
+                edge_keys.push_back((int64_t)out[i] * n + out[i + w]);
+                edge_keys.push_back((int64_t)out[i + w] * n + out[i]);
+            }
+            if (x + 1 < w && out[i] != out[i + 1]) {
+                edge_keys.push_back((int64_t)out[i] * n + out[i + 1]);
+                edge_keys.push_back((int64_t)out[i + 1] * n + out[i]);
+            }
+        }
+    }
+    std::sort(edge_keys.begin(), edge_keys.end());
+    edge_keys.erase(std::unique(edge_keys.begin(), edge_keys.end()),
+                    edge_keys.end());
+    std::vector<int32_t> ea, eb;
+    ea.reserve(edge_keys.size());
+    eb.reserve(edge_keys.size());
+    for (int64_t k : edge_keys) {
+        ea.push_back((int32_t)(k / n));
+        eb.push_back((int32_t)(k % n));
+    }
+
+    std::vector<int32_t> remap_total(n);
+    for (int32_t i = 0; i < n; i++) remap_total[i] = i;
+    std::vector<int32_t> remap(n), best_dst(n);
+    std::vector<double> best_d(n), mean_col((size_t)n * 3);
+    std::vector<uint8_t> is_tiny(n), has_best(n);
+
+    for (int iter = 0; iter < 64; iter++) {
+        bool any_tiny = false;
+        for (int32_t i = 0; i < n; i++) {
+            is_tiny[i] = counts[i] > 0 && counts[i] < min_size;
+            any_tiny |= is_tiny[i] != 0;
+        }
+        if (!any_tiny) break;
+        for (int32_t i = 0; i < n; i++) {
+            double c = counts[i] > 0 ? (double)counts[i] : 1.0;
+            mean_col[3 * (size_t)i] = col_sums[3 * (size_t)i] / c;
+            mean_col[3 * (size_t)i + 1] = col_sums[3 * (size_t)i + 1] / c;
+            mean_col[3 * (size_t)i + 2] = col_sums[3 * (size_t)i + 2] / c;
+        }
+        // Per tiny region: the touching neighbor with the smallest
+        // mean-color distance (ties -> smallest id: edges iterate in
+        // (a, b)-sorted order and the strict < keeps the first).
+        std::fill(has_best.begin(), has_best.end(), 0);
+        bool any_cand = false;
+        for (size_t k = 0; k < ea.size(); k++) {
+            int32_t a = ea[k];
+            if (!is_tiny[a]) continue;
+            int32_t b = eb[k];
+            double d0 = mean_col[3 * (size_t)a] - mean_col[3 * (size_t)b];
+            double d1 = mean_col[3 * (size_t)a + 1]
+                        - mean_col[3 * (size_t)b + 1];
+            double d2 = mean_col[3 * (size_t)a + 2]
+                        - mean_col[3 * (size_t)b + 2];
+            double d = d0 * d0 + d1 * d1 + d2 * d2;
+            if (!has_best[a] || d < best_d[a]) {
+                has_best[a] = 1;
+                best_d[a] = d;
+                best_dst[a] = b;
+            }
+            any_cand = true;
+        }
+        if (!any_cand) break;
+        // keep = !is_tiny[dst] || dst < src (breaks a<->b swap cycles).
+        bool any_keep = false;
+        for (int32_t i = 0; i < n; i++) {
+            remap[i] = i;
+            if (has_best[i]) {
+                int32_t dst = best_dst[i];
+                if (!is_tiny[dst] || dst < i) {
+                    remap[i] = dst;
+                    any_keep = true;
+                }
+            }
+        }
+        if (!any_keep) break;
+        for (int r = 0; r < 8; r++)  // resolve chains (remap = remap[remap])
+            for (int32_t i = 0; i < n; i++) remap[i] = remap[remap[i]];
+        // Fold mass, contract the adjacency.
+        std::vector<int64_t> counts_new(n, 0);
+        std::vector<double> col_new((size_t)n * 3, 0.0);
+        for (int32_t i = 0; i < n; i++) {
+            int32_t d = remap[i];
+            counts_new[d] += counts[i];
+            col_new[3 * (size_t)d] += col_sums[3 * (size_t)i];
+            col_new[3 * (size_t)d + 1] += col_sums[3 * (size_t)i + 1];
+            col_new[3 * (size_t)d + 2] += col_sums[3 * (size_t)i + 2];
+        }
+        counts.swap(counts_new);
+        col_sums.swap(col_new);
+        for (int32_t i = 0; i < n; i++)
+            remap_total[i] = remap[remap_total[i]];
+        edge_keys.clear();
+        for (size_t k = 0; k < ea.size(); k++) {
+            int32_t a = remap[ea[k]];
+            int32_t b = remap[eb[k]];
+            if (a != b) edge_keys.push_back((int64_t)a * n + b);
+        }
+        std::sort(edge_keys.begin(), edge_keys.end());
+        edge_keys.erase(std::unique(edge_keys.begin(), edge_keys.end()),
+                        edge_keys.end());
+        ea.clear();
+        eb.clear();
+        for (int64_t k : edge_keys) {
+            ea.push_back((int32_t)(k / n));
+            eb.push_back((int32_t)(k % n));
+        }
+    }
+    // Apply and compact (np.unique numbering: sorted surviving ids).
+    std::vector<int32_t> compact(n, -1);
+    for (int64_t i = 0; i < npix; i++) out[i] = remap_total[out[i]];
+    for (int64_t i = 0; i < npix; i++) compact[out[i]] = 1;
+    int32_t nc = 0;
+    for (int32_t i = 0; i < n; i++)
+        if (compact[i] > 0) compact[i] = nc++;
+    for (int64_t i = 0; i < npix; i++) out[i] = compact[out[i]];
+    return nc;
 }
 
 }  // extern "C"
