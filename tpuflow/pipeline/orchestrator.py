@@ -400,17 +400,36 @@ def run_pipeline(
     state: PipelineState | None = None,
     checkpoint_path: str | None = None,
 ) -> PipelineState:
-    """The frame loop (Scratch_MeaningfulMotion.cpp:79-599)."""
+    """The frame loop (Scratch_MeaningfulMotion.cpp:79-599).
+
+    Binary-PNM sequences decode on the native prefetcher's worker
+    threads (tpuflow.native.FramePrefetcher) so frame N+1's read/parse
+    overlaps frame N's device work; other formats read synchronously."""
     if opts is None:
         opts = Options()
     if state is None:
         state = PipelineState()
     tel = get_telemetry()
-    for num in range(start, end + 1):
+    in_names = [tio.expand_frame_pattern(input_pattern, num)
+                for num in range(start, end + 1)]
+
+    def frames():
+        if all(str(p).lower().endswith((".pgm", ".ppm")) for p in in_names):
+            try:
+                from tpuflow.native import FramePrefetcher
+
+                with FramePrefetcher(in_names, threads=2) as pf:
+                    yield from pf
+                return
+            except Exception:
+                pass  # fall back to synchronous reads
+        for p in in_names:
+            yield tio.read_image(p)
+
+    for num, (frame, maxint) in zip(range(start, end + 1), frames()):
         in_name = tio.expand_frame_pattern(input_pattern, num)
         out_name = tio.expand_frame_pattern(output_pattern, num)
         tel.event("pipeline.frame", num=num, input=in_name, output=out_name)
-        frame, maxint = tio.read_image(in_name)
         with trace_span("pipeline.process", frame=num):
             _, state = process_frame(frame.astype(np.float64), maxint, opts,
                                      out_name, state)
