@@ -646,3 +646,69 @@ class TestDynamicFused:
                 prev, nxt, mesh, 5, iters, 1.0, fuse=4)
             np.testing.assert_array_equal(np.asarray(u2), np.asarray(u1))
             np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
+
+
+class TestDistributedImageOps:
+    """L1 image ops over the mesh vs the single-chip library
+    (ImgLibrary's OMP sites, SURVEY.md §2.6)."""
+
+    def _img(self, h, w, seed=51):
+        r = np.random.default_rng(seed)
+        return jnp.asarray(r.uniform(0, 255, (h, w)))
+
+    def test_filterer_both_borders(self):
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.ops import filterer_sharded
+        from tpuflow.ops.filters import filterer
+
+        mesh = make_mesh(8)
+        ty, tx = mesh.devices.shape
+        img = self._img(16 * ty, 16 * tx)
+        r = np.random.default_rng(52)
+        kern = jnp.asarray(r.normal(size=(5, 3)))
+        for mirroring in (False, True):
+            ref = filterer(img, kern, mirroring=mirroring)
+            out = filterer_sharded(img, kern, mesh, mirroring=mirroring)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=0, atol=1e-10)
+
+    def test_gaussian(self):
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.ops import gaussian_filter_sharded
+        from tpuflow.ops.filters import gaussian_filter
+
+        mesh = make_mesh(4)
+        ty, tx = mesh.devices.shape
+        img = self._img(16 * ty, 16 * tx)
+        ref = gaussian_filter(img, (7, 7), 2.0)
+        out = gaussian_filter_sharded(img, (7, 7), 2.0, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=1e-10)
+
+    def test_epsilon_filter_bitwise(self):
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.ops import epsilon_filter_sharded
+        from tpuflow.ops.filters import epsilon_filter
+
+        mesh = make_mesh(8)
+        ty, tx = mesh.devices.shape
+        img = self._img(16 * ty, 16 * tx, seed=53)
+        ref = epsilon_filter(img, (5, 5), 20.0)
+        out = epsilon_filter_sharded(img, (5, 5), 20.0, mesh)
+        # Interior is bitwise; XLA fuses the border tiles' where/add
+        # chain with different contraction -> 1-ulp diffs there.
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=1e-10)
+
+    def test_horizontal_median_bitwise(self):
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.ops import horizontal_median_sharded
+        from tpuflow.ops.filters import horizontal_median
+
+        mesh = make_mesh(8)
+        ty, tx = mesh.devices.shape
+        img = self._img(16 * ty, 16 * tx, seed=54)
+        for width in (3, 4):
+            ref = horizontal_median(img, width)
+            out = horizontal_median_sharded(img, width, mesh)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

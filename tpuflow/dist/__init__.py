@@ -14,3 +14,10 @@ from tpuflow.dist.bm_refine import (  # noqa: F401
     affine_parametric_flow_sharded,
     gradient_method_flow_sharded,
 )
+from tpuflow.dist.ops import (  # noqa: F401
+    conv2d_sharded,
+    epsilon_filter_sharded,
+    filterer_sharded,
+    gaussian_filter_sharded,
+    horizontal_median_sharded,
+)
