@@ -712,3 +712,26 @@ class TestDistributedImageOps:
             ref = horizontal_median(img, width)
             out = horizontal_median_sharded(img, width, mesh)
             np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestHogMatchingSharded:
+    def test_matches_single_device(self):
+        from scipy.ndimage import gaussian_filter as gf
+
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.ops import hog_matching_sharded
+        from tpuflow.features.hog import hog_matching
+
+        rng = np.random.default_rng(61)
+        mesh = make_mesh(8)
+        h, w, d = 14, 22, 6
+        prv = jnp.asarray(gf(rng.uniform(0, 1, (h, w, d)), (1, 1, 0)))
+        cur = jnp.asarray(np.roll(np.asarray(prv), (1, 2), axis=(0, 1))
+                          + 0.01 * rng.normal(size=(h, w, d)))
+        # Odd search extents exercise the sentinel padding.
+        u1, v1, s1 = hog_matching(prv, cur, 9, 7)
+        u8, v8, s8 = hog_matching_sharded(prv, cur, mesh, 9, 7)
+        np.testing.assert_array_equal(np.asarray(u8), np.asarray(u1))
+        np.testing.assert_array_equal(np.asarray(v8), np.asarray(v1))
+        np.testing.assert_allclose(np.asarray(s8), np.asarray(s1),
+                                   rtol=0, atol=1e-12)

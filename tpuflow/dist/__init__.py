@@ -19,5 +19,6 @@ from tpuflow.dist.ops import (  # noqa: F401
     epsilon_filter_sharded,
     filterer_sharded,
     gaussian_filter_sharded,
+    hog_matching_sharded,
     horizontal_median_sharded,
 )

@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding
 
@@ -213,3 +214,101 @@ def horizontal_median_sharded(img, width: int, mesh: Mesh):
         raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
     f = _hmedian_sharded_fn(mesh, h, w, int(width))
     return f(jax.device_put(img, NamedSharding(mesh, SPEC)))
+
+
+@functools.lru_cache(maxsize=32)
+def _hog_match_sharded_fn(mesh: Mesh, h: int, w: int, per_dev: int):
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    def body(prv_t, cur_t, offs_t):
+        dt = prv_t.dtype
+        ep = 1.0e-6
+        big = jnp.asarray(1.0e10, dt)
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+
+        def step(k, carry):
+            # Same per-offset update as the single-chip hog_matching.
+            d1, d2, bx, by = carry
+            yc = offs_t[0, k, 0]
+            xc = offs_t[0, k, 1]
+            shifted = jnp.roll(cur_t, shift=(-yc, -xc), axis=(0, 1))
+            valid = ((ys + yc >= 0) & (ys + yc < h)
+                     & (xs + xc >= 0) & (xs + xc < w))
+            diff = prv_t - shifted
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+            dist = jnp.where(valid, dist, big)
+            better1 = dist < d1
+            better2 = jnp.logical_and(~better1, dist < d2)
+            d2 = jnp.where(better1, d1, jnp.where(better2, dist, d2))
+            d1 = jnp.where(better1, dist, d1)
+            bx = jnp.where(better1, xc.astype(dt), bx)
+            by = jnp.where(better1, yc.astype(dt), by)
+            return d1, d2, bx, by
+
+        z = jnp.zeros((h, w), dt)
+        loc = lax.fori_loop(0, per_dev, step,
+                            (jnp.full((h, w), big), jnp.full((h, w), big),
+                             z, z))
+        # (n_dev, h, w) partial top-2 tables in global enumeration order
+        # (contiguous offset slices): a sequential in-order merge keeps
+        # the reference's first-better-wins tie semantics.
+        g1, g2, gx, gy = (lax.all_gather(a, ("ty", "tx")) for a in loc)
+
+        def merge(k, carry):
+            d1, d2, bx, by = carry
+            p1, p2 = g1[k], g2[k]
+            better1 = p1 < d1
+            d2 = jnp.where(better1, jnp.minimum(d1, p2),
+                           jnp.minimum(d2, p1))
+            d1 = jnp.where(better1, p1, d1)
+            bx = jnp.where(better1, gx[k], bx)
+            by = jnp.where(better1, gy[k], by)
+            return d1, d2, bx, by
+
+        d1, d2, bx, by = lax.fori_loop(
+            1, n_dev, merge, (g1[0], g2[0], gx[0], gy[0]))
+        score = (d2 - d1) / (d1 + ep)
+        return bx, by, score
+
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    return jax.jit(shard_map(
+        body, mesh,
+        in_specs=(rep, rep, P(("ty", "tx"), None, None)),
+        out_specs=(rep, rep, rep)))
+
+
+def hog_matching_sharded(feat_prv, feat_cur, mesh: Mesh,
+                         search_w: int = 65, search_h: int = 65):
+    """Distributed HOG matching (HOG_Matching, HOG_match.cpp:9-75; the
+    OMP loop at :30-32): the 65x65 candidate grid is split over the
+    mesh's devices in contiguous enumeration-order slices, partial
+    best/second-best tables all-gather, and an in-order merge reproduces
+    the single-chip result including first-better-wins tie direction.
+    Returns (u, v, score) like tpuflow.features.hog.hog_matching."""
+    feat_prv = jnp.asarray(feat_prv)
+    feat_cur = jnp.asarray(feat_cur)
+    h, w, _ = feat_prv.shape
+    n_dev = int(np.prod(mesh.devices.shape))
+    ys, xs = np.meshgrid(np.arange(-(search_h // 2), search_h // 2),
+                         np.arange(-(search_w // 2), search_w // 2),
+                         indexing="ij")
+    offs = np.stack([ys, xs], -1).reshape(-1, 2).astype(np.int32)
+    per_dev = -(-offs.shape[0] // n_dev)
+    pad = per_dev * n_dev - offs.shape[0]
+    if pad:
+        # Sentinel offsets fall outside every window -> dist = big,
+        # never selected (padding must not duplicate a real candidate:
+        # a duplicate would corrupt the second-best distance).
+        offs = np.concatenate(
+            [offs, np.full((pad, 2), max(h, w) + 1, np.int32)])
+    f = _hog_match_sharded_fn(mesh, h, w, int(per_dev))
+    rep_sh = NamedSharding(mesh, jax.sharding.PartitionSpec())
+    offs_sh = jax.device_put(
+        jnp.asarray(offs).reshape(n_dev, per_dev, 2),
+        NamedSharding(mesh, jax.sharding.PartitionSpec(("ty", "tx"), None,
+                                                       None)))
+    return f(jax.device_put(feat_prv, rep_sh),
+             jax.device_put(feat_cur, rep_sh), offs_sh)
