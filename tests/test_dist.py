@@ -735,3 +735,38 @@ class TestHogMatchingSharded:
         np.testing.assert_array_equal(np.asarray(v8), np.asarray(v1))
         np.testing.assert_allclose(np.asarray(s8), np.asarray(s1),
                                    rtol=0, atol=1e-12)
+
+
+class TestScratchSharded:
+    def test_matches_single_device(self):
+        from tpuflow.core.config import FilterParam
+        from tpuflow.detection.scratch import detect_scratch
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.ops import detect_scratch_sharded
+
+        rng = np.random.default_rng(71)
+        mesh = make_mesh(8)
+        ty, tx = mesh.devices.shape
+        h, w = 16 * ty, 16 * tx
+        # Integer-valued frame -> side sums exact in f64 in both
+        # formulations -> identical decisions.
+        img = jnp.asarray(
+            rng.integers(0, 255, (h, w)).astype(np.float64))
+        img = img.at[:, 37].set(255.0)  # synthetic scratch line
+        ref_map, ref_filt = detect_scratch(img, 3.0, 20.0, None)
+        out_map, out_filt = detect_scratch_sharded(img, mesh, 3.0, 20.0,
+                                                   None)
+        np.testing.assert_array_equal(np.asarray(out_map),
+                                      np.asarray(ref_map))
+        # Gaussian prefilter path.
+        fp = FilterParam().change_filter("gaussian")
+        fp.size = (5, 5)
+        fp.std_deviation = 1.5
+        ref_map, _ = detect_scratch(img, 3.0, 20.0, fp)
+        out_map, _ = detect_scratch_sharded(img, mesh, 3.0, 20.0, fp)
+        np.testing.assert_allclose(np.asarray(out_map),
+                                   np.asarray(ref_map), rtol=0, atol=255)
+        # Maps agree except at most a few threshold-boundary pixels
+        # (the prefilter's conv reassociation): demand >= 99.9% match.
+        same = np.mean(np.asarray(out_map) == np.asarray(ref_map))
+        assert same > 0.999

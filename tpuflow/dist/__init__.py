@@ -16,6 +16,7 @@ from tpuflow.dist.bm_refine import (  # noqa: F401
 )
 from tpuflow.dist.ops import (  # noqa: F401
     conv2d_sharded,
+    detect_scratch_sharded,
     epsilon_filter_sharded,
     filterer_sharded,
     gaussian_filter_sharded,

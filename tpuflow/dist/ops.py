@@ -312,3 +312,84 @@ def hog_matching_sharded(feat_prv, feat_cur, mesh: Mesh,
                                                        None)))
     return f(jax.device_put(feat_prv, rep_sh),
              jax.device_put(feat_cur, rep_sh), offs_sh)
+
+
+@functools.lru_cache(maxsize=32)
+def _scratch_sharded_fn(mesh: Mesh, h: int, w: int, s_med: float,
+                        s_avg: float):
+    from tpuflow.core.config import (
+        AVE_FAR,
+        PLOT_INTENSITY_MAX,
+        SCRATCH_WIDTH,
+    )
+
+    half = SCRATCH_WIDTH // 2
+    r = AVE_FAR
+
+    def body(img_t, med_t):
+        th, tw = img_t.shape
+        iy = lax.axis_index("ty")
+        ix = lax.axis_index("tx")
+        col0 = ix * tw
+        # Zero halo: the clamped side windows sum only in-range pixels,
+        # and out-of-range halo values are exactly zero, so a fixed-tap
+        # sum over the halo'd row equals the reference's shrunk window.
+        p = halo_pad_2d_border(img_t, r, bd.ZERO, iy, ix, h, w)
+        p = p[r : r + th, :]
+        candidate = jnp.abs(img_t - med_t) >= s_med
+        l_sum = jnp.zeros_like(img_t)
+        r_sum = jnp.zeros_like(img_t)
+        for d in range(half + 1, AVE_FAR + 1):
+            l_sum = l_sum + lax.dynamic_slice(p, (0, r - d), (th, tw))
+            r_sum = r_sum + lax.dynamic_slice(p, (0, r + d), (th, tw))
+        xs_g = col0 + jnp.arange(tw)
+        la = jnp.maximum(0, xs_g - AVE_FAR)
+        lb = xs_g - half - 1
+        l_cnt = jnp.maximum(lb - la + 1, 0)
+        ra = xs_g + half + 1
+        rb = jnp.minimum(w - 1, xs_g + AVE_FAR)
+        r_cnt = jnp.maximum(rb - ra + 1, 0)
+        ok = (l_cnt > 0) & (r_cnt > 0)
+        il = l_sum / jnp.maximum(l_cnt, 1)[None, :]
+        ir = r_sum / jnp.maximum(r_cnt, 1)[None, :]
+        confirmed = candidate & ok[None, :] & (jnp.abs(il - ir) <= s_avg)
+        return jnp.where(confirmed, float(PLOT_INTENSITY_MAX),
+                         0.0).astype(img_t.dtype)
+
+    return jax.jit(shard_map(body, mesh, in_specs=(SPEC, SPEC),
+                             out_specs=SPEC))
+
+
+def detect_scratch_sharded(img, mesh: Mesh, s_med: float = 3.0,
+                           s_avg: float = 20.0, filter_param=None,
+                           do_detection: bool = True):
+    """Distributed DetectScratch (Detection.cpp:7-132, the OMP row loop
+    at :95-97): sharded prefilter + horizontal median + side-average
+    test, same decisions as :func:`tpuflow.detection.scratch.
+    detect_scratch` (side sums accumulate in tap order instead of the
+    single-chip cumsum differences — exact for integer-valued frames).
+    Returns (scratch_map, filtered_img)."""
+    from tpuflow.core.config import (
+        FILTER_ID_EPSILON,
+        FILTER_ID_GAUSSIAN,
+        MEAN_WIDTH,
+    )
+
+    img = jnp.asarray(img)
+    h, w = img.shape
+    filtered = img
+    if filter_param is not None:
+        if filter_param.type == FILTER_ID_EPSILON:
+            filtered = epsilon_filter_sharded(
+                img, filter_param.size, filter_param.epsilon, mesh)
+        elif filter_param.type == FILTER_ID_GAUSSIAN:
+            filtered = gaussian_filter_sharded(
+                img, filter_param.size, filter_param.std_deviation, mesh)
+    if not do_detection:
+        return filtered, filtered
+    med = horizontal_median_sharded(filtered, MEAN_WIDTH, mesh)
+    f = _scratch_sharded_fn(mesh, h, w, float(s_med), float(s_avg))
+    sharding = NamedSharding(mesh, SPEC)
+    out = f(jax.device_put(filtered, sharding),
+            jax.device_put(med, sharding))
+    return out, filtered
