@@ -532,6 +532,39 @@ def affine_parametric_flow(
 
 
 # ---------------------------------------------------------------------------
+# Device-side Vector_ST composition (OpticalFlow_BlockMatching.cpp:306-361)
+#
+# The per-region (u, v, cost) triples expand to per-pixel maps with ONE
+# row gather from a packed (n_regions, 3) table, and the time-direction
+# select + BM-plus-refinement add run as device ops. Composing on device
+# keeps the whole tail queued behind the searches/refines; the host
+# fetches only the five final fields (the numpy fancy-index expansion
+# this replaces cost ~1 s/frame of serial host time at KITTI res).
+
+
+@jax.jit
+def _compose_bidirectional(labels, table_p, table_n, ru_p, rv_p, ru_n,
+                           rv_n):
+    g_p = table_p[labels]  # (H, W, 3) row gather: [u, v, cost]
+    g_n = table_n[labels]
+    neg = g_p[..., 2] <= g_n[..., 2]
+    t = jnp.where(neg, jnp.int8(-1), jnp.int8(1))
+    u_bm = jnp.where(neg, g_p[..., 0], g_n[..., 0])
+    v_bm = jnp.where(neg, g_p[..., 1], g_n[..., 1])
+    u_out = u_bm + jnp.where(neg, ru_p, ru_n)
+    v_out = v_bm + jnp.where(neg, rv_p, rv_n)
+    return u_out, v_out, t, u_bm, v_bm
+
+
+@jax.jit
+def _compose_unidirectional(labels, table_p, ru, rv):
+    g = table_p[labels]
+    u_bm = g[..., 0]
+    v_bm = g[..., 1]
+    return u_bm + ru, v_bm + rv, u_bm, v_bm
+
+
+# ---------------------------------------------------------------------------
 # Driver with explicit history state
 
 
@@ -620,10 +653,7 @@ def optical_flow_block_matching(
     while the device works through the queued matching (~1 s of host
     work hidden behind ~2 s of device work per frame at KITTI res).
     """
-    from tpuflow.blockmatching.matcher import (
-        _match_device,
-        _result_from_host,
-    )
+    from tpuflow.blockmatching.matcher import _match_device
     from tpuflow.segmentation import segment_meanshift_async
 
     if param is None:
@@ -740,9 +770,25 @@ def optical_flow_block_matching(
     # queue back-to-back on device behind the mean-shift filter.
     refined_dev = [refine(rl, duv) for rl, duv in refs]
 
+    # Compose Vector_ST on device (BM vector + matching-direction
+    # refinement, OpticalFlow_BlockMatching.cpp:307-331) — queued behind
+    # the refines, so the host tail below overlaps ALL device work.
+    def table(uv, cost):
+        return jnp.concatenate([uv, cost[:, None]], axis=-1)
+
+    if bidirectional:
+        composed_dev = _compose_bidirectional(
+            labels_j, table(*bm_dev[0]), table(*bm_dev[1]),
+            refined_dev[0][0], refined_dev[0][1],
+            refined_dev[1][0], refined_dev[1][1])
+    else:
+        composed_dev = _compose_unidirectional(
+            labels_j, table(*bm_dev[0]),
+            refined_dev[0][0], refined_dev[0][1])
+
     # Everything is queued — fetch the filter output (ready after the
     # first ~1 s of device work) and run the host labeling while the
-    # device finishes the searches and refines.
+    # device finishes the searches, refines and composition.
     seg_new = finalize_seg()
     state.push(itp1_lab, np.asarray(itp1_norm), seg_new)
     quantized = _quantize_colors(np.asarray(itp1_norm), seg_new)
@@ -750,26 +796,11 @@ def optical_flow_block_matching(
     shift = np.stack([seg_new.shift_spatial[..., 0] - xy[1],
                       seg_new.shift_spatial[..., 1] - xy[0]], axis=-1)
 
-    bm, refined = jax.device_get((bm_dev, refined_dev))
-    lab_np = np.asarray(seg.labels)
-    r_prev = _result_from_host(bm[0][0], bm[0][1], lab_np, seg.n_regions)
-
-    # Compose Vector_ST: BM vector + matching-direction refinement
-    # (OpticalFlow_BlockMatching.cpp:307-331).
     if bidirectional:
-        r_next = _result_from_host(bm[1][0], bm[1][1], lab_np,
-                                   seg.n_regions)
-        t = np.where(r_prev.cost <= r_next.cost, -1, 1).astype(np.int8)
-        u_bm = np.where(t < 0, r_prev.u, r_next.u)
-        v_bm = np.where(t < 0, r_prev.v, r_next.v)
-        u_out = u_bm + np.where(t < 0, refined[0][0], refined[1][0])
-        v_out = v_bm + np.where(t < 0, refined[0][1], refined[1][1])
+        u_out, v_out, t, u_bm, v_bm = jax.device_get(composed_dev)
     else:
+        u_out, v_out, u_bm, v_bm = jax.device_get(composed_dev)
         t = np.full(seg.labels.shape, -1, np.int8)
-        u_bm = r_prev.u
-        v_bm = r_prev.v
-        u_out = u_bm + refined[0][0]
-        v_out = v_bm + refined[0][1]
     out = BMFlowOutput(
         u=np.asarray(u_out), v=np.asarray(v_out), t=t,
         segmentation=seg,
