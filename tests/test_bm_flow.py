@@ -165,6 +165,72 @@ class TestBlockMatching:
         np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_ref),
                                    rtol=0, atol=1e-12)
 
+    def test_batched_irls_matches_serial(self):
+        """irls_gradient_method_batched (one program, both time
+        directions) == two serial irls_gradient_method calls, bitwise —
+        including per-element early stop: the low-energy element freezes
+        at its stopping point while the other runs on, and the E(n)
+        traces agree (NaN past each stopping point)."""
+        import jax.numpy as jnp
+
+        from tpuflow.solvers.bm_flow import (
+            irls_gradient_method,
+            irls_gradient_method_batched,
+        )
+
+        rng = np.random.default_rng(11)
+        h, w = 32, 48
+        gx = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+        gy = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+        # Element 0's dt is tiny -> low energy -> stops at an early
+        # check against the loose threshold; element 1 runs to iter_max.
+        it0 = jnp.asarray(1e-4 * rng.normal(size=(h, w)).astype(np.float32))
+        it1 = jnp.asarray(0.5 * rng.normal(size=(h, w)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 4, (h, w)).astype(np.int32))
+        args = (5.0, 1.0, 0.14, 0.02)
+        iters, emt = 200, 5.0
+        u_b, v_b, E_b, _, tr_b = irls_gradient_method_batched(
+            gx, gy, jnp.stack([it0, it1]), labels, *args, iters, emt)
+        stopped_early = False
+        for b, it in enumerate((it0, it1)):
+            u_s, v_s, E_s, n_s, tr_s = irls_gradient_method(
+                gx, gy, it, labels, *args, iters, emt)
+            np.testing.assert_array_equal(np.asarray(u_b[b]),
+                                          np.asarray(u_s))
+            np.testing.assert_array_equal(np.asarray(v_b[b]),
+                                          np.asarray(v_s))
+            np.testing.assert_array_equal(np.asarray(tr_b[b]),
+                                          np.asarray(tr_s))
+            stopped_early |= int(n_s) < iters
+        assert stopped_early, "fixture should exercise the stop masking"
+
+    def test_bidirectional_refine_matches_serial(self):
+        """gradient_method_flow_bidirectional == two serial
+        gradient_method_flow(zero_warp=True) calls on Lab-like frames."""
+        import jax.numpy as jnp
+
+        from tpuflow.solvers.bm_flow import (
+            gradient_method_flow,
+            gradient_method_flow_bidirectional,
+        )
+
+        rng = np.random.default_rng(3)
+        h, w = 24, 40
+        frames = [jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32))
+                  for _ in range(3)]
+        ref_prev, interest, ref_next = frames
+        labels = jnp.asarray(rng.integers(0, 3, (h, w)).astype(np.int32))
+        zeros = jnp.zeros((h, w), jnp.float32)
+        got = gradient_method_flow_bidirectional(
+            [ref_prev, ref_next], interest, labels, iter_max=96,
+            error_min_threshold=1e-6)
+        for (u_b, v_b), ref in zip(got, (ref_prev, ref_next)):
+            u_s, v_s = gradient_method_flow(
+                ref, interest, zeros, zeros, labels, iter_max=96,
+                error_min_threshold=1e-6, zero_warp=True)
+            np.testing.assert_array_equal(np.asarray(u_b), np.asarray(u_s))
+            np.testing.assert_array_equal(np.asarray(v_b), np.asarray(v_s))
+
     def test_matmul_evaluator_matches_gather(self):
         """The strip-one-hot MXU evaluator and the permuted-gather +
         range-sum evaluator are the same math — identical winners and

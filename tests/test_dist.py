@@ -474,6 +474,45 @@ class TestGatedRefineSharded:
         np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_ref),
                                    rtol=0, atol=1e-12)
 
+    def test_bidirectional_matches_two_serial_sharded(self):
+        """gradient_method_flow_sharded_bidirectional (one program, both
+        time directions) == two gradient_method_flow_sharded calls,
+        bitwise — fields, traces, and the shared-operand setup."""
+        import jax.numpy as jnp
+
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.bm_refine import (
+            gradient_method_flow_sharded,
+            gradient_method_flow_sharded_bidirectional,
+        )
+
+        rng = np.random.default_rng(23)
+        mesh = make_mesh(8)
+        ty, tx = mesh.devices.shape
+        h, w = 24 * ty, 24 * tx
+        from scipy.ndimage import gaussian_filter
+
+        base = gaussian_filter(rng.uniform(0, 1, (h + 8, w + 8, 3)),
+                               (2, 2, 0))
+        ref_prev = jnp.asarray(base[:h, :w])
+        interest = jnp.asarray(base[2 : 2 + h, 1 : 1 + w])
+        ref_next = jnp.asarray(base[4 : 4 + h, 2 : 2 + w])
+        labels = ((np.add.outer(np.arange(h) // 7, np.arange(w) // 9))
+                  % 5).astype(np.int32)
+        got, trace_b = gradient_method_flow_sharded_bidirectional(
+            [ref_prev, ref_next], interest, labels, mesh, iter_max=128,
+            error_min_threshold=0.0, fuse=8)
+        for b, ref in enumerate((ref_prev, ref_next)):
+            u_s, v_s, tr_s = gradient_method_flow_sharded(
+                ref, interest, labels, mesh, iter_max=128,
+                error_min_threshold=0.0, fuse=8)
+            np.testing.assert_array_equal(np.asarray(got[b][0]),
+                                          np.asarray(u_s))
+            np.testing.assert_array_equal(np.asarray(got[b][1]),
+                                          np.asarray(v_s))
+            np.testing.assert_array_equal(np.asarray(trace_b[b]),
+                                          np.asarray(tr_s))
+
     def test_energy_trace_cadence(self):
         import jax.numpy as jnp
 

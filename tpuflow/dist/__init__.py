@@ -13,6 +13,7 @@ from tpuflow.dist.bm import block_matching_labels_sharded  # noqa: F401
 from tpuflow.dist.bm_refine import (  # noqa: F401
     affine_parametric_flow_sharded,
     gradient_method_flow_sharded,
+    gradient_method_flow_sharded_bidirectional,
 )
 from tpuflow.dist.ops import (  # noqa: F401
     conv2d_sharded,

@@ -57,28 +57,44 @@ def _fwd_mirror(tile_p, dx: int, dy: int, at_xedge, at_yedge, th: int,
     return sl(0, 0)
 
 
-def _grad_dt_tile(int_t, ref_t, at_xedge, at_yedge):
-    """gx, gy (2x2 forward diff of the interest tile) and the zero-warp
-    dt — bitwise the op order of gradient_method_grad /
-    gradient_method_dt_zero (OpticalFlow_BlockMatching.cpp:372-397)."""
+def _grad_tile(int_t, at_xedge, at_yedge):
+    """gx, gy (2x2 forward diff of the interest tile) plus the four
+    interest taps — bitwise the op order of gradient_method_grad
+    (OpticalFlow_BlockMatching.cpp:372-384)."""
     th, tw = int_t.shape
     int_p = halo_pad_2d(int_t, 1)
-    ref_p = halo_pad_2d(ref_t, 1)
 
-    def at(p, ddx, ddy):
-        return _fwd_mirror(p, ddx, ddy, at_xedge, at_yedge, th, tw)
+    def at(ddx, ddy):
+        return _fwd_mirror(int_p, ddx, ddy, at_xedge, at_yedge, th, tw)
 
-    i00 = at(int_p, 0, 0)
-    i10 = at(int_p, 1, 0)
-    i01 = at(int_p, 0, 1)
-    i11 = at(int_p, 1, 1)
+    i00 = at(0, 0)
+    i10 = at(1, 0)
+    i01 = at(0, 1)
+    i11 = at(1, 1)
     gx = ((i10 - i00) + (i11 - i01)) / 2.0
     gy = ((i01 - i00) + (i11 - i10)) / 2.0
-    it = (at(ref_p, 0, 0) - i00
-          + at(ref_p, 1, 0) - i10
-          + at(ref_p, 0, 1) - i01
-          + at(ref_p, 1, 1) - i11) / 4.0
-    return gx, gy, it
+    return gx, gy, (i00, i10, i01, i11)
+
+
+def _dt_zero_tile(ref_t, int_taps, at_xedge, at_yedge):
+    """Zero-warp dt against the shared interest taps — bitwise the op
+    order of gradient_method_dt_zero
+    (OpticalFlow_BlockMatching.cpp:385-397 with MV == 0)."""
+    th, tw = ref_t.shape
+    i00, i10, i01, i11 = int_taps
+    ref_p = halo_pad_2d(ref_t, 1)
+
+    def at(ddx, ddy):
+        return _fwd_mirror(ref_p, ddx, ddy, at_xedge, at_yedge, th, tw)
+
+    return (at(0, 0) - i00 + at(1, 0) - i10
+            + at(0, 1) - i01 + at(1, 1) - i11) / 4.0
+
+
+def _grad_dt_tile(int_t, ref_t, at_xedge, at_yedge):
+    """gx, gy and the zero-warp dt for one reference tile."""
+    gx, gy, taps = _grad_tile(int_t, at_xedge, at_yedge)
+    return gx, gy, _dt_zero_tile(ref_t, taps, at_xedge, at_yedge)
 
 
 def _gated_energy_tile(u, v, lab_t, gx, gy, it, masks,
@@ -252,6 +268,171 @@ def gradient_method_flow_sharded(
                           float(sigma_d), float(sigma_s), int(iter_max),
                           float(error_min_threshold), int(fuse))
     return f(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _gated_sharded_batched_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
+                              lambda_s: float, sigma_d: float,
+                              sigma_s: float, iter_max: int,
+                              error_min_threshold: float, fuse: int,
+                              n_dirs: int):
+    """Batched variant of :func:`_gated_sharded_fn`: ``n_dirs`` reference
+    frames (the flagship's two time directions,
+    OpticalFlow_BlockMatching.cpp:84-93) refine against ONE interest
+    frame in a single shard_map program — gx/gy/label halos and border
+    masks are shared, the per-direction Jacobi chains are independent so
+    they interleave on the VPU, and each direction keeps its own
+    per-element energy / 3-strikes early stop (a stopped direction's
+    fields freeze while the other runs on — the serial semantics of
+    ``irls_gradient_method_batched``)."""
+    from tpuflow.kernels.irls_stencil import _irls_sweeps_gated, _nb_masks
+
+    blocks_per_check = max(64 // fuse, 1)
+    n_blocks = -(-iter_max // fuse)
+    n_checks = max(-(-n_blocks // blocks_per_check), 1)
+
+    def tile_body(int_t, refs_t, lab_t):
+        th, tw = int_t.shape
+        dt = int_t.dtype
+        iy = lax.axis_index("ty")
+        ix = lax.axis_index("tx")
+        xg = ix * tw + jnp.arange(tw)[None, :]
+        yg = iy * th + jnp.arange(th)[:, None]
+        at_xedge = jnp.broadcast_to(xg == w - 1, (th, tw))
+        at_yedge = jnp.broadcast_to(yg == h - 1, (th, tw))
+
+        gx, gy, taps = _grad_tile(int_t, at_xedge, at_yedge)
+        its = [_dt_zero_tile(refs_t[b], taps, at_xedge, at_yedge)
+               for b in range(n_dirs)]
+
+        sup_x = (lambda_d
+                 * lax.pmax(lax.pmax(jnp.max(gx * gx), "tx"), "ty")
+                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
+        sup_y = (lambda_d
+                 * lax.pmax(lax.pmax(jnp.max(gy * gy), "tx"), "ty")
+                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
+
+        row0 = iy * th - fuse
+        col0 = ix * tw - fuse
+        nb = _nb_masks(row0, col0, th + 2 * fuse, tw + 2 * fuse, h, w, dt)
+        gx_p = halo_pad_2d(gx, fuse)
+        gy_p = halo_pad_2d(gy, fuse)
+        it_ps = [halo_pad_2d(it, fuse) for it in its]
+        lab_p = halo_pad_2d(lab_t, fuse)
+
+        e_masks = {}
+        for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            ok = ((yg + dy >= 0) & (yg + dy < h)
+                  & (xg + dx >= 0) & (xg + dx < w))
+            e_masks[(dx, dy)] = jnp.broadcast_to(ok, (th, tw)).astype(dt)
+
+        def energy_all(u, v):
+            return jnp.stack([
+                lax.psum(lax.psum(_gated_energy_tile(
+                    u[b], v[b], lab_t, gx, gy, its[b], e_masks,
+                    lambda_d, lambda_s, sigma_d, sigma_s), "tx"), "ty")
+                for b in range(n_dirs)])
+
+        def sweep_block(u, v, stop):
+            outs = [_irls_sweeps_gated(
+                halo_pad_2d(u[b], fuse), halo_pad_2d(v[b], fuse),
+                gx_p, gy_p, it_ps[b], lab_p, nb, sup_x, sup_y, fuse,
+                lambda_d, lambda_s, sigma_d, sigma_s)
+                for b in range(n_dirs)]
+            u_new = jnp.stack([o[0] for o in outs])
+            v_new = jnp.stack([o[1] for o in outs])
+            active = jnp.logical_not(stop)[:, None, None]
+            return jnp.where(active, u_new, u), jnp.where(active, v_new, v)
+
+        def cond(carry):
+            u, v, E, inc, b, stop, trace = carry
+            return jnp.logical_and(b < n_blocks,
+                                   jnp.logical_not(jnp.all(stop)))
+
+        def body(carry):
+            u, v, E, inc, b, stop, trace = carry
+            u, v = sweep_block(u, v, stop)
+            do_check = (b % blocks_per_check) == (blocks_per_check - 1)
+
+            def check(args):
+                u, v, E, inc, stop, trace = args
+                E_new = jnp.where(stop, E, energy_all(u, v))
+                inc_new = jnp.where(stop, inc,
+                                    jnp.where(E_new > E, inc + 1, 0))
+                k = b // blocks_per_check
+                trace = trace.at[:, k].set(
+                    jnp.where(stop, trace[:, k], E_new))
+                stop_new = (stop | (E_new < error_min_threshold)
+                            | (inc_new > 3))
+                return E_new, inc_new, stop_new, trace
+
+            E, inc, stop, trace = lax.cond(
+                do_check, check,
+                lambda args: (args[2], args[3], args[4], args[5]),
+                (u, v, E, inc, stop, trace))
+            return u, v, E, inc, b + 1, stop, trace
+
+        dtshape = (n_dirs, th, tw)
+        E0 = jnp.zeros((n_dirs,), dt)
+        trace0 = jnp.full((n_dirs, n_checks), jnp.nan, dt)
+        u, v, E, _, b, _, trace = lax.while_loop(
+            cond, body,
+            (jnp.zeros(dtshape, dt), jnp.zeros(dtshape, dt), E0,
+             jnp.zeros((n_dirs,), jnp.int32), jnp.int32(0),
+             jnp.zeros((n_dirs,), bool), trace0))
+        return u, v, trace
+
+    from jax.sharding import PartitionSpec as P
+
+    BSPEC = P(None, "ty", "tx")
+    return jax.jit(shard_map(
+        tile_body, mesh, in_specs=(SPEC, BSPEC, SPEC),
+        out_specs=(BSPEC, BSPEC, P())))
+
+
+def gradient_method_flow_sharded_bidirectional(
+    reference_labs,
+    interest_lab,
+    labels,
+    mesh: Mesh,
+    lambda_d: float = 5.0,
+    lambda_s: float = 1.0,
+    sigma_d: float = 0.2 / np.sqrt(2.0),
+    sigma_s: float = 0.03 / np.sqrt(2.0),
+    iter_max: int = 2048,
+    error_min_threshold: float = 1.0e-6,
+    fuse: int = 8,
+):
+    """Both time directions of the distributed gradient refine in ONE
+    program (see :func:`_gated_sharded_batched_fn`). ``reference_labs``:
+    sequence of B reference Lab frames. Returns ``([(u, v), ...],
+    trace (B, n_checks))`` — each direction matches the serial
+    :func:`gradient_method_flow_sharded` result, with one halo-exchange
+    round per fused block shared between the directions' label/gradient
+    operands."""
+    h, w = labels.shape
+    ty, tx = mesh.devices.shape
+    if h % ty or w % tx:
+        raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
+    if h // ty <= fuse or w // tx <= fuse:
+        raise ValueError("tile smaller than the fused halo; lower fuse")
+    from jax.sharding import PartitionSpec as P
+
+    interest_l = jnp.asarray(interest_lab)[..., 0]
+    refs_l = jnp.stack([jnp.asarray(r)[..., 0] for r in reference_labs])
+    dt = interest_l.dtype
+    args = [
+        jax.device_put(interest_l, NamedSharding(mesh, SPEC)),
+        jax.device_put(refs_l, NamedSharding(mesh, P(None, "ty", "tx"))),
+        jax.device_put(jnp.asarray(labels).astype(dt),
+                       NamedSharding(mesh, SPEC)),
+    ]
+    f = _gated_sharded_batched_fn(
+        mesh, h, w, float(lambda_d), float(lambda_s), float(sigma_d),
+        float(sigma_s), int(iter_max), float(error_min_threshold),
+        int(fuse), len(reference_labs))
+    u, v, trace = f(*args)
+    return [(u[b], v[b]) for b in range(len(reference_labs))], trace
 
 
 def _mirror_idx(i, n: int):

@@ -134,7 +134,7 @@ def gradient_method_dt_zero(reference_l: jnp.ndarray,
 
 
 def _shift_field(f: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
-    return jnp.roll(f, shift=(-dy, -dx), axis=(0, 1))
+    return jnp.roll(f, shift=(-dy, -dx), axis=(-2, -1))
 
 
 def _neighbor_terms(u, v, labels, sigma_s):
@@ -144,8 +144,12 @@ def _neighbor_terms(u, v, labels, sigma_s):
     coeff = 0.5 * (1 + u.un / (|u| |un|)); where either vector is zero the
     cosine is undefined (the reference divides 0/0) — we take coeff = 1
     (identical vectors are fully coherent), which is the zero-field limit.
+
+    ``u``/``v`` may carry leading batch axes (the bidirectional refine
+    batches both time directions into one program); ``labels`` stays 2-D
+    and broadcasts.
     """
-    h, w = u.shape
+    h, w = u.shape[-2:]
     dt = u.dtype
     norm_c = jnp.sqrt(u * u + v * v)
     nx = jnp.zeros_like(u)
@@ -175,7 +179,7 @@ def _neighbor_terms(u, v, labels, sigma_s):
 
 
 def _neighbor_energy(u, v, labels, sigma_s):
-    h, w = u.shape
+    h, w = u.shape[-2:]
     dt = u.dtype
     norm_c = jnp.sqrt(u * u + v * v)
     E = jnp.zeros_like(u)
@@ -262,6 +266,80 @@ def irls_gradient_method(
         cond, body,
         (z_u, z_v, E0, E0, jnp.int32(0), jnp.int32(0), jnp.bool_(False),
          trace0))
+    return u, v, E, n, trace
+
+
+@partial(jax.jit, static_argnames=("iter_max",))
+def irls_gradient_method_batched(
+    gx, gy, its, labels,
+    lambda_d: float, lambda_s: float, sigma_d: float, sigma_s: float,
+    iter_max: int, error_min_threshold: float,
+    u0=None, v0=None,
+):
+    """:func:`irls_gradient_method` over a batch of temporal-difference
+    fields sharing one interest frame (gx/gy/labels): the flagship's
+    bidirectional refine (OpticalFlow_BlockMatching.cpp:84-93 runs the
+    gradient method once per time direction) issues BOTH directions'
+    Jacobi chains in a single program, so the two independent dependent
+    chains interleave on the VPU instead of paying the per-op issue
+    latency serially twice.
+
+    ``its``: (B, H, W). Each batch element keeps the serial semantics —
+    per-element energy, 3-strikes counter and early stop (a stopped
+    element's fields freeze while the others run on). Returns
+    (u, v, E, n, trace) with leading batch axes (trace: (B, n_checks),
+    NaN past each element's stopping point)."""
+    sup_x = lambda_d * jnp.max(gx * gx) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
+    sup_y = lambda_d * jnp.max(gy * gy) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
+    n_checks = max(-(-iter_max // 64), 1)
+    batch = its.shape[0]
+
+    def energy(u, v):
+        center = geman_mcclure_rho(gx * u + gy * v + its, sigma_d)
+        return jnp.sum(lambda_d * center
+                       + lambda_s * _neighbor_energy(u, v, labels, sigma_s),
+                       axis=(-2, -1))
+
+    def cond(carry):
+        u, v, E, Eprev, inc, n, stop, trace = carry
+        return jnp.logical_and(n < iter_max, jnp.logical_not(jnp.all(stop)))
+
+    def body(carry):
+        u, v, E, Eprev, inc, n, stop, trace = carry
+        psi_d = geman_mcclure_psi(gx * u + gy * v + its, sigma_d)
+        nx, ny = _neighbor_terms(u, v, labels, sigma_s)
+        active = jnp.logical_not(stop)[:, None, None]
+        u = jnp.where(active,
+                      u - (lambda_d * gx * psi_d + lambda_s * nx) / sup_x, u)
+        v = jnp.where(active,
+                      v - (lambda_d * gy * psi_d + lambda_s * ny) / sup_y, v)
+
+        def check(args):
+            u, v, E, Eprev, inc, stop, trace = args
+            E_new = jnp.where(stop, E, energy(u, v))
+            inc_new = jnp.where(stop, inc,
+                                jnp.where(E_new > E, inc + 1, 0))
+            trace = trace.at[:, n >> 6].set(
+                jnp.where(stop, trace[:, n >> 6], E_new))
+            stop_new = stop | (E_new < error_min_threshold) | (inc_new > 3)
+            return E, E_new, inc_new, stop_new, trace
+
+        do_check = (n & 0x3F) == 0
+        Eprev2, E2, inc2, stop2, trace = jax.lax.cond(
+            do_check, check,
+            lambda args: (args[3], args[2], args[4], args[5], args[6]),
+            (u, v, E, Eprev, inc, stop, trace))
+        return u, v, E2, Eprev2, inc2, n + 1, stop2, trace
+
+    shape = its.shape
+    z_u = jnp.zeros(shape, gx.dtype) if u0 is None else u0
+    z_v = jnp.zeros(shape, gx.dtype) if v0 is None else v0
+    E0 = jnp.zeros((batch,), gx.dtype)
+    trace0 = jnp.full((batch, n_checks), jnp.nan, gx.dtype)
+    u, v, E, _, _, n, _, trace = jax.lax.while_loop(
+        cond, body,
+        (z_u, z_v, E0, E0, jnp.zeros((batch,), jnp.int32), jnp.int32(0),
+         jnp.zeros((batch,), bool), trace0))
     return u, v, E, n, trace
 
 
@@ -412,6 +490,42 @@ def gradient_method_flow(
 
     _emit_energy_trace(0, trace)
     return u, v
+
+
+def gradient_method_flow_bidirectional(
+    reference_labs,
+    interest_lab: jnp.ndarray,
+    labels: jnp.ndarray,
+    lambda_d: float = LAMBDA_D,
+    lambda_s: float = LAMBDA_S,
+    sigma_d: float = SIGMA_D_BM,
+    sigma_s: float = SIGMA_S_BM,
+    iter_max: int = 2048,
+    error_min_threshold: float = 1.0e-6,
+):
+    """Both time directions of the flagship's gradient refine
+    (OpticalFlow_BlockMatching.cpp:84-93 + 367-409, zero-MV branch
+    291-293) in ONE device program via
+    :func:`irls_gradient_method_batched`: gx/gy/labels are shared (they
+    belong to the interest frame), only dt differs per direction, and
+    batching the two Jacobi chains interleaves their per-op issue
+    latency instead of paying it twice serially.
+
+    ``reference_labs``: sequence of B reference Lab frames. Returns a
+    list of B (u, v) pairs in the same order, each bitwise equal to the
+    serial :func:`gradient_method_flow` call with ``zero_warp=True``."""
+    gx, gy = gradient_method_grad(interest_lab[..., 0])
+    its = jnp.stack([gradient_method_dt_zero(r[..., 0], interest_lab[..., 0])
+                     for r in reference_labs])
+    u, v, _, _, trace = irls_gradient_method_batched(
+        gx, gy, its, jnp.asarray(labels),
+        lambda_d, lambda_s, sigma_d, sigma_s,
+        int(iter_max), error_min_threshold)
+    from tpuflow.solvers.black_anandan import _emit_energy_trace
+
+    for b in range(len(reference_labs)):
+        _emit_energy_trace(0, trace[b])
+    return [(u[b], v[b]) for b in range(len(reference_labs))]
 
 
 # ---------------------------------------------------------------------------
@@ -767,8 +881,31 @@ def optical_flow_block_matching(
     if bidirectional:
         refs.append((ref_next, bm_dev[1][0]))
     # Dispatch every refinement before fetching: searches + refines
-    # queue back-to-back on device behind the mean-shift filter.
-    refined_dev = [refine(rl, duv) for rl, duv in refs]
+    # queue back-to-back on device behind the mean-shift filter. The
+    # bidirectional gradient refine batches both directions into ONE
+    # program (the IRLS is per-op-latency-bound; two independent chains
+    # interleave) — bitwise equal to the two serial calls.
+    if bidirectional and mode != MODE_OUTPUT_AFFINE_BLOCKMATCHING:
+        if mesh is None:
+            refined_dev = gradient_method_flow_bidirectional(
+                [ref_prev, ref_next], interest_lab, labels_j,
+                iter_max=iter_max,
+                error_min_threshold=param.error_min_threshold)
+        else:
+            from tpuflow.dist.bm_refine import (
+                gradient_method_flow_sharded_bidirectional,
+            )
+            from tpuflow.solvers.black_anandan import _emit_energy_trace
+
+            refined_dev, trace = (
+                gradient_method_flow_sharded_bidirectional(
+                    [ref_prev, ref_next], interest_lab, seg.labels,
+                    mesh, iter_max=iter_max,
+                    error_min_threshold=param.error_min_threshold))
+            for b in range(2):
+                _emit_energy_trace(0, trace[b])
+    else:
+        refined_dev = [refine(rl, duv) for rl, duv in refs]
 
     # Compose Vector_ST on device (BM vector + matching-direction
     # refinement, OpticalFlow_BlockMatching.cpp:307-331) — queued behind
