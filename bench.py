@@ -224,9 +224,12 @@ def bench_black_anandan(on_tpu):
     return 1.0 / dt
 
 
-def bench_bm_flagship():
+def bench_bm_flagship(bm_method="matmul"):
     """Flagship driver, FULL reference defaults, steady state (second
-    and third frame pairs, bidirectional)."""
+    and third frame pairs, bidirectional). ``bm_method="matmul_bf16"``
+    benches the bf16-input MXU search evaluator (f32 accumulation;
+    measured 2.0x the f32 search rate with 100% winner agreement at
+    KITTI res — scripts/r2_bm_bf16_ab.py)."""
     from tpuflow.solvers.bm_flow import optical_flow_block_matching
 
     prev, nxt = _frames_kitti()
@@ -236,16 +239,20 @@ def bench_bm_flagship():
     f1 = np.clip(np.stack([nxt] * 3, -1) + rng.normal(0, 2, (KH, KW, 3)),
                  0, 255)
     f2 = np.roll(f1, 2, axis=1)
-    out, state = optical_flow_block_matching(f0, f1, 255.0, iter_max=2048)
+    out, state = optical_flow_block_matching(f0, f1, 255.0, iter_max=2048,
+                                             bm_method=bm_method)
     # Second pair is the first BIDIRECTIONAL frame — its search/refine
     # compiles land here, outside the steady-state window.
     out, state = optical_flow_block_matching(f1, f2, 255.0, iter_max=2048,
-                                             state=state)
+                                             state=state,
+                                             bm_method=bm_method)
     t0 = time.perf_counter()
     out, state = optical_flow_block_matching(f2, f0, 255.0, iter_max=2048,
-                                             state=state)
+                                             state=state,
+                                             bm_method=bm_method)
     out, state = optical_flow_block_matching(f0, f1, 255.0, iter_max=2048,
-                                             state=state)
+                                             state=state,
+                                             bm_method=bm_method)
     return (time.perf_counter() - t0) / 2
 
 
@@ -324,6 +331,10 @@ def main() -> None:
           "s/frame-pair steady state (mean-shift R=20 + bidirectional "
           "61x61 BM + subpixel + gated IRLS, reference defaults)",
           bench_bm_flagship)
+    guard("bm_flagship_kitti_bf16_spf",
+          "s/frame-pair steady state (same, bf16-input MXU search "
+          "evaluator, f32 accumulation)",
+          lambda: bench_bm_flagship("matmul_bf16"))
     guard("weak_scaling_1dev",
           "Mpix*iter/s on 1 device (fused sharded HS, 512x1024 tile)",
           lambda: bench_weak_scaling_row()["mpix_per_s"])

@@ -1,0 +1,64 @@
+"""A/B the BM integer-search evaluator precision on the real TPU.
+
+The 61x61 search at KITTI res is MXU-FLOP-bound (~47 Tflop f32 per
+direction); ``matmul_bf16`` feeds the one-hot reduction bf16 inputs with
+f32 accumulation. This measures both, and reports winner agreement on a
+motion-rich synthetic pair.
+
+Usage: env PYTHONPATH=/root/.axon_site:/root/repo python -u scripts/r2_bm_bf16_ab.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+KH, KW = 376, 1240
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import tpuflow  # noqa: F401  (persistent compile cache)
+    from tpuflow.blockmatching import block_matching_labels
+    from tpuflow.core.color import srgb_to_lab
+    from tpuflow.segmentation import segment_meanshift
+
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(2)
+    from scipy.ndimage import gaussian_filter
+
+    base = gaussian_filter(rng.uniform(0, 255, (KH + 8, KW + 8, 3)),
+                           (2, 2, 0))
+    f1 = base[4:4 + KH, 2:2 + KW]
+    f0 = base[:KH, :KW]
+    lab1 = np.asarray(srgb_to_lab(jnp.asarray(f1 / 255.0, jnp.float32)))
+    lab0 = np.asarray(srgb_to_lab(jnp.asarray(f0 / 255.0, jnp.float32)))
+    seg = segment_meanshift(lab1, 20, 16.0 / 255.0)
+    print(f"{seg.n_regions} regions", flush=True)
+
+    res = {}
+    for method in ("matmul", "matmul_bf16"):
+        r = block_matching_labels(jnp.asarray(lab1), jnp.asarray(lab0),
+                                  seg.labels, seg.n_regions, 61,
+                                  subpixel_scale=2, method=method)
+        t0 = time.perf_counter()
+        r = block_matching_labels(jnp.asarray(lab1), jnp.asarray(lab0),
+                                  seg.labels, seg.n_regions, 61,
+                                  subpixel_scale=2, method=method)
+        dt = time.perf_counter() - t0
+        print(f"{method}: {dt:.3f} s / direction", flush=True)
+        res[method] = r
+
+    agree = np.mean(np.all(res["matmul"].region_uv
+                           == res["matmul_bf16"].region_uv, axis=-1))
+    duv = np.abs(res["matmul"].region_uv - res["matmul_bf16"].region_uv)
+    print(f"winner agreement: {agree * 100:.2f}% of regions; "
+          f"max |duv| = {duv.max():.3f}, mean = {duv.mean():.4f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

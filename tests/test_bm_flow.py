@@ -254,6 +254,31 @@ class TestBlockMatching:
                                    res["gather"].region_cost,
                                    rtol=1e-10, atol=1e-12)
 
+    def test_matmul_bf16_evaluator_agrees(self):
+        """The bf16-input MXU evaluator finds the same winners as the
+        f32 one on data with clear minima, and its costs are within the
+        bf16 rounding envelope (the one-hot LHS is exact in bf16; only
+        the moment fields round on matmul entry)."""
+        import jax.numpy as jnp
+
+        from tpuflow.blockmatching import block_matching_labels
+
+        rng = np.random.default_rng(7)
+        h, w = 37, 53
+        cur = rng.uniform(0, 100, (h, w, 3)).astype(np.float32)
+        ref = (np.roll(cur, (2, -3), (0, 1))
+               + rng.normal(0, 0.5, (h, w, 3))).astype(np.float32)
+        labels = rng.integers(0, 9, (h, w)).astype(np.int32)
+        res = {m: block_matching_labels(jnp.asarray(cur), jnp.asarray(ref),
+                                        labels, 9, 15, subpixel_scale=2,
+                                        method=m)
+               for m in ("matmul", "matmul_bf16")}
+        np.testing.assert_array_equal(res["matmul_bf16"].region_uv,
+                                      res["matmul"].region_uv)
+        np.testing.assert_allclose(res["matmul_bf16"].region_cost,
+                                   res["matmul"].region_cost,
+                                   rtol=2e-2, atol=2e-2)
+
     def test_subpixel_refinement(self):
         import jax.numpy as jnp
 

@@ -212,7 +212,7 @@ def _integer_costs(cur_lab, ref_lab, perm, bounds, n_regions: int,
 
 def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
                           cand, coeff_mad: float, coeff_zncc: float,
-                          chunk: int, radius: int):
+                          chunk: int, radius: int, mxu_dtype=None):
     """Gather-free integer search: per 8-row strip, the region one-hot
     matrix L (strip_pixels, n_regions) is built once and every candidate
     chunk reduces through ONE MXU matmul ``L^T @ fields`` — region sums
@@ -223,7 +223,16 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
 
     Same contract as :func:`_integer_costs`: (n_cand_padded, n_regions)
     costs; ``cand`` length must be a multiple of ``chunk``; ``radius``
-    bounds ``max |d|`` (the reference pad margin)."""
+    bounds ``max |d|`` (the reference pad margin).
+
+    ``mxu_dtype`` (e.g. ``jnp.bfloat16``) feeds the one-hot matmul at a
+    reduced input precision with f32 accumulation: the search is
+    MXU-FLOP-bound at KITTI res (61x61 grid = ~47 Tflop f32/direction),
+    and the v5e's bf16 systolic rate is ~4x its f32 rate. The one-hot L
+    is exact in bf16; only the (already f32-computed) moment fields are
+    rounded on entry, so region sums keep f32 carry error ~0.4%/sqrt(N)
+    — winners agree with the f32 evaluator except at near-ties (which
+    the subpixel stage re-scores in f32 anyway)."""
     dt = cur_lab.dtype
     CH = chunk
     R = radius
@@ -268,8 +277,12 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
         def per_chunk(d_chunk):
             F = jax.vmap(fields_for)(d_chunk)            # (CH, P, 7)
             F2 = jnp.transpose(F, (1, 0, 2)).reshape(P, CH * 7)
+            lhs, rhs = L, F2
+            if mxu_dtype is not None:
+                lhs = lhs.astype(mxu_dtype)
+                rhs = rhs.astype(mxu_dtype)
             return jax.lax.dot_general(
-                L, F2, (((0,), (0,)), ((), ())),
+                lhs, rhs, (((0,), (0,)), ((), ())),
                 preferred_element_type=dt)               # (n_regions, CH*7)
 
         return acc + jax.lax.map(per_chunk, chunks), None
@@ -364,21 +377,24 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
 
     ``method`` selects the integer-search evaluator: ``"matmul"`` is the
     strip-one-hot MXU reduction (:func:`_integer_costs_matmul`);
-    ``"gather"`` is the permuted-gather + range-sum pass
+    ``"matmul_bf16"`` the same reduction with bf16 matmul inputs + f32
+    accumulation (~4x the v5e systolic rate; winners match f32 except at
+    near-ties); ``"gather"`` is the permuted-gather + range-sum pass
     (:func:`_integer_costs`). ``chunk`` = candidates evaluated per pass
     (wider amortizes the gather / widens the matmul RHS)."""
     dt = cur_lab.dtype
     cand_np = search_candidates(search_range)
     n_cand = cand_np.shape[0]
-    if method == "matmul":
+    if method.startswith("matmul"):
         chunk = max(chunk, 64)
     pad = (-n_cand) % chunk
     cand = jnp.asarray(
         np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
-    if method == "matmul":
+    if method.startswith("matmul"):
+        mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
         costs = _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions,
                                       cand, coeff_mad, coeff_zncc, chunk,
-                                      search_range // 2)
+                                      search_range // 2, mxu_dtype)
     else:
         costs = _integer_costs(cur_lab, ref_lab, perm, bounds, n_regions,
                                cand, coeff_mad, coeff_zncc, chunk)

@@ -121,6 +121,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tile the block-matching path over N devices "
                    "(2-D mesh; image dims must divide it; 0 = single "
                    "chip)")
+    p.add_argument("--bm_precision", choices=["f32", "bf16"],
+                   default="f32",
+                   help="block-matching search evaluator precision: f32 "
+                   "is bit-faithful to the reference cost; bf16 feeds "
+                   "the MXU reduction bf16 inputs with f32 accumulation "
+                   "(~4x systolic rate; winners can differ at "
+                   "near-ties)")
     return p
 
 
@@ -146,6 +153,8 @@ def parse_args_to_options(args) -> Options:
     opts.mode = mode
     if args.mm_level is not None:
         opts.multiple_motion_param.level = args.mm_level
+    if args.bm_precision == "bf16":
+        opts.multiple_motion_param.bm_method = "matmul_bf16"
     hp = opts.hog_param
     if args.hog_bins is not None:
         hp.bins = args.hog_bins

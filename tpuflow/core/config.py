@@ -83,6 +83,10 @@ class MultipleMotionParam:
     bm_subpixel_scale: int = 2
     bm_kernel_spatial: int = 20
     bm_kernel_intensity: float = 16.0 / 255.0
+    # Search evaluator: "matmul" (bit-faithful f32), "matmul_bf16"
+    # (bf16 MXU inputs + f32 accumulation, ~4x systolic rate on v5e;
+    # winners can differ at near-ties), or "gather".
+    bm_method: str = "matmul"
 
 
 @dataclass

@@ -50,10 +50,11 @@ def _match_sharded(cur_lab, ref_lab, labels, perm, bounds, cand,
     rep = P(None)
 
     def body(cur_t, ref_t, labels_t, perm_t, bounds_t, cand_t):
-        if method == "matmul":
+        if method.startswith("matmul"):
+            mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
             local = _integer_costs_matmul(
                 cur_t, ref_t, labels_t, n_regions, cand_t, coeff_mad,
-                coeff_zncc, chunk, search_range // 2)
+                coeff_zncc, chunk, search_range // 2, mxu_dtype)
         else:
             local = _integer_costs(cur_t, ref_t, perm_t, bounds_t,
                                    n_regions, cand_t, coeff_mad,
@@ -87,7 +88,7 @@ def _match_device_sharded(cur_lab, ref_lab, labels, n_regions: int,
     """Dispatch one direction's candidate-parallel search over the mesh;
     returns device arrays (uv, cost) padded to the bucketed region count
     — no host sync (the distributed twin of matcher._match_device)."""
-    if method == "matmul":
+    if method.startswith("matmul"):
         chunk = max(chunk, 64)
     cur_lab = jnp.asarray(cur_lab)
     ref_lab = jnp.asarray(ref_lab)

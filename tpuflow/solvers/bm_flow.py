@@ -743,6 +743,7 @@ def optical_flow_block_matching(
     kernel_intensity: float = 16.0 / 255.0,
     subpixel_scale: int = 2,
     mesh=None,
+    bm_method: str = "matmul",
 ) -> tuple[BMFlowOutput, BMFlowState]:
     """The flagship driver (OpticalFlow_BlockMatching.cpp:13-362).
 
@@ -757,6 +758,13 @@ def optical_flow_block_matching(
     gradient-method refinement tiled with fused ppermute halos, and the
     affine refinement with psum'd per-region moment reductions
     (tpuflow.dist). The host labeling is global either way.
+
+    ``bm_method`` selects the search evaluator (matcher.py):
+    ``"matmul"`` (default, bit-faithful f32), ``"matmul_bf16"`` (bf16
+    matmul inputs + f32 accumulation — the search is MXU-FLOP-bound and
+    bf16 runs the v5e systolic array ~4x faster; integer winners can
+    differ at near-ties, the subpixel re-score stays f32), or
+    ``"gather"``.
 
     Steady-state pipelining: the bidirectional match + refinement run on
     the *middle* frame with the segmentation computed on the PREVIOUS
@@ -798,12 +806,12 @@ def optical_flow_block_matching(
         def match_dev(cur, ref, seg):
             return _match_device_sharded(
                 cur, ref, seg.labels, seg.n_regions, mesh, search_range,
-                1.0, 0.5, subpixel_scale, 16, "matmul")
+                1.0, 0.5, subpixel_scale, 16, bm_method)
     else:
         def match_dev(cur, ref, seg):
             return _match_device(cur, ref, seg.labels, seg.n_regions,
                                  search_range, 1.0, 0.5, subpixel_scale,
-                                 16, "matmul")
+                                 16, bm_method)
 
     # With the new frame not yet pushed: state[0] = middle frame,
     # state[1] = previous-previous (the bidirectional refs,
