@@ -435,6 +435,32 @@ class TestBlockMatchingSharded:
         np.testing.assert_array_equal(r2.region_cost, r1.region_cost)
         np.testing.assert_array_equal(r2.u, r1.u)
 
+    def test_bf16_matches_single_device(self):
+        """The candidate-parallel split is precision-independent: the
+        bf16 evaluator sharded over 8 devices == bf16 on one device,
+        bitwise (each device rounds the same fields the same way)."""
+        from tpuflow.blockmatching import block_matching_labels
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.bm import block_matching_labels_sharded
+        from tpuflow.segmentation import segment_meanshift
+
+        mesh = make_mesh(8)
+        from scipy.ndimage import gaussian_filter
+
+        base = gaussian_filter(
+            rng.uniform(0, 1, (40, 64, 3)), (2, 2, 0)).astype(np.float32)
+        cur = base[2:34, 1:49]
+        ref = base[:32, :48]
+        seg = segment_meanshift(cur, 4, 0.12, iters=3, min_size=4)
+        r1 = block_matching_labels(cur, ref, seg.labels, seg.n_regions,
+                                   search_range=9, subpixel_scale=2,
+                                   method="matmul_bf16")
+        r2 = block_matching_labels_sharded(
+            cur, ref, seg.labels, seg.n_regions, mesh,
+            search_range=9, subpixel_scale=2, method="matmul_bf16")
+        np.testing.assert_array_equal(r2.region_uv, r1.region_uv)
+        np.testing.assert_array_equal(r2.region_cost, r1.region_cost)
+
 
 class TestGatedRefineSharded:
     """Distributed region-gated IRLS refine (the flagship's
