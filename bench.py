@@ -246,14 +246,22 @@ def bench_bm_flagship(bm_method="matmul"):
     out, state = optical_flow_block_matching(f1, f2, 255.0, iter_max=2048,
                                              state=state,
                                              bm_method=bm_method)
-    t0 = time.perf_counter()
-    out, state = optical_flow_block_matching(f2, f0, 255.0, iter_max=2048,
-                                             state=state,
-                                             bm_method=bm_method)
-    out, state = optical_flow_block_matching(f0, f1, 255.0, iter_max=2048,
-                                             state=state,
-                                             bm_method=bm_method)
-    return (time.perf_counter() - t0) / 2
+    # Best of two 2-pair windows: steady-state run-to-run tunnel
+    # variance was measured at ~±0.7 s (BASELINE.md), larger than most
+    # optimizations being tracked.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out, state = optical_flow_block_matching(f2, f0, 255.0,
+                                                 iter_max=2048,
+                                                 state=state,
+                                                 bm_method=bm_method)
+        out, state = optical_flow_block_matching(f0, f1, 255.0,
+                                                 iter_max=2048,
+                                                 state=state,
+                                                 bm_method=bm_method)
+        best = min(best, (time.perf_counter() - t0) / 2)
+    return best
 
 
 def bench_weak_scaling_row():
