@@ -228,8 +228,9 @@ def bench_bm_flagship(bm_method="matmul"):
     """Flagship driver, FULL reference defaults, steady state (second
     and third frame pairs, bidirectional). ``bm_method="matmul_bf16"``
     benches the bf16-input MXU search evaluator (f32 accumulation;
-    measured 2.0x the f32 search rate with 100% winner agreement at
-    KITTI res — scripts/r2_bm_bf16_ab.py)."""
+    measured neutral at KITTI-res region counts, where the evaluator is
+    field-build-bound rather than MXU-bound —
+    scripts/r2_bm_bf16_ab.py)."""
     from tpuflow.solvers.bm_flow import optical_flow_block_matching
 
     prev, nxt = _frames_kitti()
@@ -339,10 +340,6 @@ def main() -> None:
           "s/frame-pair steady state (mean-shift R=20 + bidirectional "
           "61x61 BM + subpixel + gated IRLS, reference defaults)",
           bench_bm_flagship)
-    guard("bm_flagship_kitti_bf16_spf",
-          "s/frame-pair steady state (same, bf16-input MXU search "
-          "evaluator, f32 accumulation)",
-          lambda: bench_bm_flagship("matmul_bf16"))
     guard("weak_scaling_1dev",
           "Mpix*iter/s on 1 device (fused sharded HS, 512x1024 tile)",
           lambda: bench_weak_scaling_row()["mpix_per_s"])

@@ -39,17 +39,29 @@ def main():
     seg = segment_meanshift(lab1, 20, 16.0 / 255.0)
     print(f"{seg.n_regions} regions", flush=True)
 
+    from tpuflow.blockmatching.matcher import _match_device
+
+    # Device rate: pre-place the frames, queue the search, fetch ONE
+    # element (end-to-end block_matching_labels pays ~2x 5.6 MB frame
+    # uploads + a 5.6 MB per-pixel fetch through the tunnel per call,
+    # which swamps the evaluator difference).
+    l1 = jax.device_put(jnp.asarray(lab1))
+    l0 = jax.device_put(jnp.asarray(lab0))
     res = {}
     for method in ("matmul", "matmul_bf16"):
-        r = block_matching_labels(jnp.asarray(lab1), jnp.asarray(lab0),
-                                  seg.labels, seg.n_regions, 61,
-                                  subpixel_scale=2, method=method)
+        uv, cost = _match_device(l1, l0, seg.labels, seg.n_regions, 61,
+                                 1.0, 0.5, 2, 16, method)
+        np.asarray(cost[0])
         t0 = time.perf_counter()
-        r = block_matching_labels(jnp.asarray(lab1), jnp.asarray(lab0),
-                                  seg.labels, seg.n_regions, 61,
-                                  subpixel_scale=2, method=method)
+        uv, cost = _match_device(l1, l0, seg.labels, seg.n_regions, 61,
+                                 1.0, 0.5, 2, 16, method)
+        np.asarray(cost[0])
         dt = time.perf_counter() - t0
-        print(f"{method}: {dt:.3f} s / direction", flush=True)
+        print(f"{method}: {dt:.3f} s / direction (device rate)",
+              flush=True)
+
+        r = block_matching_labels(l1, l0, seg.labels, seg.n_regions, 61,
+                                  subpixel_scale=2, method=method)
         res[method] = r
 
     agree = np.mean(np.all(res["matmul"].region_uv

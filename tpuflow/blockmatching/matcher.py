@@ -226,13 +226,16 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
     bounds ``max |d|`` (the reference pad margin).
 
     ``mxu_dtype`` (e.g. ``jnp.bfloat16``) feeds the one-hot matmul at a
-    reduced input precision with f32 accumulation: the search is
-    MXU-FLOP-bound at KITTI res (61x61 grid = ~47 Tflop f32/direction),
-    and the v5e's bf16 systolic rate is ~4x its f32 rate. The one-hot L
-    is exact in bf16; only the (already f32-computed) moment fields are
+    reduced input precision with f32 accumulation. The one-hot L is
+    exact in bf16; only the (already f32-computed) moment fields are
     rounded on entry, so region sums keep f32 carry error ~0.4%/sqrt(N)
     — winners agree with the f32 evaluator except at near-ties (which
-    the subpixel stage re-scores in f32 anyway)."""
+    the subpixel stage re-scores in f32 anyway). Measured NEUTRAL at
+    KITTI-res region counts (0.445 vs 0.448 s/direction device rate,
+    61x61 grid, 384-region bucket — scripts/r2_bm_bf16_ab.py): there
+    the evaluator is bound by the field build + transposes, not the
+    MXU, so the bf16 systolic rate only pays at much larger region
+    counts."""
     dt = cur_lab.dtype
     CH = chunk
     R = radius
@@ -378,8 +381,10 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     ``method`` selects the integer-search evaluator: ``"matmul"`` is the
     strip-one-hot MXU reduction (:func:`_integer_costs_matmul`);
     ``"matmul_bf16"`` the same reduction with bf16 matmul inputs + f32
-    accumulation (~4x the v5e systolic rate; winners match f32 except at
-    near-ties); ``"gather"`` is the permuted-gather + range-sum pass
+    accumulation (winners match f32 except at near-ties; measured
+    neutral at KITTI-res region counts — see
+    :func:`_integer_costs_matmul`); ``"gather"`` is the
+    permuted-gather + range-sum pass
     (:func:`_integer_costs`). ``chunk`` = candidates evaluated per pass
     (wider amortizes the gather / widens the matmul RHS)."""
     dt = cur_lab.dtype

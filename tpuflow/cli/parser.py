@@ -126,8 +126,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="block-matching search evaluator precision: f32 "
                    "is bit-faithful to the reference cost; bf16 feeds "
                    "the MXU reduction bf16 inputs with f32 accumulation "
-                   "(~4x systolic rate; winners can differ at "
-                   "near-ties)")
+                   "(winners can differ at near-ties; only pays at very "
+                   "large region counts)")
     return p
 
 

@@ -761,10 +761,10 @@ def optical_flow_block_matching(
 
     ``bm_method`` selects the search evaluator (matcher.py):
     ``"matmul"`` (default, bit-faithful f32), ``"matmul_bf16"`` (bf16
-    matmul inputs + f32 accumulation — the search is MXU-FLOP-bound and
-    bf16 runs the v5e systolic array ~4x faster; integer winners can
-    differ at near-ties, the subpixel re-score stays f32), or
-    ``"gather"``.
+    matmul inputs + f32 accumulation — measured neutral at KITTI-res
+    region counts where the evaluator is field-build-bound, not
+    MXU-bound; integer winners can differ at near-ties, the subpixel
+    re-score stays f32), or ``"gather"``.
 
     Steady-state pipelining: the bidirectional match + refinement run on
     the *middle* frame with the segmentation computed on the PREVIOUS
