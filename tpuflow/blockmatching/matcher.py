@@ -279,13 +279,23 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
 
         def per_chunk(d_chunk):
             F = jax.vmap(fields_for)(d_chunk)            # (CH, P, 7)
+            if mxu_dtype is None:
+                # Contract P directly against the (CH, P, 7) array — an
+                # explicit (P, CH*7) transpose before the matmul
+                # measured 19% slower on hardware (the relayout is a
+                # separate pass; dot_general folds it into the operand
+                # fetch — scripts/r2_bm_layout_ab.py).
+                out = jax.lax.dot_general(
+                    L, F, (((0,), (1,)), ((), ())),
+                    preferred_element_type=dt)           # (n_regions, CH, 7)
+                return out.reshape(n_regions, CH * 7)
+            # Reduced-precision path keeps the rank-2 form: the CPU
+            # backend (the test mesh) has no kernel for rank-3
+            # BF16 x BF16 = F32 dots under shard_map.
             F2 = jnp.transpose(F, (1, 0, 2)).reshape(P, CH * 7)
-            lhs, rhs = L, F2
-            if mxu_dtype is not None:
-                lhs = lhs.astype(mxu_dtype)
-                rhs = rhs.astype(mxu_dtype)
             return jax.lax.dot_general(
-                lhs, rhs, (((0,), (0,)), ((), ())),
+                L.astype(mxu_dtype), F2.astype(mxu_dtype),
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=dt)               # (n_regions, CH*7)
 
         return acc + jax.lax.map(per_chunk, chunks), None
