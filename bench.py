@@ -337,8 +337,9 @@ def main() -> None:
           "1242x375)",
           lambda: bench_black_anandan(on_tpu))
     guard("bm_flagship_kitti_spf",
-          "s/frame-pair steady state (mean-shift R=20 + bidirectional "
-          "61x61 BM + subpixel + gated IRLS, reference defaults)",
+          "s/frame-pair steady state, best-of-2 windows (mean-shift R=20 "
+          "+ bidirectional 61x61 BM + subpixel + gated IRLS, reference "
+          "defaults)",
           bench_bm_flagship)
     guard("weak_scaling_1dev",
           "Mpix*iter/s on 1 device (fused sharded HS, 512x1024 tile)",

@@ -1,9 +1,15 @@
 """A/B the BM integer-search evaluator precision on the real TPU.
 
-The 61x61 search at KITTI res is MXU-FLOP-bound (~47 Tflop f32 per
-direction); ``matmul_bf16`` feeds the one-hot reduction bf16 inputs with
-f32 accumulation. This measures both, and reports winner agreement on a
-motion-rich synthetic pair.
+The 61x61 search at KITTI res is FIELD-BUILD-bound, not MXU-bound: at a
+384-region bucket the one-hot reduction is ~9.5 Tflop/direction and the
+matmul is only ~25% of the evaluator's time (README/BASELINE round 2b) —
+which is why ``matmul_bf16`` (bf16 matmul inputs, f32 accumulation)
+measured NEUTRAL here, 0.445 vs 0.448 s/direction device rate. An
+earlier same-session 2.03x reading was tunnel variance on end-to-end
+timings including ~11 MB of host<->device transfers per call. This
+measures both evaluators at device rate (pre-placed inputs, one-element
+fetch) and reports integer-winner agreement on a motion-rich synthetic
+pair.
 
 Usage: env PYTHONPATH=/root/.axon_site:/root/repo python -u scripts/r2_bm_bf16_ab.py
 """

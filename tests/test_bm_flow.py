@@ -68,6 +68,20 @@ class TestBlockMatching:
         assert lab[0, 0] == 0 and lab[0, 8] == 1
         assert lab[8, 0] == 2 and lab[9, 15] == 3
 
+    def test_unknown_method_rejected(self):
+        """Typo'd evaluator names must raise, not silently dispatch to
+        the f32 matmul (startswith) or the slow gather fallback."""
+        import pytest
+
+        from tpuflow.blockmatching import block_matching_labels, grid_labels
+
+        labels = grid_labels(16, 16, 8)
+        lab = np.zeros((16, 16, 3), np.float32)
+        for bad in ("matmul_fp16", "gatherx", ""):
+            with pytest.raises(ValueError, match="unknown block-matching"):
+                block_matching_labels(lab, lab, labels, 4, search_range=3,
+                                      subpixel_scale=1, method=bad)
+
     def test_recovers_inverse_shift(self):
         import jax.numpy as jnp
 

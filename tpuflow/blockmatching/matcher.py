@@ -38,6 +38,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+#: The integer-search evaluators ``_match_one_direction`` dispatches on.
+#: Dispatch is by ``startswith("matmul")``, so an unlisted typo like
+#: ``"matmul_fp16"`` would otherwise silently run the f32 evaluator (and
+#: any other typo the slow gather path) — validate against this first.
+METHODS = ("matmul", "matmul_bf16", "gather")
+
+
+def validate_method(method: str) -> None:
+    if method not in METHODS:
+        raise ValueError(
+            f"unknown block-matching method {method!r}; expected one of "
+            f"{METHODS}")
+
+
 def grid_labels(h: int, w: int, block_size: int) -> np.ndarray:
     """The reference's fixed-block domain map
     (OpticalFlow_BlockMatching.cpp:103-108)."""
@@ -279,19 +293,23 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
 
         def per_chunk(d_chunk):
             F = jax.vmap(fields_for)(d_chunk)            # (CH, P, 7)
-            if mxu_dtype is None:
+            if mxu_dtype is None or jax.default_backend() != "cpu":
                 # Contract P directly against the (CH, P, 7) array — an
                 # explicit (P, CH*7) transpose before the matmul
                 # measured 19% slower on hardware (the relayout is a
                 # separate pass; dot_general folds it into the operand
-                # fetch — scripts/r2_bm_layout_ab.py).
+                # fetch — scripts/r2_bm_layout_ab.py). The bf16 path
+                # takes the same form whenever the backend supports
+                # rank-3 bf16 x bf16 = f32 dots (every non-CPU backend).
+                lhs = L if mxu_dtype is None else L.astype(mxu_dtype)
+                rhs = F if mxu_dtype is None else F.astype(mxu_dtype)
                 out = jax.lax.dot_general(
-                    L, F, (((0,), (1,)), ((), ())),
+                    lhs, rhs, (((0,), (1,)), ((), ())),
                     preferred_element_type=dt)           # (n_regions, CH, 7)
                 return out.reshape(n_regions, CH * 7)
-            # Reduced-precision path keeps the rank-2 form: the CPU
-            # backend (the test mesh) has no kernel for rank-3
-            # BF16 x BF16 = F32 dots under shard_map.
+            # CPU (the test mesh) has no kernel for rank-3
+            # BF16 x BF16 = F32 dots under shard_map: fall back to the
+            # rank-2 form there.
             F2 = jnp.transpose(F, (1, 0, 2)).reshape(P, CH * 7)
             return jax.lax.dot_general(
                 L.astype(mxu_dtype), F2.astype(mxu_dtype),
@@ -434,6 +452,7 @@ def _match_device(cur_lab, ref_lab, labels, n_regions: int, search_range,
                   method: str = "matmul"):
     """Dispatch one direction's search; returns device arrays (uv, cost)
     padded to the bucketed region count — no host sync."""
+    validate_method(method)
     perm, bounds = region_reduction_plan(np.asarray(labels),
                                          int(n_regions))
     # Bucket the static region count so frame-to-frame drift in the

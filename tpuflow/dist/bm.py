@@ -34,6 +34,7 @@ from tpuflow.blockmatching.matcher import (
     region_bucket,
     region_reduction_plan,
     search_candidates,
+    validate_method,
 )
 from tpuflow.dist.solvers import shard_map
 
@@ -88,6 +89,7 @@ def _match_device_sharded(cur_lab, ref_lab, labels, n_regions: int,
     """Dispatch one direction's candidate-parallel search over the mesh;
     returns device arrays (uv, cost) padded to the bucketed region count
     — no host sync (the distributed twin of matcher._match_device)."""
+    validate_method(method)
     if method.startswith("matmul"):
         chunk = max(chunk, 64)
     cur_lab = jnp.asarray(cur_lab)

@@ -39,8 +39,7 @@ def _ms_kernel(l0_hbm, l1_hbm, l2_hbm,
                px_ref, py_ref, c0_ref, c1_ref, c2_ref,
                l0s, l1s, l2s, sems,
                *, tile_h: int, tile_w: int, halo_y: int, halo_x: int,
-               E: int, iters: int, hs2: float, hr2: float,
-               img_h: int, img_w: int):
+               E: int, iters: int, hs2: float, hr2: float):
     i = pl.program_id(0)
     j = pl.program_id(1)
     row0 = i * tile_h
@@ -64,7 +63,9 @@ def _ms_kernel(l0_hbm, l1_hbm, l2_hbm,
     l0 = l0s[:]
     l1 = l1s[:]
     l2 = l2s[:]
-    # Global (x, y) of every core pixel.
+    # Global (x, y) of every core pixel (only used outside the offset
+    # loop: the state carries the DRIFT from the origin, matching the
+    # jnp filter's accumulation algebra bitwise).
     xs = (col0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
           ).astype(dt)
     ys = (row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -73,40 +74,44 @@ def _ms_kernel(l0_hbm, l1_hbm, l2_hbm,
     span = 2 * E + 1
 
     def one_iter(_, state):
-        px, py, c0, c1, c2 = state
+        ex, ey, c0, c1, c2 = state
 
         def body(k, acc):
-            s_x, s_y, s_n, s0, s1, s2 = acc
+            s_dx, s_dy, s_n, s0, s1, s2 = acc
             dy = k // span - E
             dx = k % span - E
             # Shifted original frame: cyclic rotations + static core
-            # slice (wrap garbage stays in the halo margin).
+            # slice (wrap garbage stays in the halo margin; the
+            # out-of-image border carries the color sentinel, so no
+            # validity mask is needed — mirrors the jnp filter).
             sh_y = (-dy) % hh
             sh_x = (-dx) % hw
             q0 = pltpu.roll(pltpu.roll(l0, sh_y, 0), sh_x, 1)[core]
             q1 = pltpu.roll(pltpu.roll(l1, sh_y, 0), sh_x, 1)[core]
             q2 = pltpu.roll(pltpu.roll(l2, sh_y, 0), sh_x, 1)[core]
-            qxf = xs + dx.astype(dt)
-            qyf = ys + dy.astype(dt)
-            valid = ((qyf >= 0) & (qyf < img_h)
-                     & (qxf >= 0) & (qxf < img_w))
-            d_sp = (qxf - px) ** 2 + (qyf - py) ** 2
+            dxf = dx.astype(dt)
+            dyf = dy.astype(dt)
+            d_sp = (dxf - ex) ** 2 + (dyf - ey) ** 2
             d_cl = (q0 - c0) ** 2 + (q1 - c1) ** 2 + (q2 - c2) ** 2
-            wgt = jnp.where(valid & (d_sp <= hs2) & (d_cl <= hr2),
+            wgt = jnp.where((d_sp <= hs2) & (d_cl <= hr2),
                             1.0, 0.0).astype(dt)
-            return (s_x + wgt * qxf, s_y + wgt * qyf, s_n + wgt,
+            return (s_dx + wgt * dxf, s_dy + wgt * dyf, s_n + wgt,
                     s0 + wgt * q0, s1 + wgt * q1, s2 + wgt * q2)
 
         z = jnp.zeros((tile_h, tile_w), dt)
-        s_x, s_y, s_n, s0, s1, s2 = jax.lax.fori_loop(
+        s_dx, s_dy, s_n, s0, s1, s2 = jax.lax.fori_loop(
             0, n_off, body, (z, z, z, z, z, z))
         n = jnp.maximum(s_n, 1.0)
-        return s_x / n, s_y / n, s0 / n, s1 / n, s2 / n
+        got = s_n > 0
+        return (jnp.where(got, s_dx / n, -xs),
+                jnp.where(got, s_dy / n, -ys),
+                s0 / n, s1 / n, s2 / n)
 
-    state0 = (xs, ys, l0[core], l1[core], l2[core])
-    px, py, c0, c1, c2 = jax.lax.fori_loop(0, iters, one_iter, state0)
-    px_ref[:] = px
-    py_ref[:] = py
+    z0 = jnp.zeros((tile_h, tile_w), dt)
+    state0 = (z0, z0, l0[core], l1[core], l2[core])
+    ex, ey, c0, c1, c2 = jax.lax.fori_loop(0, iters, one_iter, state0)
+    px_ref[:] = xs + ex
+    py_ref[:] = ys + ey
     c0_ref[:] = c0
     c1_ref[:] = c1
     c2_ref[:] = c2
@@ -143,9 +148,17 @@ def mean_shift_filter_pallas(
     halo_y = _cdiv(E, 4) * 4
     halo_x = _cdiv(E, 64) * 64
 
+    # The out-of-image border carries the same color sentinel as the jnp
+    # filter (farther than the color radius from every real value), so
+    # out-of-image data points weigh 0 with no per-offset validity mask.
+    from tpuflow.segmentation.meanshift import _color_sentinel
+
+    sentinel = _color_sentinel(lab, float(kernel_intensity))
+
     def pad_h(a):
         return jnp.pad(a, ((halo_y, hp - h + halo_y),
-                           (halo_x, wp - w + halo_x)))
+                           (halo_x, wp - w + halo_x)),
+                       constant_values=sentinel)
 
     chans = [pad_h(lab[..., c]) for c in range(3)]
     hh = tile_h + 2 * halo_y
@@ -153,8 +166,7 @@ def mean_shift_filter_pallas(
     kern = functools.partial(
         _ms_kernel, tile_h=tile_h, tile_w=tile_w, halo_y=halo_y,
         halo_x=halo_x, E=E, iters=int(iters),
-        hs2=float(kernel_spatial) ** 2, hr2=float(kernel_intensity) ** 2,
-        img_h=h, img_w=w)
+        hs2=float(kernel_spatial) ** 2, hr2=float(kernel_intensity) ** 2)
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)

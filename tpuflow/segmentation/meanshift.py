@@ -38,6 +38,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def _color_sentinel(lab: jnp.ndarray, kernel_intensity: float):
+    """Pad value for the frame borders: farther than ``kernel_intensity``
+    from EVERY real color, so a data point read outside the image fails
+    the color-radius test by construction — which replaces the
+    per-offset validity mask (the mask was ~25% of the sweep's VPU
+    ops)."""
+    return (jnp.max(jnp.abs(lab)) + jnp.asarray(
+        float(kernel_intensity) + 1.0, lab.dtype)).astype(lab.dtype)
+
 
 @dataclass
 class SegmentationResult:
@@ -100,55 +109,79 @@ def mean_shift_filter(
     # Shift window: every data point within R of a query that drifted <= M
     # from its origin lies within R + M of the origin.
     E = R + M
-    offs = jnp.stack(
-        jnp.meshgrid(jnp.arange(-E, E + 1), jnp.arange(-E, E + 1),
-                     indexing="ij"), -1).reshape(-1, 2)  # (dy, dx)
-    # E-padded copy: the per-offset read becomes a contiguous
-    # dynamic_slice (cheaper than a wrap-around roll; padded zeros are
-    # excluded by the validity mask exactly like the roll's wrapped
-    # values were).
-    labh = jnp.pad(lab, ((E, E), (E, E), (0, 0)))
+    # E-padded per-channel copies: the per-offset read becomes a
+    # contiguous dynamic_slice (cheaper than a wrap-around roll). The pad
+    # value is a color SENTINEL farther than the color radius from every
+    # real value (so out-of-image data points weigh 0 with no explicit
+    # validity mask). Per-channel (H, W) planes keep the lanes dense (a
+    # (H, W, 3) layout wastes the minormost tile).
+    sentinel = _color_sentinel(lab, kernel_intensity)
+    labh = [jnp.pad(lab[..., c], E, constant_values=sentinel)
+            for c in range(3)]
+    c_orig = [lab[..., c] for c in range(3)]
 
-    def step(state):
-        px, py, cl = state  # query positions (H, W), colors (H, W, 3)
+    def step(state, E_k: int):
+        # Query drift from origin (ex, ey) (H, W) and colors (3x (H, W)).
+        ex, ey, c0, c1, c2 = state
+        offs = np.stack(
+            np.meshgrid(np.arange(-E_k, E_k + 1),
+                        np.arange(-E_k, E_k + 1),
+                        indexing="ij"), -1).reshape(-1, 2)  # (dy, dx)
+        offs = jnp.asarray(offs, jnp.int32)
 
         def body(k, acc):
-            s_x, s_y, s_c, s_n = acc
+            s_dx, s_dy, s0, s1, s2, s_n = acc
             dy = offs[k, 0]
             dx = offs[k, 1]
+            dxf = dx.astype(dt)
+            dyf = dy.astype(dt)
             # Data point at the static offset from the ORIGIN pixel:
-            qc = jax.lax.dynamic_slice(labh, (E + dy, E + dx, 0),
-                                       (h, w, 3))
-            qxf = xs + dx.astype(dt)
-            qyf = ys + dy.astype(dt)
-            valid = (qyf >= 0) & (qyf < h) & (qxf >= 0) & (qxf < w)
-            d_sp = (qxf - px) ** 2 + (qyf - py) ** 2
-            d_cl = jnp.sum((qc - cl) ** 2, axis=-1)
-            wgt = jnp.where(valid & (d_sp <= hs2) & (d_cl <= hr2), 1.0, 0.0
+            q0 = jax.lax.dynamic_slice(labh[0], (E + dy, E + dx), (h, w))
+            q1 = jax.lax.dynamic_slice(labh[1], (E + dy, E + dx), (h, w))
+            q2 = jax.lax.dynamic_slice(labh[2], (E + dy, E + dx), (h, w))
+            d_sp = (dxf - ex) ** 2 + (dyf - ey) ** 2
+            d_cl = (q0 - c0) ** 2 + (q1 - c1) ** 2 + (q2 - c2) ** 2
+            wgt = jnp.where((d_sp <= hs2) & (d_cl <= hr2), 1.0, 0.0
                             ).astype(dt)
-            return (s_x + wgt * qxf, s_y + wgt * qyf,
-                    s_c + wgt[..., None] * qc, s_n + wgt)
+            # dx/dy are scalars: accumulating wgt*d instead of
+            # wgt*(origin+d) drops the per-offset coordinate builds.
+            return (s_dx + wgt * dxf, s_dy + wgt * dyf,
+                    s0 + wgt * q0, s1 + wgt * q1, s2 + wgt * q2,
+                    s_n + wgt)
 
         z = jnp.zeros((h, w), dt)
         # unroll: XLA fuses 8 offsets' slices + tests into one kernel per
-        # carry round-trip — the loop is HBM-bound on the 6-field carry
-        # (~28 MB/offset), so fusing 8 offsets cuts the traffic ~5x.
-        s_x, s_y, s_c, s_n = jax.lax.fori_loop(
-            0, offs.shape[0], body,
-            (z, z, jnp.zeros((h, w, 3), dt), z), unroll=8)
+        # carry round-trip — fusing 8 offsets cuts the carry's HBM
+        # traffic ~5x; beyond that the sweep is VPU-compute-bound.
+        s_dx, s_dy, s0, s1, s2, s_n = jax.lax.fori_loop(
+            0, offs.shape[0], body, (z, z, z, z, z, z), unroll=8)
         n = jnp.maximum(s_n, 1.0)
-        return s_x / n, s_y / n, s_c / n[..., None]
+        # Mean position = origin + mean offset: the drift carries the
+        # small quantity directly (no large-coordinate cancellation).
+        # The all-points-excluded edge case keeps the legacy semantics
+        # (position resets to 0, i.e. drift -xs).
+        got = s_n > 0
+        return (jnp.where(got, s_dx / n, -xs),
+                jnp.where(got, s_dy / n, -ys),
+                s0 / n, s1 / n, s2 / n)
 
-    state = (xs, ys, lab)
+    state = (jnp.zeros((h, w), dt), jnp.zeros((h, w), dt), *c_orig)
     max_drift = jnp.asarray(0.0, dt)
-    for _ in range(iters):
+    for it in range(iters):
         if with_drift:
-            px, py, _ = state
-            d2 = (px - xs) ** 2 + (py - ys) ** 2
-            max_drift = jnp.maximum(max_drift, jnp.sqrt(jnp.max(d2)))
-        state = step(state)
-    px, py, cl = state
-    pos = jnp.stack([px, py], axis=-1)
+            ex, ey = state[0], state[1]
+            max_drift = jnp.maximum(max_drift,
+                                    jnp.sqrt(jnp.max(ex * ex + ey * ey)))
+        # Drift after k steps is <= k*R (each mean lies within R of its
+        # query), so iteration k only needs an R + min(k*R, M) window —
+        # the skipped offsets all had weight 0 (exactly: at k=0 the
+        # query IS the origin). Zero-weight terms add exact 0.0s, so the
+        # shrunk window is bitwise-identical to the full one.
+        E_k = R + min(it * R, M)
+        state = step(state, E_k)
+    ex, ey, c0, c1, c2 = state
+    pos = jnp.stack([xs + ex, ys + ey], axis=-1)
+    cl = jnp.stack([c0, c1, c2], axis=-1)
     if with_drift:
         return pos, cl, max_drift
     return pos, cl
@@ -428,52 +461,73 @@ def _ms_sharded_fn(mesh, h: int, w: int, kernel_spatial: int,
     hr2 = float(kernel_intensity) ** 2
     spec = P("ty", "tx", None)
 
+    R = int(kernel_spatial)
+
     def tile_body(lab_t):
         dt = lab_t.dtype
         row0 = (_lax.axis_index("ty") * th).astype(dt)
         col0 = (_lax.axis_index("tx") * tw).astype(dt)
-        labh = jnp.stack([halo_pad_2d(lab_t[..., c], E) for c in range(3)],
-                         axis=-1)
+        # Same sentinel as the single-device filter: a GLOBAL max over
+        # the tiles (max is exactly order-insensitive, so the psum-free
+        # pmax matches jnp.max bitwise).
+        sentinel = _lax.pmax(
+            _lax.pmax(jnp.max(jnp.abs(lab_t)), "ty"), "tx") + jnp.asarray(
+                float(kernel_intensity) + 1.0, dt)
+        # Halo-exchanged per-channel planes; ppermute fills non-existent
+        # neighbors with zeros, so overwrite everything outside the
+        # global frame with the sentinel.
+        gys = (row0 - E) + jnp.arange(th + 2 * E, dtype=dt)[:, None]
+        gxs = (col0 - E) + jnp.arange(tw + 2 * E, dtype=dt)[None, :]
+        outside = (gys < 0) | (gys >= h) | (gxs < 0) | (gxs >= w)
+        labh = [jnp.where(outside, sentinel, halo_pad_2d(lab_t[..., c], E))
+                for c in range(3)]
         xs = col0 + jnp.arange(tw, dtype=dt)[None, :] * jnp.ones((th, 1), dt)
         ys = row0 + jnp.arange(th, dtype=dt)[:, None] * jnp.ones((1, tw), dt)
-        offs = jnp.stack(
-            jnp.meshgrid(jnp.arange(-E, E + 1), jnp.arange(-E, E + 1),
-                         indexing="ij"), -1).reshape(-1, 2)
 
-        def step(state):
-            px, py, cl = state
+        def step(state, E_k: int):
+            ex, ey, c0, c1, c2 = state
+            offs = jnp.asarray(np.stack(
+                np.meshgrid(np.arange(-E_k, E_k + 1),
+                            np.arange(-E_k, E_k + 1),
+                            indexing="ij"), -1).reshape(-1, 2), jnp.int32)
 
             def body(k, acc):
-                s_x, s_y, s_c, s_n = acc
+                s_dx, s_dy, s0, s1, s2, s_n = acc
                 dy = offs[k, 0]
                 dx = offs[k, 1]
+                dxf = dx.astype(dt)
+                dyf = dy.astype(dt)
                 # Data point at the static offset from the origin pixel:
                 # a dynamic window of the halo'd tile (== the roll of the
                 # global frame restricted to this tile).
-                qc = _lax.dynamic_slice(
-                    labh, (E + dy, E + dx, 0), (th, tw, 3))
-                qxf = xs + dx.astype(dt)
-                qyf = ys + dy.astype(dt)
-                valid = (qyf >= 0) & (qyf < h) & (qxf >= 0) & (qxf < w)
-                d_sp = (qxf - px) ** 2 + (qyf - py) ** 2
-                d_cl = jnp.sum((qc - cl) ** 2, axis=-1)
-                wgt = jnp.where(valid & (d_sp <= hs2) & (d_cl <= hr2),
-                                1.0, 0.0).astype(dt)
-                return (s_x + wgt * qxf, s_y + wgt * qyf,
-                        s_c + wgt[..., None] * qc, s_n + wgt)
+                q0 = _lax.dynamic_slice(labh[0], (E + dy, E + dx), (th, tw))
+                q1 = _lax.dynamic_slice(labh[1], (E + dy, E + dx), (th, tw))
+                q2 = _lax.dynamic_slice(labh[2], (E + dy, E + dx), (th, tw))
+                d_sp = (dxf - ex) ** 2 + (dyf - ey) ** 2
+                d_cl = (q0 - c0) ** 2 + (q1 - c1) ** 2 + (q2 - c2) ** 2
+                wgt = jnp.where((d_sp <= hs2) & (d_cl <= hr2), 1.0, 0.0
+                                ).astype(dt)
+                return (s_dx + wgt * dxf, s_dy + wgt * dyf,
+                        s0 + wgt * q0, s1 + wgt * q1, s2 + wgt * q2,
+                        s_n + wgt)
 
             z = jnp.zeros((th, tw), dt)
-            s_x, s_y, s_c, s_n = _lax.fori_loop(
-                0, offs.shape[0], body,
-                (z, z, jnp.zeros((th, tw, 3), dt), z), unroll=8)
+            s_dx, s_dy, s0, s1, s2, s_n = _lax.fori_loop(
+                0, offs.shape[0], body, (z, z, z, z, z, z), unroll=8)
             n = jnp.maximum(s_n, 1.0)
-            return s_x / n, s_y / n, s_c / n[..., None]
+            got = s_n > 0
+            return (jnp.where(got, s_dx / n, -xs),
+                    jnp.where(got, s_dy / n, -ys),
+                    s0 / n, s1 / n, s2 / n)
 
-        state = (xs, ys, lab_t)
-        for _ in range(iters):
-            state = step(state)
-        px, py, cl = state
-        return jnp.stack([px, py], axis=-1), cl
+        z = jnp.zeros((th, tw), dt)
+        state = (z, z, lab_t[..., 0], lab_t[..., 1], lab_t[..., 2])
+        M = E - R
+        for it in range(iters):
+            state = step(state, R + min(it * R, M))
+        ex, ey, c0, c1, c2 = state
+        return (jnp.stack([xs + ex, ys + ey], axis=-1),
+                jnp.stack([c0, c1, c2], axis=-1))
 
     return _jax.jit(shard_map(tile_body, mesh, in_specs=spec,
                               out_specs=(spec, spec)))
