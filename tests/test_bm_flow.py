@@ -268,6 +268,35 @@ class TestBlockMatching:
                                    res["gather"].region_cost,
                                    rtol=1e-10, atol=1e-12)
 
+    def test_fused_bidirectional_matches_single_direction(self):
+        """The fused two-direction search program (shared cur-side
+        fields/masks) is bitwise the two single-direction programs."""
+        import jax.numpy as jnp
+
+        from tpuflow.blockmatching.matcher import (
+            _match_device,
+            _match_device_bidirectional,
+        )
+
+        rng = np.random.default_rng(9)
+        h, w = 37, 53
+        cur = rng.uniform(0, 100, (h, w, 3)).astype(np.float32)
+        refp = (np.roll(cur, (2, -3), (0, 1))
+                + rng.normal(0, 0.5, (h, w, 3))).astype(np.float32)
+        refn = (np.roll(cur, (-1, 2), (0, 1))
+                + rng.normal(0, 0.5, (h, w, 3))).astype(np.float32)
+        labels = rng.integers(0, 9, (h, w)).astype(np.int32)
+        fused = _match_device_bidirectional(
+            jnp.asarray(cur), jnp.asarray(refp), jnp.asarray(refn),
+            labels, 9, 15, 1.0, 0.5, 2, 16)
+        for (uv_f, c_f), ref in zip(fused, (refp, refn)):
+            uv_s, c_s = _match_device(jnp.asarray(cur), jnp.asarray(ref),
+                                      labels, 9, 15, 1.0, 0.5, 2, 16)
+            np.testing.assert_array_equal(np.asarray(uv_f),
+                                          np.asarray(uv_s))
+            np.testing.assert_array_equal(np.asarray(c_f),
+                                          np.asarray(c_s))
+
     def test_matmul_bf16_evaluator_agrees(self):
         """The bf16-input MXU evaluator finds the same winners as the
         f32 one on data with clear minima, and its costs are within the

@@ -327,6 +327,112 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
     return coeff_mad * mad - coeff_zncc * zncc
 
 
+def _integer_costs_matmul_bidi(cur_lab, refp_lab, refn_lab, labels,
+                               n_regions: int, cand, coeff_mad: float,
+                               coeff_zncc: float, chunk: int, radius: int,
+                               mxu_dtype=None):
+    """Both time directions of :func:`_integer_costs_matmul` in ONE
+    evaluator. The bidirectional flagship match evaluates prev and next
+    against the SAME current frame, labels and validity mask, so the
+    cur-side moment fields (m, m*a, m*a*a) and the per-candidate mask
+    are built once and shared — 11 field channels replace 2x7, cutting
+    the field build (the evaluator's measured bound at KITTI-res region
+    counts) and halving the slices, one-hot builds and matmul launches.
+
+    Per-channel sums are the same dot products in the same order as the
+    single-direction evaluator, so each direction's costs are
+    bitwise-equal to a :func:`_integer_costs_matmul` call
+    (tests/test_bm_flow.py pins this). Returns (costs_prev, costs_next),
+    each (n_cand_padded, n_regions)."""
+    dt = cur_lab.dtype
+    CH = chunk
+    R = radius
+    STRIP = 8
+    h, w = cur_lab.shape[:2]
+    n_ch_col = cur_lab.shape[-1]
+    hp = _host_cdiv(h, STRIP) * STRIP
+    n_s = hp // STRIP
+    P = STRIP * w
+    cur_p = jnp.pad(cur_lab, ((0, hp - h), (0, 0), (0, 0)))
+    inside = jnp.pad(jnp.ones((h, w), dt), ((0, hp - h), (0, 0)))
+    lab_p = jnp.pad(labels, ((0, hp - h), (0, 0)))
+    refp_pad = jnp.pad(refp_lab, ((R, R + hp - h), (R, R), (0, 0)))
+    refn_pad = jnp.pad(refn_lab, ((R, R + hp - h), (R, R), (0, 0)))
+    chunks = cand.reshape(-1, CH, 2)
+    n_chunks = chunks.shape[0]
+    ys_l = jnp.arange(STRIP, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    reg_ids = jnp.arange(n_regions, dtype=jnp.int32)[None, :]
+
+    def per_strip(acc, s):
+        y0 = s * STRIP
+        lab_s = jax.lax.dynamic_slice(lab_p, (y0, 0), (STRIP, w))
+        L = (lab_s.reshape(P)[:, None] == reg_ids).astype(dt)
+        cur_s = jax.lax.dynamic_slice(
+            cur_p, (y0, 0, 0), (STRIP, w, n_ch_col)).reshape(P, n_ch_col)
+        ins_s = jax.lax.dynamic_slice(inside, (y0, 0), (STRIP, w))
+        block_p = jax.lax.dynamic_slice(
+            refp_pad, (y0, 0, 0), (STRIP + 2 * R, w + 2 * R, n_ch_col))
+        block_n = jax.lax.dynamic_slice(
+            refn_pad, (y0, 0, 0), (STRIP + 2 * R, w + 2 * R, n_ch_col))
+
+        def fields_for(d):
+            dy, dx = d[0], d[1]
+            sub_p = jax.lax.dynamic_slice(
+                block_p, (R + dy, R + dx, 0),
+                (STRIP, w, n_ch_col)).reshape(P, n_ch_col)
+            sub_n = jax.lax.dynamic_slice(
+                block_n, (R + dy, R + dx, 0),
+                (STRIP, w, n_ch_col)).reshape(P, n_ch_col)
+            valid = ((y0 + ys_l + dy >= 0) & (y0 + ys_l + dy < h)
+                     & (xs + dx >= 0) & (xs + dx < w))
+            # The exact _moment_fields expressions, with the cur-side
+            # products hoisted out of the two directions.
+            m = (valid.astype(dt) * ins_s).reshape(P)
+            a = cur_s[..., 0]
+            ma = m * a
+            l1_p = jnp.sum(jnp.abs(cur_s - sub_p), axis=-1) / 3.0
+            l1_n = jnp.sum(jnp.abs(cur_s - sub_n), axis=-1) / 3.0
+            bp = sub_p[..., 0]
+            bn = sub_n[..., 0]
+            mbp = m * bp
+            mbn = m * bn
+            return jnp.stack(
+                [m, ma, ma * a,
+                 m * l1_p, mbp, mbp * bp, ma * bp,
+                 m * l1_n, mbn, mbn * bn, ma * bn], axis=-1)  # (P, 11)
+
+        def per_chunk(d_chunk):
+            F = jax.vmap(fields_for)(d_chunk)            # (CH, P, 11)
+            if mxu_dtype is None or jax.default_backend() != "cpu":
+                lhs = L if mxu_dtype is None else L.astype(mxu_dtype)
+                rhs = F if mxu_dtype is None else F.astype(mxu_dtype)
+                out = jax.lax.dot_general(
+                    lhs, rhs, (((0,), (1,)), ((), ())),
+                    preferred_element_type=dt)           # (n_regions, CH, 11)
+                return out.reshape(n_regions, CH * 11)
+            F2 = jnp.transpose(F, (1, 0, 2)).reshape(P, CH * 11)
+            return jax.lax.dot_general(
+                L.astype(mxu_dtype), F2.astype(mxu_dtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=dt)               # (n_regions, CH*11)
+
+        return acc + jax.lax.map(per_chunk, chunks), None
+
+    acc0 = jnp.zeros((n_chunks, n_regions, CH * 11), dt)
+    acc, _ = jax.lax.scan(per_strip, acc0, jnp.arange(n_s))
+    sums = jnp.transpose(
+        acc.reshape(n_chunks, n_regions, CH, 11),
+        (0, 2, 1, 3)).reshape(-1, n_regions, 11)
+    # Re-order into the single-direction [n, mad, a, b, aa, bb, ab]
+    # layout per direction.
+    out = []
+    for sel in ((0, 3, 1, 4, 2, 5, 6), (0, 7, 1, 8, 2, 9, 10)):
+        mad, zncc, _ = _cost_from_sums(sums[..., jnp.asarray(sel)], dt)
+        out.append(coeff_mad * mad - coeff_zncc * zncc)
+    return tuple(out)
+
+
 def _host_cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -447,6 +553,74 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     return uv, best_cost
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_regions", "search_range", "subpixel_scale",
+                     "coeff_mad", "coeff_zncc", "chunk", "method"))
+def _match_two_directions(cur_lab, refp_lab, refn_lab, labels, perm,
+                          bounds, n_regions: int, search_range: int,
+                          subpixel_scale: int, coeff_mad: float,
+                          coeff_zncc: float, chunk: int = 64,
+                          method: str = "matmul"):
+    """Fused bidirectional :func:`_match_one_direction` (matmul methods
+    only): one program evaluates both reference frames through
+    :func:`_integer_costs_matmul_bidi`, then runs each direction's
+    argmin + subpixel refinement. Each direction's output is
+    bitwise-equal to its single-direction program."""
+    dt = cur_lab.dtype
+    cand_np = search_candidates(search_range)
+    n_cand = cand_np.shape[0]
+    chunk = max(chunk, 64)
+    pad = (-n_cand) % chunk
+    cand = jnp.asarray(
+        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
+    costs_pair = _integer_costs_matmul_bidi(
+        cur_lab, refp_lab, refn_lab, labels, n_regions, cand, coeff_mad,
+        coeff_zncc, chunk, search_range // 2, mxu_dtype)
+    out = []
+    for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)):
+        costs = costs[:n_cand]
+        best = jnp.argmin(costs, axis=0)
+        best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
+        best_d = cand[:n_cand][best].astype(dt)
+        if subpixel_scale > 1:
+            best_d, best_cost = _subpixel_refine(
+                cur_lab, ref_lab, labels, perm, bounds, n_regions,
+                best_d, best_cost, subpixel_scale, coeff_mad, coeff_zncc)
+        uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
+        out.append((uv, best_cost))
+    return tuple(out)
+
+
+def _match_device_bidirectional(cur_lab, refp_lab, refn_lab, labels,
+                                n_regions: int, search_range, coeff_mad,
+                                coeff_zncc, subpixel_scale, chunk,
+                                method: str = "matmul"):
+    """Dispatch BOTH directions' searches as one device program
+    (matmul methods; the gather evaluator falls back to two
+    :func:`_match_device` programs). Returns ((uv_p, cost_p),
+    (uv_n, cost_n)) padded to the bucketed region count — no host
+    sync."""
+    validate_method(method)
+    if not method.startswith("matmul"):
+        return (_match_device(cur_lab, refp_lab, labels, n_regions,
+                              search_range, coeff_mad, coeff_zncc,
+                              subpixel_scale, chunk, method),
+                _match_device(cur_lab, refn_lab, labels, n_regions,
+                              search_range, coeff_mad, coeff_zncc,
+                              subpixel_scale, chunk, method))
+    perm, bounds = region_reduction_plan(np.asarray(labels),
+                                         int(n_regions))
+    n_pad = region_bucket(int(n_regions))
+    bounds = pad_region_bounds(bounds, n_pad)
+    return _match_two_directions(
+        jnp.asarray(cur_lab), jnp.asarray(refp_lab), jnp.asarray(refn_lab),
+        jnp.asarray(labels), jnp.asarray(perm), jnp.asarray(bounds),
+        n_pad, int(search_range), int(subpixel_scale), float(coeff_mad),
+        float(coeff_zncc), int(chunk), method)
+
+
 def _match_device(cur_lab, ref_lab, labels, n_regions: int, search_range,
                   coeff_mad, coeff_zncc, subpixel_scale, chunk,
                   method: str = "matmul"):
@@ -514,16 +688,13 @@ def block_matching_bidirectional(
     t (H, W) in {-1, +1}) with t = -1 where the prev match wins
     (BlockMatching::get's Vector_ST time direction).
 
-    Both directions are dispatched before any host fetch, so the two
-    searches queue back-to-back on device and the tunnel round trip is
-    paid once (per-sync latency dominates small fetches on the axon
-    link)."""
-    d_prev = _match_device(cur_lab, prev_lab, labels, n_regions,
-                           search_range, coeff_mad, coeff_zncc,
-                           subpixel_scale, chunk, method)
-    d_next = _match_device(cur_lab, next_lab, labels, n_regions,
-                           search_range, coeff_mad, coeff_zncc,
-                           subpixel_scale, chunk, method)
+    Both directions run as ONE device program for the matmul methods
+    (:func:`_match_device_bidirectional` shares the cur-side moment
+    fields and validity masks between the directions) and the host fetch
+    pays the tunnel round trip once."""
+    d_prev, d_next = _match_device_bidirectional(
+        cur_lab, prev_lab, next_lab, labels, n_regions, search_range,
+        coeff_mad, coeff_zncc, subpixel_scale, chunk, method)
     (uv_p, c_p), (uv_n, c_n) = jax.device_get((d_prev, d_next))
     lab_np = np.asarray(labels)
     r_prev = _result_from_host(uv_p, c_p, lab_np, int(n_regions))

@@ -107,6 +107,15 @@ def _irls_sweeps_gated(u, v, gxa, gya, ita, laba, nb_masks, sup_x, sup_y,
     hh, hw = u.shape
     sd = sigma_d
     ss = sigma_s
+    # Sweep-invariant label gates at full halo resolution, sliced per
+    # sweep (the compare against the shifted labels was recomputed every
+    # sweep; identical values, computed once).
+    gate_full = {}
+    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        ln_f = laba[1 + dy : hh - 1 + dy, 1 + dx : hw - 1 + dx]
+        lab_c = laba[1 : hh - 1, 1 : hw - 1]
+        inb_f = nb_masks[(dx, dy)][1 : hh - 1, 1 : hw - 1]
+        gate_full[(dx, dy)] = inb_f * (ln_f == lab_c).astype(u.dtype)
     for t in range(fuse):
         s_h = hh - 2 * t
         s_w = hw - 2 * t
@@ -117,19 +126,19 @@ def _irls_sweeps_gated(u, v, gxa, gya, ita, laba, nb_masks, sup_x, sup_y,
         gxc = gxa[o : o + s_h - 2, o : o + s_w - 2]
         gyc = gya[o : o + s_h - 2, o : o + s_w - 2]
         itc = ita[o : o + s_h - 2, o : o + s_w - 2]
-        labc = laba[o : o + s_h - 2, o : o + s_w - 2]
 
         psi_d = _psi_gm(gxc * uc + gyc * vc + itc, sd)
-        norm_c = jnp.sqrt(uc * uc + vc * vc)
+        # Neighbor norms are SLICES of one norm field over the current
+        # halo'd u/v (bitwise: sqrt commutes with the shift).
+        norm_f = jnp.sqrt(u * u + v * v)
+        norm_c = norm_f[ctr]
         nx = jnp.zeros_like(uc)
         ny = jnp.zeros_like(vc)
         for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
             un = u[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
             vn = v[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
-            ln = laba[o + dy : o + dy + s_h - 2, o + dx : o + dx + s_w - 2]
-            inb = nb_masks[(dx, dy)][o : o + s_h - 2, o : o + s_w - 2]
-            gate = inb * (ln == labc).astype(uc.dtype)
-            nn = jnp.sqrt(un * un + vn * vn)
+            gate = gate_full[(dx, dy)][t : t + s_h - 2, t : t + s_w - 2]
+            nn = norm_f[1 + dy : s_h - 1 + dy, 1 + dx : s_w - 1 + dx]
             prod = norm_c * nn
             cosang = jnp.where(prod > 0,
                                (uc * un + vc * vn)

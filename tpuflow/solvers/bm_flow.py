@@ -137,7 +137,33 @@ def _shift_field(f: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
     return jnp.roll(f, shift=(-dy, -dx), axis=(-2, -1))
 
 
-def _neighbor_terms(u, v, labels, sigma_s):
+_NEIGHBOR_OFFSETS = ((-1, 0), (1, 0), (0, -1), (0, 1))
+
+
+def _region_gates(labels, dt):
+    """Iteration-invariant neighbor gates — in-bounds AND same-region,
+    one (H, W) float mask per neighbor offset. The IRLS while-loops
+    precompute these ONCE: recomputing the shifted labels + bounds masks
+    inside every Jacobi sweep was pure loop-invariant work XLA does not
+    hoist out of while bodies."""
+    h, w = labels.shape[-2:]
+    gates = []
+    for dx, dy in _NEIGHBOR_OFFSETS:
+        ln = _shift_field(labels, dx, dy)
+        inb = jnp.ones((h, w), bool)
+        if dx == 1:
+            inb = inb.at[:, w - 1].set(False)
+        elif dx == -1:
+            inb = inb.at[:, 0].set(False)
+        if dy == 1:
+            inb = inb.at[h - 1, :].set(False)
+        elif dy == -1:
+            inb = inb.at[0, :].set(False)
+        gates.append((inb & (ln == labels)).astype(dt))
+    return gates
+
+
+def _neighbor_terms(u, v, labels, sigma_s, gates=None):
     """Region-gated, direction-coherence-weighted neighbor sums
     (Error_u_Block, OpticalFlow_BlockMatching.cpp:465-514).
 
@@ -147,61 +173,44 @@ def _neighbor_terms(u, v, labels, sigma_s):
 
     ``u``/``v`` may carry leading batch axes (the bidirectional refine
     batches both time directions into one program); ``labels`` stays 2-D
-    and broadcasts.
+    and broadcasts. ``gates`` takes the precomputed
+    :func:`_region_gates`. The neighbor norm is the ROLLED center norm
+    (bitwise-identical to recomputing sqrt on the rolled fields — same
+    values, shifted), saving 4 sqrt per sweep.
     """
-    h, w = u.shape[-2:]
     dt = u.dtype
+    if gates is None:
+        gates = _region_gates(labels, dt)
     norm_c = jnp.sqrt(u * u + v * v)
     nx = jnp.zeros_like(u)
     ny = jnp.zeros_like(v)
-    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+    for (dx, dy), gate in zip(_NEIGHBOR_OFFSETS, gates):
         un = _shift_field(u, dx, dy)
         vn = _shift_field(v, dx, dy)
-        ln = _shift_field(labels, dx, dy)
-        inb = jnp.ones((h, w), bool)
-        if dx == 1:
-            inb = inb.at[:, w - 1].set(False)
-        elif dx == -1:
-            inb = inb.at[:, 0].set(False)
-        if dy == 1:
-            inb = inb.at[h - 1, :].set(False)
-        elif dy == -1:
-            inb = inb.at[0, :].set(False)
-        gate = inb & (ln == labels)
-        nn = jnp.sqrt(un * un + vn * vn)
+        nn = _shift_field(norm_c, dx, dy)
         prod = norm_c * nn
         cosang = jnp.where(prod > 0, (u * un + v * vn) / jnp.maximum(prod, 1e-30), 1.0)
         coeff = 0.5 * (1.0 + cosang)
-        m = gate.astype(dt) * coeff
+        m = gate * coeff
         nx = nx + m * geman_mcclure_psi(u - un, sigma_s)
         ny = ny + m * geman_mcclure_psi(v - vn, sigma_s)
     return nx, ny
 
 
-def _neighbor_energy(u, v, labels, sigma_s):
-    h, w = u.shape[-2:]
+def _neighbor_energy(u, v, labels, sigma_s, gates=None):
     dt = u.dtype
+    if gates is None:
+        gates = _region_gates(labels, dt)
     norm_c = jnp.sqrt(u * u + v * v)
     E = jnp.zeros_like(u)
-    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+    for (dx, dy), gate in zip(_NEIGHBOR_OFFSETS, gates):
         un = _shift_field(u, dx, dy)
         vn = _shift_field(v, dx, dy)
-        ln = _shift_field(labels, dx, dy)
-        inb = jnp.ones((h, w), bool)
-        if dx == 1:
-            inb = inb.at[:, w - 1].set(False)
-        elif dx == -1:
-            inb = inb.at[:, 0].set(False)
-        if dy == 1:
-            inb = inb.at[h - 1, :].set(False)
-        elif dy == -1:
-            inb = inb.at[0, :].set(False)
-        gate = inb & (ln == labels)
-        nn = jnp.sqrt(un * un + vn * vn)
+        nn = _shift_field(norm_c, dx, dy)
         prod = norm_c * nn
         cosang = jnp.where(prod > 0, (u * un + v * vn) / jnp.maximum(prod, 1e-30), 1.0)
         coeff = 0.5 * (1.0 + cosang)
-        m = gate.astype(dt) * coeff
+        m = gate * coeff
         E = E + m * (geman_mcclure_rho(u - un, sigma_s)
                      + geman_mcclure_rho(v - vn, sigma_s))
     return E
@@ -224,11 +233,13 @@ def irls_gradient_method(
     sup_x = lambda_d * jnp.max(gx * gx) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
     sup_y = lambda_d * jnp.max(gy * gy) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
     n_checks = max(-(-iter_max // 64), 1)
+    gates = _region_gates(labels, gx.dtype)
 
     def energy(u, v):
         center = geman_mcclure_rho(gx * u + gy * v + it, sigma_d)
         return jnp.sum(lambda_d * center
-                       + lambda_s * _neighbor_energy(u, v, labels, sigma_s))
+                       + lambda_s * _neighbor_energy(u, v, labels, sigma_s,
+                                                     gates))
 
     def cond(carry):
         u, v, E, Eprev, inc, n, stop, trace = carry
@@ -237,7 +248,7 @@ def irls_gradient_method(
     def body(carry):
         u, v, E, Eprev, inc, n, _, trace = carry
         psi_d = geman_mcclure_psi(gx * u + gy * v + it, sigma_d)
-        nx, ny = _neighbor_terms(u, v, labels, sigma_s)
+        nx, ny = _neighbor_terms(u, v, labels, sigma_s, gates)
         u = u - (lambda_d * gx * psi_d + lambda_s * nx) / sup_x
         v = v - (lambda_d * gy * psi_d + lambda_s * ny) / sup_y
 
@@ -293,11 +304,13 @@ def irls_gradient_method_batched(
     sup_y = lambda_d * jnp.max(gy * gy) / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
     n_checks = max(-(-iter_max // 64), 1)
     batch = its.shape[0]
+    gates = _region_gates(labels, gx.dtype)
 
     def energy(u, v):
         center = geman_mcclure_rho(gx * u + gy * v + its, sigma_d)
         return jnp.sum(lambda_d * center
-                       + lambda_s * _neighbor_energy(u, v, labels, sigma_s),
+                       + lambda_s * _neighbor_energy(u, v, labels, sigma_s,
+                                                     gates),
                        axis=(-2, -1))
 
     def cond(carry):
@@ -307,7 +320,7 @@ def irls_gradient_method_batched(
     def body(carry):
         u, v, E, Eprev, inc, n, stop, trace = carry
         psi_d = geman_mcclure_psi(gx * u + gy * v + its, sigma_d)
-        nx, ny = _neighbor_terms(u, v, labels, sigma_s)
+        nx, ny = _neighbor_terms(u, v, labels, sigma_s, gates)
         active = jnp.logical_not(stop)[:, None, None]
         u = jnp.where(active,
                       u - (lambda_d * gx * psi_d + lambda_s * nx) / sup_x, u)
@@ -379,10 +392,13 @@ def irls_gradient_method_fast(
             float(lambda_d), float(lambda_s), float(sigma_d),
             float(sigma_s), tile_h, tile_w, fuse, interpret)
 
+    gates = _region_gates(labels, gx.dtype)
+
     def energy(u, v):
         center = geman_mcclure_rho(gx * u + gy * v + it, sigma_d)
         return jnp.sum(lambda_d * center
-                       + lambda_s * _neighbor_energy(u, v, labels, sigma_s))
+                       + lambda_s * _neighbor_energy(u, v, labels, sigma_s,
+                                                     gates))
 
     def cond(carry):
         u, v, E, inc, b, stop, trace = carry
@@ -822,8 +838,22 @@ def optical_flow_block_matching(
         seg = state.segmentations[0]
         ref_prev = state.lab_frames[1]
         ref_next = itp1_lab
-        bm_dev = [match_dev(interest_lab, ref_prev, seg),
-                  match_dev(interest_lab, ref_next, seg)]
+        if mesh is None and bm_method.startswith("matmul"):
+            # Both directions in ONE search program: the cur-side moment
+            # fields and validity masks are shared (matcher.py
+            # _integer_costs_matmul_bidi) — bitwise equal to the two
+            # single-direction programs.
+            from tpuflow.blockmatching.matcher import (
+                _match_device_bidirectional,
+            )
+
+            bm_dev = list(_match_device_bidirectional(
+                interest_lab, ref_prev, ref_next, seg.labels,
+                seg.n_regions, search_range, 1.0, 0.5, subpixel_scale,
+                16, bm_method))
+        else:
+            bm_dev = [match_dev(interest_lab, ref_prev, seg),
+                      match_dev(interest_lab, ref_next, seg)]
     else:
         # First pair: the interest frame IS the new frame, so its
         # segmentation gates the match — finalize before dispatching
