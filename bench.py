@@ -8,6 +8,8 @@ Workloads (reference budget citations in each runner):
 - dense 1080p Horn-Schunck, 100 iters, 5x5 (HornSchunckOF/main.cpp:94-96)
 - dense Farneback, streaming config (0.4,1,48,2,8,1.2) at 1080p
   (VideoDenseOF/DenseFlow.cpp:37)
+- dense Farneback, pair-demo config (0.5,1,64,2,8,1.6) at KITTI res
+  (FarnebackOF/FarnebackOF.cpp:24)
 - Black-Anandan fused coarse-to-fine at KITTI res (1242x375)
   (OpticalFlow/OpticalFlow.cpp:131 budget, capped per level)
 - flagship segmentation-BM driver steady state at KITTI res, full
@@ -167,18 +169,13 @@ def bench_horn_schunck(on_tpu):
     return 1.0 / dt, vs
 
 
-def bench_farneback():
-    """Streaming Farneback (DenseFlow.cpp:37 config) at 1080p."""
+def _bench_farneback_cfg(prev, nxt, cfg, b=5):
+    """Device rate of one Farneback config + the OpenCV-CPU baseline."""
     import jax.numpy as jnp
 
     from tpuflow.solvers import calc_optical_flow_farneback
 
-    prev, nxt = _frames_1080p()
-    p = jnp.asarray(prev, jnp.float32)
-    n = jnp.asarray(nxt, jnp.float32)
-    cfg = dict(pyr_scale=0.4, levels=1, winsize=48, iterations=2,
-               poly_n=8, poly_sigma=1.2, flags=0)
-    pairs = jnp.asarray(_stack_pairs(prev, nxt, b=5), jnp.float32)
+    pairs = jnp.asarray(_stack_pairs(prev, nxt, b=b), jnp.float32)
     dt = timed_scan(
         lambda a, b: calc_optical_flow_farneback(a, b, None, **cfg), pairs)
     vs = None
@@ -195,6 +192,23 @@ def bench_farneback():
     except Exception:
         pass
     return 1.0 / dt, vs
+
+
+def bench_farneback():
+    """Streaming Farneback (DenseFlow.cpp:37 config) at 1080p."""
+    prev, nxt = _frames_1080p()
+    cfg = dict(pyr_scale=0.4, levels=1, winsize=48, iterations=2,
+               poly_n=8, poly_sigma=1.2, flags=0)
+    return _bench_farneback_cfg(prev, nxt, cfg)
+
+
+def bench_farneback_demo():
+    """Pair-demo Farneback (FarnebackOF.cpp:24 config: 0.5, 1, 64, 2,
+    8, 1.6) at the demo's own corpus resolution (KITTI 1242x375)."""
+    prev, nxt = _frames_kitti()
+    cfg = dict(pyr_scale=0.5, levels=1, winsize=64, iterations=2,
+               poly_n=8, poly_sigma=1.6, flags=0)
+    return _bench_farneback_cfg(prev, nxt, cfg, b=5)
 
 
 def bench_black_anandan(on_tpu):
@@ -332,6 +346,9 @@ def main() -> None:
     guard("farneback_stream_1080p_fps",
           "frames/s/chip (Farneback 0.4/1/48/2/8/1.2, f32, 1080p)",
           bench_farneback)
+    guard("farneback_demo_kitti_fps",
+          "frames/s/chip (Farneback 0.5/1/64/2/8/1.6, f32, 1242x375)",
+          bench_farneback_demo)
     guard("black_anandan_kitti_fps",
           "frames/s/chip (5-level fused IRLS pyramid, iter_max 512/level, "
           "1242x375)",

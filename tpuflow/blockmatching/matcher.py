@@ -52,6 +52,17 @@ def validate_method(method: str) -> None:
             f"{METHODS}")
 
 
+#: Rows per one-hot strip in the matmul evaluators. Swept on the v5e at
+#: KITTI res (fused bidirectional 61x61 search, chunk 64): 8 -> 0.65 s,
+#: 16 -> 0.55 s, 32 -> 0.51 s, 64 -> 1.06 s (VMEM spill). Wider strips
+#: amortize the halo'd block slice (core/halo row ratio 32/60 vs 8/60)
+#: and the region one-hot build; 64 overflows the operand working set.
+#: Both evaluators MUST share this: it fixes the partial-sum grouping,
+#: which the fused-bidirectional == single-direction bitwise contract
+#: depends on.
+_STRIP = 32
+
+
 def grid_labels(h: int, w: int, block_size: int) -> np.ndarray:
     """The reference's fixed-block domain map
     (OpticalFlow_BlockMatching.cpp:103-108)."""
@@ -253,7 +264,7 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
     dt = cur_lab.dtype
     CH = chunk
     R = radius
-    STRIP = 8
+    STRIP = _STRIP
     h, w = cur_lab.shape[:2]
     n_ch_col = cur_lab.shape[-1]
     hp = _host_cdiv(h, STRIP) * STRIP
@@ -347,7 +358,7 @@ def _integer_costs_matmul_bidi(cur_lab, refp_lab, refn_lab, labels,
     dt = cur_lab.dtype
     CH = chunk
     R = radius
-    STRIP = 8
+    STRIP = _STRIP
     h, w = cur_lab.shape[:2]
     n_ch_col = cur_lab.shape[-1]
     hp = _host_cdiv(h, STRIP) * STRIP

@@ -17,16 +17,19 @@ whose modes coincide (within half a kernel) and touch form a region.
 
 TPU design: the filtering iterations are the hot part and run fully on
 device — a fixed number of mean-shift steps, each a dense sweep over a
-window of *static shifts* of the original frame (``jnp.roll`` — random
-gathers at the moving query centers cost ~25x more on TPU). The shift
-window spans kernel_spatial + margin, which makes the step EXACT for
-every query whose mode has drifted at most ``margin`` pixels from its
-origin (margin defaults to kernel_spatial; measured on the bundled KITTI
-frame a small tail of pixels drifts past ANY practical margin — their
-truncated-window modes stay in the right basin and the near-mode label
-merge absorbs the error). Labeling is irregular graph work on tiny data
-and runs host-side (NumPy/SciPy union of adjacent near-mode pixels), per
-SURVEY.md §7.3.
+window of *static shifts* of the original frame (contiguous
+dynamic_slices of a sentinel-padded copy — random gathers at the moving
+query centers cost ~25x more on TPU, and the sentinel border replaces
+the per-offset validity mask entirely). The shift window spans
+kernel_spatial + margin, which makes the step EXACT for every query
+whose mode has drifted at most ``margin`` pixels from its origin
+(margin defaults to kernel_spatial; iteration k's window shrinks to
+R + min(k*R, margin), exactly covering the reachable drift; measured on
+the bundled KITTI frame a small tail of pixels drifts past ANY
+practical margin — their truncated-window modes stay in the right basin
+and the near-mode label merge absorbs the error). Labeling is irregular
+graph work on tiny data and runs host-side (native C++ union-find, the
+NumPy/SciPy path as oracle), per SURVEY.md §7.3.
 """
 
 from __future__ import annotations
