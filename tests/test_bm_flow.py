@@ -607,6 +607,31 @@ class TestMeanShiftExactness:
         np.testing.assert_allclose(col_j, cl, atol=1e-4)
 
 
+class TestMeanShiftSentinel:
+    def test_border_exclusion_for_any_color_range(self):
+        """The color sentinel is derived from the data, so out-of-image
+        points are excluded even for unnormalized inputs (values far
+        outside [-1, 1]) — same result as a brute-force in-image
+        mean-shift step on a constant image."""
+        import jax.numpy as jnp
+
+        from tpuflow.segmentation import mean_shift_filter
+
+        h, w = 12, 16
+        lab = np.full((h, w, 3), 57.0, np.float32)  # constant, huge range
+        pos, col = mean_shift_filter(jnp.asarray(lab), 4, 2.0, iters=1)
+        pos = np.asarray(pos)
+        # Every mode is the centroid of the IN-IMAGE window around the
+        # pixel (all colors equal): corners pull inward, center stays.
+        assert np.allclose(np.asarray(col), 57.0)
+        assert pos[0, 0, 0] > 0.5 and pos[0, 0, 1] > 0.5
+        cx, cy = w // 2, h // 2
+        exp_x = np.mean([x for x in range(cx - 4, cx + 5)
+                         for y in range(cy - 4, cy + 5)
+                         if (x - cx) ** 2 + (y - cy) ** 2 <= 16])
+        assert abs(pos[cy, cx, 0] - exp_x) < 1e-4
+
+
 class TestHistoryDepth:
     def test_history_max_is_four(self):
         """History_Max = 4 (OpticalFlow_BlockMatching.cpp:16-22): the

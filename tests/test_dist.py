@@ -435,6 +435,39 @@ class TestBlockMatchingSharded:
         np.testing.assert_array_equal(r2.region_cost, r1.region_cost)
         np.testing.assert_array_equal(r2.u, r1.u)
 
+    def test_fused_bidirectional_matches_single_device(self):
+        """The fused two-direction candidate-parallel search over 8
+        devices == the fused single-device program, bitwise."""
+        import jax.numpy as jnp
+
+        from tpuflow.blockmatching.matcher import (
+            _match_device_bidirectional,
+        )
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.bm import _match_device_sharded_bidirectional
+        from tpuflow.segmentation import segment_meanshift
+
+        mesh = make_mesh(8)
+        from scipy.ndimage import gaussian_filter
+
+        base = gaussian_filter(
+            rng.uniform(0, 1, (40, 64, 3)), (2, 2, 0)).astype(np.float32)
+        cur = base[2:34, 1:49]
+        refp = base[:32, :48]
+        refn = base[4:36, 2:50]
+        seg = segment_meanshift(cur, 4, 0.12, iters=3, min_size=4)
+        single = _match_device_bidirectional(
+            jnp.asarray(cur), jnp.asarray(refp), jnp.asarray(refn),
+            seg.labels, seg.n_regions, 9, 1.0, 0.5, 2, 16)
+        sharded = _match_device_sharded_bidirectional(
+            cur, refp, refn, seg.labels, seg.n_regions, mesh,
+            9, 1.0, 0.5, 2, 16)
+        for (uv_s, c_s), (uv_d, c_d) in zip(single, sharded):
+            np.testing.assert_array_equal(np.asarray(uv_d),
+                                          np.asarray(uv_s))
+            np.testing.assert_array_equal(np.asarray(c_d),
+                                          np.asarray(c_s))
+
     def test_bf16_matches_single_device(self):
         """The candidate-parallel split is precision-independent: the
         bf16 evaluator sharded over 8 devices == bf16 on one device,

@@ -29,6 +29,7 @@ from tpuflow.blockmatching.matcher import (
     BlockMatchResult,
     _integer_costs,
     _integer_costs_matmul,
+    _integer_costs_matmul_bidi,
     _subpixel_refine,
     pad_region_bounds,
     region_bucket,
@@ -113,6 +114,101 @@ def _match_device_sharded(cur_lab, ref_lab, labels, n_regions: int,
     return _match_sharded(
         cur_lab, ref_lab, jnp.asarray(labels), jnp.asarray(perm),
         jnp.asarray(bounds), cand, mesh, n_pad_r,
+        int(search_range), int(subpixel_scale), float(coeff_mad),
+        float(coeff_zncc), int(chunk), method)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_regions", "search_range", "subpixel_scale",
+                     "coeff_mad", "coeff_zncc", "chunk", "method"))
+def _match_sharded_bidi(cur_lab, refp_lab, refn_lab, labels, perm, bounds,
+                        cand, mesh: Mesh, n_regions: int,
+                        search_range: int, subpixel_scale: int,
+                        coeff_mad: float, coeff_zncc: float, chunk: int,
+                        method: str = "matmul"):
+    """Candidate-parallel FUSED bidirectional search: each device scores
+    its slice of the displacement grid against BOTH reference frames
+    through the shared-field evaluator
+    (matcher._integer_costs_matmul_bidi), the two cost tables
+    all-gather, and each direction's argmin + subpixel refinement
+    replays replicated — bitwise the fused single-device program."""
+    n_cand = search_candidates(search_range).shape[0]
+    rep = P(None)
+
+    def body(cur_t, refp_t, refn_t, labels_t, perm_t, bounds_t, cand_t):
+        mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
+        local_p, local_n = _integer_costs_matmul_bidi(
+            cur_t, refp_t, refn_t, labels_t, n_regions, cand_t,
+            coeff_mad, coeff_zncc, chunk, search_range // 2, mxu_dtype)
+        # (D, n_local, n_regions) in device (= global candidate) order.
+        cp = lax.all_gather(local_p, ("ty", "tx")).reshape(-1, n_regions)
+        cn = lax.all_gather(local_n, ("ty", "tx")).reshape(-1, n_regions)
+        return cp[None], cn[None]
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, P(("ty", "tx"), None)),
+        out_specs=(P(("ty", "tx"), None, None),) * 2)
+    costs_pair = f(cur_lab, refp_lab, refn_lab, labels, perm, bounds, cand)
+
+    dt = cur_lab.dtype
+    cand_full = jnp.asarray(search_candidates(search_range))
+    out = []
+    for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)):
+        costs = costs[0][:n_cand]
+        best = jnp.argmin(costs, axis=0)
+        best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
+        best_d = cand_full[best].astype(dt)
+        if subpixel_scale > 1:
+            best_d, best_cost = _subpixel_refine(
+                cur_lab, ref_lab, labels, perm, bounds, n_regions,
+                best_d, best_cost, subpixel_scale, coeff_mad, coeff_zncc)
+        uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
+        out.append((uv, best_cost))
+    return tuple(out)
+
+
+def _match_device_sharded_bidirectional(cur_lab, refp_lab, refn_lab,
+                                        labels, n_regions: int,
+                                        mesh: Mesh, search_range,
+                                        coeff_mad, coeff_zncc,
+                                        subpixel_scale, chunk,
+                                        method: str = "matmul"):
+    """Dispatch BOTH directions' candidate-parallel searches as one
+    program over the mesh (matmul methods; the gather evaluator falls
+    back to two :func:`_match_device_sharded` programs). Returns
+    ((uv_p, cost_p), (uv_n, cost_n)) padded to the bucketed region
+    count — no host sync."""
+    validate_method(method)
+    if not method.startswith("matmul"):
+        return (_match_device_sharded(cur_lab, refp_lab, labels,
+                                      n_regions, mesh, search_range,
+                                      coeff_mad, coeff_zncc,
+                                      subpixel_scale, chunk, method),
+                _match_device_sharded(cur_lab, refn_lab, labels,
+                                      n_regions, mesh, search_range,
+                                      coeff_mad, coeff_zncc,
+                                      subpixel_scale, chunk, method))
+    chunk = max(chunk, 64)
+    cur_lab = jnp.asarray(cur_lab)
+    refp_lab = jnp.asarray(refp_lab)
+    refn_lab = jnp.asarray(refn_lab)
+    d = int(np.prod(mesh.devices.shape))
+    cand_np = search_candidates(search_range)
+    n_cand = cand_np.shape[0]
+    per_dev = -(-n_cand // d)
+    per_dev = -(-per_dev // chunk) * chunk
+    pad = per_dev * d - n_cand
+    cand = jnp.asarray(
+        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    perm, bounds = region_reduction_plan(np.asarray(labels),
+                                         int(n_regions))
+    n_pad_r = region_bucket(int(n_regions))
+    bounds = pad_region_bounds(bounds, n_pad_r)
+    return _match_sharded_bidi(
+        cur_lab, refp_lab, refn_lab, jnp.asarray(labels),
+        jnp.asarray(perm), jnp.asarray(bounds), cand, mesh, n_pad_r,
         int(search_range), int(subpixel_scale), float(coeff_mad),
         float(coeff_zncc), int(chunk), method)
 

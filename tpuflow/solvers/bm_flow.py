@@ -838,19 +838,30 @@ def optical_flow_block_matching(
         seg = state.segmentations[0]
         ref_prev = state.lab_frames[1]
         ref_next = itp1_lab
-        if mesh is None and bm_method.startswith("matmul"):
+        if bm_method.startswith("matmul"):
             # Both directions in ONE search program: the cur-side moment
             # fields and validity masks are shared (matcher.py
             # _integer_costs_matmul_bidi) — bitwise equal to the two
-            # single-direction programs.
-            from tpuflow.blockmatching.matcher import (
-                _match_device_bidirectional,
-            )
+            # single-direction programs. Same fusion candidate-parallel
+            # over a mesh (dist.bm).
+            if mesh is None:
+                from tpuflow.blockmatching.matcher import (
+                    _match_device_bidirectional as match_bidi,
+                )
 
-            bm_dev = list(_match_device_bidirectional(
-                interest_lab, ref_prev, ref_next, seg.labels,
-                seg.n_regions, search_range, 1.0, 0.5, subpixel_scale,
-                16, bm_method))
+                bm_dev = list(match_bidi(
+                    interest_lab, ref_prev, ref_next, seg.labels,
+                    seg.n_regions, search_range, 1.0, 0.5,
+                    subpixel_scale, 16, bm_method))
+            else:
+                from tpuflow.dist.bm import (
+                    _match_device_sharded_bidirectional,
+                )
+
+                bm_dev = list(_match_device_sharded_bidirectional(
+                    interest_lab, ref_prev, ref_next, seg.labels,
+                    seg.n_regions, mesh, search_range, 1.0, 0.5,
+                    subpixel_scale, 16, bm_method))
         else:
             bm_dev = [match_dev(interest_lab, ref_prev, seg),
                       match_dev(interest_lab, ref_next, seg)]
