@@ -15,6 +15,7 @@ Workloads (reference budget citations in each runner):
 - flagship segmentation-BM driver steady state at KITTI res, full
   reference defaults (OpticalFlow_BlockMatching.cpp:32-33)
 - 1-device weak-scaling row (tpuflow.dist.scaling harness)
+- 4K Horn-Schunck (domain-size scaling, SURVEY.md §5.7; TPU only)
 
 The LAST line is the headline HS metric (driver compatibility). Timing:
 amortize queued dispatches, end with a device-to-host fetch
@@ -279,6 +280,26 @@ def bench_bm_flagship(bm_method="matmul"):
     return best
 
 
+def bench_hs_4k():
+    """Domain-size scaling (SURVEY.md §5.7's long-context analogue):
+    the same 100-iter 5x5 Horn-Schunck on a 3840x2160 frame through the
+    tiled Pallas kernel — one chip, 4x the 1080p pixel count."""
+    import jax.numpy as jnp
+
+    from tpuflow.kernels import horn_schunck_pallas
+
+    rng = np.random.default_rng(4)
+    prev = rng.uniform(0, 255, (2160, 3840))
+    nxt = np.roll(prev, 2, axis=1) + rng.normal(0, 1, (2160, 3840))
+    pairs = jnp.asarray(_stack_pairs(prev, nxt, b=3), jnp.float32)
+    dt = timed_scan(
+        lambda a, b: horn_schunck_pallas(a, b, WINDOW, ITERS, ALPHA,
+                                         tile_h=128, tile_w=1024,
+                                         fuse=10, pipelined=True,
+                                         roll=True), pairs, windows=2)
+    return 1.0 / dt
+
+
 def bench_weak_scaling_row():
     """1-device fused-sharded-HS device rate by two-point timing.
 
@@ -361,6 +382,10 @@ def main() -> None:
     guard("weak_scaling_1dev",
           "Mpix*iter/s on 1 device (fused sharded HS, 512x1024 tile)",
           lambda: bench_weak_scaling_row()["mpix_per_s"])
+    if on_tpu:
+        guard("hs_dense_4k_fps",
+              "frames/s/chip (100-iter 5x5 Horn-Schunck, f32, 3840x2160)",
+              bench_hs_4k)
 
     # Headline metric LAST (driver parses the final JSON line).
     guard("hs_dense_1080p_fps",
