@@ -150,12 +150,30 @@ def _contiguous_range_sums(sorted_fields: jnp.ndarray,
     return s_at[1:] - s_at[:-1]
 
 
+#: MAD is reported in STANDARD CIE-Lab units (L in [0, 100]) — the
+#: missing ImgClass ``Lab`` the reference matches in is standard-scale,
+#: so coeff_MAD=1.0 / coeff_ZNCC=0.5 (OpticalFlow_BlockMatching.cpp:219)
+#: balances an O(1-20) MAD against a [-1, 1] ZNCC tiebreak. tpuflow's
+#: normalized Lab (core/color.py, /100) made MAD ~100x too small, so the
+#: cost degenerated to pure ZNCC — measured 1.4 dB of motion-compensation
+#: PSNR on the KITTI quality crop. The matcher un-normalizes internally.
+_LAB_SCALE = 100.0
+
+
 def _moment_fields(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
-                   valid: jnp.ndarray) -> jnp.ndarray:
-    """(N, 7) per-pixel moment fields for the MAD+ZNCC cost: validity,
-    masked Lab L1, and the L-channel first/second cross moments."""
-    m = valid.astype(cur.dtype)
-    lab_l1 = jnp.sum(jnp.abs(cur - ref_shifted), axis=-1) / 3.0
+                   member: jnp.ndarray) -> jnp.ndarray:
+    """(N, 7) per-pixel moment fields for the MAD+ZNCC cost.
+
+    ``member`` masks pixels that exist in the matching domain (the
+    strip-grid padding rows); out-of-FRAME reference reads are NOT
+    masked — they arrive as zeros (the reference's ``get_zeropad``
+    border convention, e.g. OpticalFlow.cpp:181-187), so a displacement
+    pushing a region outside the frame pays |cur - 0| in the MAD.
+    Masked-mean costs (the previous convention) carried a selection
+    bias toward few-valid-pixel displacements that measured 5.3 dB of
+    compensation PSNR on the KITTI quality crop."""
+    m = member.astype(cur.dtype)
+    lab_l1 = jnp.sum(jnp.abs(cur - ref_shifted), axis=-1) * (_LAB_SCALE / 3.0)
     a = cur[..., 0]
     b = ref_shifted[..., 0]
     return jnp.stack(
@@ -163,22 +181,35 @@ def _moment_fields(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
         axis=-1).reshape(-1, 7)
 
 
-def _cost_from_sums(sums: jnp.ndarray, dtype):
-    """(..., n_regions, 7) moment sums -> (mad, zncc, n)."""
-    n = sums[..., 0]
+def _cost_core(n, s_mad, s_a, s_b, s_aa, s_bb, s_ab, dtype):
+    """Moment sums (broadcastable) -> (mad, zncc, n)."""
     n_safe = jnp.maximum(n, 1.0)
-    mad = sums[..., 1] / n_safe
-    sa = sums[..., 2] / n_safe
-    sb = sums[..., 3] / n_safe
-    saa = sums[..., 4] / n_safe
-    sbb = sums[..., 5] / n_safe
-    sab = sums[..., 6] / n_safe
+    mad = s_mad / n_safe
+    sa = s_a / n_safe
+    sb = s_b / n_safe
+    saa = s_aa / n_safe
+    sbb = s_bb / n_safe
+    sab = s_ab / n_safe
     var_a = jnp.maximum(saa - sa * sa, 0.0)
     var_b = jnp.maximum(sbb - sb * sb, 0.0)
     denom = jnp.sqrt(var_a * var_b) + 1e-12
-    zncc = (sab - sa * sb) / denom
+    # Cauchy-Schwarz bounds the true ZNCC to [-1, 1]; the f32 moment
+    # form loses that on near-constant regions (saa - sa*sa cancels to
+    # rounding noise ~1e-8 over a ~1e-12 denominator), which produced
+    # |zncc| in the THOUSANDS and let flat regions out-vote the MAD
+    # term with garbage matches (measured: a 1504-px region at cost
+    # -3356 picking a search-corner displacement). Clamping restores
+    # the exact-math bound; well-conditioned regions are unaffected.
+    zncc = jnp.clip((sab - sa * sb) / denom, -1.0, 1.0)
     big = jnp.asarray(jnp.inf, dtype)
-    return jnp.where(n > 0, mad, big), zncc, n
+    return jnp.where(jnp.broadcast_to(n > 0, mad.shape), mad, big), zncc, n
+
+
+def _cost_from_sums(sums: jnp.ndarray, dtype):
+    """(..., n_regions, 7) moment sums -> (mad, zncc, n)."""
+    return _cost_core(sums[..., 0], sums[..., 1], sums[..., 2],
+                      sums[..., 3], sums[..., 4], sums[..., 5],
+                      sums[..., 6], dtype)
 
 
 def _region_costs(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
@@ -186,12 +217,14 @@ def _region_costs(cur: jnp.ndarray, ref_shifted: jnp.ndarray,
                   bounds: jnp.ndarray, n_regions: int):
     """cost_r = coeff_MAD * MAD_r - coeff_ZNCC * ZNCC_r for one candidate.
 
-    MAD over mean Lab L1 distance; ZNCC over the L channel.
-    Pixels whose match falls outside the frame are excluded. All seven
+    MAD over mean Lab L1 distance (standard Lab units); ZNCC over the L
+    channel. Out-of-frame matches compare against zeros (``valid``
+    zeroes the roll's wrapped values — get_zeropad semantics). All seven
     moment fields reduce with one permuted gather + cumsum + boundary
     differences (segment_sum's scatters are TPU-hostile).
     """
-    fields = _moment_fields(cur, ref_shifted, valid)
+    ref_zp = ref_shifted * valid.astype(cur.dtype)[..., None]
+    fields = _moment_fields(cur, ref_zp, jnp.ones(cur.shape[:2], cur.dtype))
     sorted_fields = jnp.take(fields, perm, axis=0)
     sums = _contiguous_range_sums(sorted_fields, bounds)
     return _cost_from_sums(sums, cur.dtype)
@@ -215,12 +248,15 @@ def _integer_costs(cur_lab, ref_lab, perm, bounds, n_regions: int,
     CH = chunk
     n_pix = cur_lab.shape[0] * cur_lab.shape[1]
 
+    ones = jnp.ones(cur_lab.shape[:2], dt)
+
     def eval_chunk(d_chunk):
         # One permuted gather serves CH candidates: the gather is the
         # dominant cost, and (CH*7)-float rows amortize it.
         def fields_for(d):
             shifted, valid = _shift_with_mask(ref_lab, d[1], d[0])
-            return _moment_fields(cur_lab, shifted, valid)
+            return _moment_fields(
+                cur_lab, shifted * valid.astype(dt)[..., None], ones)
 
         f = jax.vmap(fields_for)(d_chunk)            # (CH, N, 7)
         f = jnp.transpose(f, (1, 0, 2)).reshape(n_pix, CH * 7)
@@ -278,8 +314,6 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
     ref_p = jnp.pad(ref_lab, ((R, R + hp - h), (R, R), (0, 0)))
     chunks = cand.reshape(-1, CH, 2)
     n_chunks = chunks.shape[0]
-    ys_l = jnp.arange(STRIP, dtype=jnp.int32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
     reg_ids = jnp.arange(n_regions, dtype=jnp.int32)[None, :]
 
     def per_strip(acc, s):
@@ -291,22 +325,35 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
         ins_s = jax.lax.dynamic_slice(inside, (y0, 0), (STRIP, w))
         block = jax.lax.dynamic_slice(
             ref_p, (y0, 0, 0), (STRIP + 2 * R, w + 2 * R, n_ch_col))
+        m = ins_s.reshape(P)
+        a = cur_s[..., 0]
+        ma = m * a
+        # With get_zeropad reads the cur-side moments (n, a-sums) are
+        # CANDIDATE-INVARIANT: one tiny f32 matmul per strip replaces
+        # 3 of the 7 per-candidate channels.
+        fix_f = jnp.stack([m, ma, ma * a], axis=-1)      # (P, 3)
+        fix_local = jax.lax.dot_general(
+            L, fix_f, (((0,), (0,)), ((), ())),
+            preferred_element_type=dt)                   # (n_regions, 3)
 
         def fields_for(d):
             dy, dx = d[0], d[1]
+            # ref_p is zero-padded, so out-of-frame reads arrive as
+            # zeros (get_zeropad); membership masks only the strip-grid
+            # padding rows.
             sub = jax.lax.dynamic_slice(
                 block, (R + dy, R + dx, 0),
                 (STRIP, w, n_ch_col)).reshape(P, n_ch_col)
-            valid = ((y0 + ys_l + dy >= 0) & (y0 + ys_l + dy < h)
-                     & (xs + dx >= 0) & (xs + dx < w))
-            return _moment_fields(cur_s, sub,
-                                  (valid.astype(dt) * ins_s).reshape(P))
+            l1 = jnp.sum(jnp.abs(cur_s - sub), axis=-1) * (_LAB_SCALE / 3.0)
+            b = sub[..., 0]
+            mb = m * b
+            return jnp.stack([m * l1, mb, mb * b, ma * b], axis=-1)
 
         def per_chunk(d_chunk):
-            F = jax.vmap(fields_for)(d_chunk)            # (CH, P, 7)
+            F = jax.vmap(fields_for)(d_chunk)            # (CH, P, 4)
             if mxu_dtype is None or jax.default_backend() != "cpu":
-                # Contract P directly against the (CH, P, 7) array — an
-                # explicit (P, CH*7) transpose before the matmul
+                # Contract P directly against the (CH, P, 4) array — an
+                # explicit (P, CH*4) transpose before the matmul
                 # measured 19% slower on hardware (the relayout is a
                 # separate pass; dot_general folds it into the operand
                 # fetch — scripts/r2_bm_layout_ab.py). The bf16 path
@@ -316,25 +363,30 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
                 rhs = F if mxu_dtype is None else F.astype(mxu_dtype)
                 out = jax.lax.dot_general(
                     lhs, rhs, (((0,), (1,)), ((), ())),
-                    preferred_element_type=dt)           # (n_regions, CH, 7)
-                return out.reshape(n_regions, CH * 7)
+                    preferred_element_type=dt)           # (n_regions, CH, 4)
+                return out.reshape(n_regions, CH * 4)
             # CPU (the test mesh) has no kernel for rank-3
             # BF16 x BF16 = F32 dots under shard_map: fall back to the
             # rank-2 form there.
-            F2 = jnp.transpose(F, (1, 0, 2)).reshape(P, CH * 7)
+            F2 = jnp.transpose(F, (1, 0, 2)).reshape(P, CH * 4)
             return jax.lax.dot_general(
                 L.astype(mxu_dtype), F2.astype(mxu_dtype),
                 (((0,), (0,)), ((), ())),
-                preferred_element_type=dt)               # (n_regions, CH*7)
+                preferred_element_type=dt)               # (n_regions, CH*4)
 
-        return acc + jax.lax.map(per_chunk, chunks), None
+        acc_var, acc_fix = acc
+        return (acc_var + jax.lax.map(per_chunk, chunks),
+                acc_fix + fix_local), None
 
-    acc0 = jnp.zeros((n_chunks, n_regions, CH * 7), dt)
-    acc, _ = jax.lax.scan(per_strip, acc0, jnp.arange(n_s))
-    sums = jnp.transpose(
-        acc.reshape(n_chunks, n_regions, CH, 7),
-        (0, 2, 1, 3)).reshape(-1, n_regions, 7)
-    mad, zncc, _ = _cost_from_sums(sums, dt)
+    acc0 = (jnp.zeros((n_chunks, n_regions, CH * 4), dt),
+            jnp.zeros((n_regions, 3), dt))
+    (acc_var, acc_fix), _ = jax.lax.scan(per_strip, acc0, jnp.arange(n_s))
+    var = jnp.transpose(
+        acc_var.reshape(n_chunks, n_regions, CH, 4),
+        (0, 2, 1, 3)).reshape(-1, n_regions, 4)
+    mad, zncc, _ = _cost_core(acc_fix[:, 0], var[..., 0], acc_fix[:, 1],
+                              var[..., 1], acc_fix[:, 2], var[..., 2],
+                              var[..., 3], dt)
     return coeff_mad * mad - coeff_zncc * zncc
 
 
@@ -344,11 +396,11 @@ def _integer_costs_matmul_bidi(cur_lab, refp_lab, refn_lab, labels,
                                mxu_dtype=None):
     """Both time directions of :func:`_integer_costs_matmul` in ONE
     evaluator. The bidirectional flagship match evaluates prev and next
-    against the SAME current frame, labels and validity mask, so the
-    cur-side moment fields (m, m*a, m*a*a) and the per-candidate mask
-    are built once and shared — 11 field channels replace 2x7, cutting
-    the field build (the evaluator's measured bound at KITTI-res region
-    counts) and halving the slices, one-hot builds and matmul launches.
+    against the SAME current frame and labels, so the candidate-invariant
+    cur-side moments reduce once per strip and the per-candidate build is
+    8 shared-structure channels instead of 2x7 — cutting the field build
+    (the evaluator's measured bound at KITTI-res region counts) and
+    halving the slices, one-hot builds and matmul launches.
 
     Per-channel sums are the same dot products in the same order as the
     single-direction evaluator, so each direction's costs are
@@ -371,8 +423,6 @@ def _integer_costs_matmul_bidi(cur_lab, refp_lab, refn_lab, labels,
     refn_pad = jnp.pad(refn_lab, ((R, R + hp - h), (R, R), (0, 0)))
     chunks = cand.reshape(-1, CH, 2)
     n_chunks = chunks.shape[0]
-    ys_l = jnp.arange(STRIP, dtype=jnp.int32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
     reg_ids = jnp.arange(n_regions, dtype=jnp.int32)[None, :]
 
     def per_strip(acc, s):
@@ -386,60 +436,70 @@ def _integer_costs_matmul_bidi(cur_lab, refp_lab, refn_lab, labels,
             refp_pad, (y0, 0, 0), (STRIP + 2 * R, w + 2 * R, n_ch_col))
         block_n = jax.lax.dynamic_slice(
             refn_pad, (y0, 0, 0), (STRIP + 2 * R, w + 2 * R, n_ch_col))
+        m = ins_s.reshape(P)
+        a = cur_s[..., 0]
+        ma = m * a
+        # Candidate-invariant cur-side moments, shared by BOTH
+        # directions: one tiny f32 matmul per strip (same expressions
+        # as the single-direction evaluator — bitwise contract).
+        fix_f = jnp.stack([m, ma, ma * a], axis=-1)      # (P, 3)
+        fix_local = jax.lax.dot_general(
+            L, fix_f, (((0,), (0,)), ((), ())),
+            preferred_element_type=dt)                   # (n_regions, 3)
 
         def fields_for(d):
             dy, dx = d[0], d[1]
+            # Zero-padded reference buffers: out-of-frame reads arrive
+            # as zeros (get_zeropad).
             sub_p = jax.lax.dynamic_slice(
                 block_p, (R + dy, R + dx, 0),
                 (STRIP, w, n_ch_col)).reshape(P, n_ch_col)
             sub_n = jax.lax.dynamic_slice(
                 block_n, (R + dy, R + dx, 0),
                 (STRIP, w, n_ch_col)).reshape(P, n_ch_col)
-            valid = ((y0 + ys_l + dy >= 0) & (y0 + ys_l + dy < h)
-                     & (xs + dx >= 0) & (xs + dx < w))
-            # The exact _moment_fields expressions, with the cur-side
-            # products hoisted out of the two directions.
-            m = (valid.astype(dt) * ins_s).reshape(P)
-            a = cur_s[..., 0]
-            ma = m * a
-            l1_p = jnp.sum(jnp.abs(cur_s - sub_p), axis=-1) / 3.0
-            l1_n = jnp.sum(jnp.abs(cur_s - sub_n), axis=-1) / 3.0
+            l1_p = jnp.sum(jnp.abs(cur_s - sub_p),
+                           axis=-1) * (_LAB_SCALE / 3.0)
+            l1_n = jnp.sum(jnp.abs(cur_s - sub_n),
+                           axis=-1) * (_LAB_SCALE / 3.0)
             bp = sub_p[..., 0]
             bn = sub_n[..., 0]
             mbp = m * bp
             mbn = m * bn
             return jnp.stack(
-                [m, ma, ma * a,
-                 m * l1_p, mbp, mbp * bp, ma * bp,
-                 m * l1_n, mbn, mbn * bn, ma * bn], axis=-1)  # (P, 11)
+                [m * l1_p, mbp, mbp * bp, ma * bp,
+                 m * l1_n, mbn, mbn * bn, ma * bn], axis=-1)  # (P, 8)
 
         def per_chunk(d_chunk):
-            F = jax.vmap(fields_for)(d_chunk)            # (CH, P, 11)
+            F = jax.vmap(fields_for)(d_chunk)            # (CH, P, 8)
             if mxu_dtype is None or jax.default_backend() != "cpu":
                 lhs = L if mxu_dtype is None else L.astype(mxu_dtype)
                 rhs = F if mxu_dtype is None else F.astype(mxu_dtype)
                 out = jax.lax.dot_general(
                     lhs, rhs, (((0,), (1,)), ((), ())),
-                    preferred_element_type=dt)           # (n_regions, CH, 11)
-                return out.reshape(n_regions, CH * 11)
-            F2 = jnp.transpose(F, (1, 0, 2)).reshape(P, CH * 11)
+                    preferred_element_type=dt)           # (n_regions, CH, 8)
+                return out.reshape(n_regions, CH * 8)
+            F2 = jnp.transpose(F, (1, 0, 2)).reshape(P, CH * 8)
             return jax.lax.dot_general(
                 L.astype(mxu_dtype), F2.astype(mxu_dtype),
                 (((0,), (0,)), ((), ())),
-                preferred_element_type=dt)               # (n_regions, CH*11)
+                preferred_element_type=dt)               # (n_regions, CH*8)
 
-        return acc + jax.lax.map(per_chunk, chunks), None
+        acc_var, acc_fix = acc
+        return (acc_var + jax.lax.map(per_chunk, chunks),
+                acc_fix + fix_local), None
 
-    acc0 = jnp.zeros((n_chunks, n_regions, CH * 11), dt)
-    acc, _ = jax.lax.scan(per_strip, acc0, jnp.arange(n_s))
-    sums = jnp.transpose(
-        acc.reshape(n_chunks, n_regions, CH, 11),
-        (0, 2, 1, 3)).reshape(-1, n_regions, 11)
-    # Re-order into the single-direction [n, mad, a, b, aa, bb, ab]
-    # layout per direction.
+    acc0 = (jnp.zeros((n_chunks, n_regions, CH * 8), dt),
+            jnp.zeros((n_regions, 3), dt))
+    (acc_var, acc_fix), _ = jax.lax.scan(per_strip, acc0, jnp.arange(n_s))
+    var = jnp.transpose(
+        acc_var.reshape(n_chunks, n_regions, CH, 8),
+        (0, 2, 1, 3)).reshape(-1, n_regions, 8)
     out = []
-    for sel in ((0, 3, 1, 4, 2, 5, 6), (0, 7, 1, 8, 2, 9, 10)):
-        mad, zncc, _ = _cost_from_sums(sums[..., jnp.asarray(sel)], dt)
+    for off in (0, 4):
+        mad, zncc, _ = _cost_core(
+            acc_fix[:, 0], var[..., off + 0], acc_fix[:, 1],
+            var[..., off + 1], acc_fix[:, 2], var[..., off + 2],
+            var[..., off + 3], dt)
         out.append(coeff_mad * mad - coeff_zncc * zncc)
     return tuple(out)
 
@@ -477,10 +537,15 @@ def _subpixel_refine(cur_lab, ref_lab, labels, perm, bounds,
     ref_flat = ref_lab.reshape(h * w, -1)
     n_ch = ref_flat.shape[-1]
 
+    ones = jnp.ones((h, w), dt)
+
     def g(yy, xx):
+        # Zero-pad taps (get_zeropad): out-of-frame reads contribute 0
+        # to the bilinear interpolation, matching the integer search.
+        ok = ((yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)).astype(dt)
         yy = jnp.clip(yy, 0, h - 1)
         xx = jnp.clip(xx, 0, w - 1)
-        return jnp.take(ref_flat, yy * w + xx, axis=0)
+        return jnp.take(ref_flat, yy * w + xx, axis=0) * ok[..., None]
 
     nb = {(jy, jx): g(y_base + jy, x_base + jx)
           for jy in (-1, 0, 1) for jx in (-1, 0, 1)}  # (H, W, C) each
@@ -495,10 +560,7 @@ def _subpixel_refine(cur_lab, ref_lab, labels, perm, bounds,
                   + fx * (1 - fy) * nb[(iy, ix + 1)]
                   + (1 - fx) * fy * nb[(iy + 1, ix)]
                   + fx * fy * nb[(iy + 1, ix + 1)])
-        qx = x_base.astype(dt) + dx_f
-        qy = y_base.astype(dt) + dy_f
-        valid = (qx >= 0) & (qx <= w - 1) & (qy >= 0) & (qy <= h - 1)
-        fields_all.append(_moment_fields(cur_lab, interp, valid))
+        fields_all.append(_moment_fields(cur_lab, interp, ones))
     f = jnp.stack(fields_all, axis=1).reshape(n_pix, n_sub * 7)
     fs = jnp.take(f, perm, axis=0)
     sums = _contiguous_range_sums(fs, bounds)      # (n_regions, n_sub*7)
