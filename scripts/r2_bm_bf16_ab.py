@@ -1,15 +1,15 @@
 """A/B the BM integer-search evaluator precision on the real TPU.
 
-The 61x61 search at KITTI res is FIELD-BUILD-bound, not MXU-bound: at a
-384-region bucket the one-hot reduction is ~9.5 Tflop/direction and the
-matmul is only ~25% of the evaluator's time (README/BASELINE round 2b) —
+The 61x61 search at KITTI res is FIELD-BUILD-bound, not MXU-bound —
 which is why ``matmul_bf16`` (bf16 matmul inputs, f32 accumulation)
-measured NEUTRAL here, 0.445 vs 0.448 s/direction device rate. An
-earlier same-session 2.03x reading was tunnel variance on end-to-end
-timings including ~11 MB of host<->device transfers per call. This
-measures both evaluators at device rate (pre-placed inputs, one-element
-fetch) and reports integer-winner agreement on a motion-rich synthetic
-pair.
+measures NEUTRAL: 0.240 (f32) vs 0.247 s/direction device rate after
+the round-3 rework (zero-pad reads + hoisted cur-side moments shrank
+the per-candidate matmul to 4 channels, erasing the brief 10.5% bf16
+win the 7-channel rank-3 form had shown). An earlier 2.03x reading was
+tunnel variance on end-to-end timings including ~11 MB of host<->device
+transfers per call. This measures both evaluators at device rate
+(pre-placed inputs, one-element fetch) and reports integer-winner
+agreement on a motion-rich synthetic pair.
 
 Usage: env PYTHONPATH=/root/.axon_site:/root/repo python -u scripts/r2_bm_bf16_ab.py
 """
