@@ -240,13 +240,13 @@ def bench_black_anandan(on_tpu):
 
 
 def bench_bm_flagship(bm_method="matmul"):
-    """Flagship driver, FULL reference defaults, steady state (second
-    and third frame pairs, bidirectional). ``bm_method="matmul_bf16"``
-    benches the bf16-input MXU search evaluator (f32 accumulation;
-    measured neutral at KITTI-res region counts, where the evaluator is
-    field-build-bound rather than MXU-bound —
-    scripts/r2_bm_bf16_ab.py)."""
-    from tpuflow.solvers.bm_flow import optical_flow_block_matching
+    """Flagship driver, FULL reference defaults, PIPELINED steady state:
+    the sequence loop dispatches frame i+1 before finalizing frame i
+    (optical_flow_block_matching_async), so each frame's output fetch
+    and host labeling hide behind the next frame's device work — how a
+    production frame loop runs. ``bm_method="matmul_bf16"`` benches the
+    bf16-input MXU search evaluator (scripts/r2_bm_bf16_ab.py)."""
+    from tpuflow.solvers.bm_flow import optical_flow_block_matching_async
 
     prev, nxt = _frames_kitti()
     rng = np.random.default_rng(2)
@@ -255,28 +255,30 @@ def bench_bm_flagship(bm_method="matmul"):
     f1 = np.clip(np.stack([nxt] * 3, -1) + rng.normal(0, 2, (KH, KW, 3)),
                  0, 255)
     f2 = np.roll(f1, 2, axis=1)
-    out, state = optical_flow_block_matching(f0, f1, 255.0, iter_max=2048,
-                                             bm_method=bm_method)
-    # Second pair is the first BIDIRECTIONAL frame — its search/refine
-    # compiles land here, outside the steady-state window.
-    out, state = optical_flow_block_matching(f1, f2, 255.0, iter_max=2048,
-                                             state=state,
-                                             bm_method=bm_method)
-    # Best of two 2-pair windows: steady-state run-to-run tunnel
-    # variance was measured at ~±0.7 s (BASELINE.md), larger than most
-    # optimizations being tracked.
+    seq = [f0, f1, f2, f0, f1, f2, f0, f1, f2, f0, f1]
+
+    def run_pairs(state, frames, pending):
+        """Dispatch each pair, finalizing the previous pair's output
+        only after the next dispatch is queued."""
+        for a, b in zip(frames[:-1], frames[1:]):
+            fin, state = optical_flow_block_matching_async(
+                a, b, 255.0, iter_max=2048, state=state,
+                bm_method=bm_method)
+            if pending is not None:
+                pending()
+            pending = fin
+        return state, pending
+
+    # Warmup: first (unidirectional) + first bidirectional pair carry
+    # the compiles; steady state starts after them. Best of two 4-pair
+    # windows against the ~±0.7 s run-to-run tunnel variance.
+    state, pending = run_pairs(None, seq[:3], None)
     best = float("inf")
-    for _ in range(2):
+    for lo in (2, 6):
         t0 = time.perf_counter()
-        out, state = optical_flow_block_matching(f2, f0, 255.0,
-                                                 iter_max=2048,
-                                                 state=state,
-                                                 bm_method=bm_method)
-        out, state = optical_flow_block_matching(f0, f1, 255.0,
-                                                 iter_max=2048,
-                                                 state=state,
-                                                 bm_method=bm_method)
-        best = min(best, (time.perf_counter() - t0) / 2)
+        state, pending = run_pairs(state, seq[lo : lo + 5], pending)
+        best = min(best, (time.perf_counter() - t0) / 4)
+    pending()
     return best
 
 
@@ -375,9 +377,10 @@ def main() -> None:
           "1242x375)",
           lambda: bench_black_anandan(on_tpu))
     guard("bm_flagship_kitti_spf",
-          "s/frame-pair steady state, best-of-2 windows (mean-shift R=20 "
-          "+ bidirectional 61x61 BM + subpixel + gated IRLS, reference "
-          "defaults)",
+          "s/frame-pair PIPELINED steady state, best-of-2 4-pair windows "
+          "(mean-shift R=20 + bidirectional 61x61 BM + subpixel + gated "
+          "IRLS, reference defaults; frame i+1 dispatched before frame "
+          "i's fetch)",
           bench_bm_flagship)
     guard("weak_scaling_1dev",
           "Mpix*iter/s on 1 device (fused sharded HS, 512x1024 tile)",

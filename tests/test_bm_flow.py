@@ -632,6 +632,52 @@ class TestMeanShiftSentinel:
         assert abs(pos[cy, cx, 0] - exp_x) < 1e-4
 
 
+class TestAsyncDriver:
+    def test_async_matches_sync(self):
+        """optical_flow_block_matching_async == the sync wrapper,
+        bitwise, including the carried state across a 3-frame sequence
+        (the async form exists so sequences dispatch frame i+1 before
+        fetching frame i)."""
+        from scipy.ndimage import gaussian_filter
+
+        from tpuflow.solvers.bm_flow import (
+            optical_flow_block_matching,
+            optical_flow_block_matching_async,
+        )
+
+        rng = np.random.default_rng(11)
+        base = gaussian_filter(rng.uniform(0, 255, (40, 68, 3)), (2, 2, 0))
+        frames = [base[:32, :56], base[4:36, 2:58], base[8:40, 4:60]]
+        kw = dict(iter_max=32, search_range=9, kernel_spatial=4,
+                  kernel_intensity=0.12)
+
+        s_state = None
+        outs_sync = []
+        for a, b in zip(frames[:-1], frames[1:]):
+            out, s_state = optical_flow_block_matching(
+                a, b, 255.0, state=s_state, **kw)
+            outs_sync.append(out)
+
+        a_state = None
+        pending = None
+        outs_async = []
+        for a, b in zip(frames[:-1], frames[1:]):
+            fin, a_state = optical_flow_block_matching_async(
+                a, b, 255.0, state=a_state, **kw)
+            if pending is not None:
+                outs_async.append(pending())
+            pending = fin
+        outs_async.append(pending())
+
+        for o_s, o_a in zip(outs_sync, outs_async):
+            np.testing.assert_array_equal(o_a.u, o_s.u)
+            np.testing.assert_array_equal(o_a.v, o_s.v)
+            np.testing.assert_array_equal(o_a.t, o_s.t)
+            np.testing.assert_array_equal(o_a.bm_u, o_s.bm_u)
+            np.testing.assert_array_equal(o_a.quantized_rgb,
+                                          o_s.quantized_rgb)
+
+
 class TestFlagshipCompensationQuality:
     def test_compensation_beats_identity_on_kitti_crop(self):
         """End-to-end quality regression on real imagery: warping the

@@ -746,7 +746,7 @@ def _quantize_colors(rgb_norm: np.ndarray, seg: SegmentationResult) -> np.ndarra
     return means[seg.labels].astype(np.uint8)
 
 
-def optical_flow_block_matching(
+def optical_flow_block_matching_async(
     it_rgb: np.ndarray,
     itp1_rgb: np.ndarray,
     max_int: float = 255.0,
@@ -760,13 +760,21 @@ def optical_flow_block_matching(
     subpixel_scale: int = 2,
     mesh=None,
     bm_method: str = "matmul",
-) -> tuple[BMFlowOutput, BMFlowState]:
-    """The flagship driver (OpticalFlow_BlockMatching.cpp:13-362).
+):
+    """The flagship driver, split into dispatch + deferred fetch.
 
-    Returns INVERSE flow: vectors point from current-frame pixels to
-    where they came from/go to in the reference frame, with t = -1
-    (previous) or +1 (next). Pass the returned state back in for
-    bidirectional matching on subsequent frames.
+    Returns ``(finalize, state)``: every device stage is dispatched and
+    all per-frame host work is done; ``finalize()`` fetches the composed
+    fields and builds the :class:`BMFlowOutput`. The returned ``state``
+    is ready IMMEDIATELY, so a sequence loop dispatches frame i+1
+    before finalizing frame i — the next frame's mean-shift filter and
+    searches queue behind this frame's refines, hiding the output fetch
+    and the next frame's host labeling behind device work
+    (:func:`optical_flow_block_matching` is the synchronous wrapper).
+
+    Flow semantics: INVERSE flow — vectors point from current-frame
+    pixels to where they came from/go to in the reference frame, with
+    t = -1 (previous) or +1 (next).
 
     ``mesh`` (a ("ty", "tx") jax.sharding.Mesh; image dims must divide
     it) runs every device stage multi-chip: the mean-shift filter tiled
@@ -982,16 +990,44 @@ def optical_flow_block_matching(
     shift = np.stack([seg_new.shift_spatial[..., 0] - xy[1],
                       seg_new.shift_spatial[..., 1] - xy[0]], axis=-1)
 
-    if bidirectional:
-        u_out, v_out, t, u_bm, v_bm = jax.device_get(composed_dev)
-    else:
-        u_out, v_out, u_bm, v_bm = jax.device_get(composed_dev)
-        t = np.full(seg.labels.shape, -1, np.int8)
-    out = BMFlowOutput(
-        u=np.asarray(u_out), v=np.asarray(v_out), t=t,
-        segmentation=seg,
-        quantized_rgb=quantized,
-        shift_vector=shift,
-        bm_u=u_bm, bm_v=v_bm,
-        bidirectional=bidirectional)
-    return out, state
+    def finalize() -> BMFlowOutput:
+        if bidirectional:
+            u_out, v_out, t, u_bm, v_bm = jax.device_get(composed_dev)
+        else:
+            u_out, v_out, u_bm, v_bm = jax.device_get(composed_dev)
+            t = np.full(seg.labels.shape, -1, np.int8)
+        return BMFlowOutput(
+            u=np.asarray(u_out), v=np.asarray(v_out), t=t,
+            segmentation=seg,
+            quantized_rgb=quantized,
+            shift_vector=shift,
+            bm_u=u_bm, bm_v=v_bm,
+            bidirectional=bidirectional)
+
+    return finalize, state
+
+
+def optical_flow_block_matching(
+    it_rgb: np.ndarray,
+    itp1_rgb: np.ndarray,
+    max_int: float = 255.0,
+    param: MultipleMotionParam | None = None,
+    mode: int = 0,
+    iter_max: int = 2048,
+    state: BMFlowState | None = None,
+    search_range: int = 61,
+    kernel_spatial: int = 20,
+    kernel_intensity: float = 16.0 / 255.0,
+    subpixel_scale: int = 2,
+    mesh=None,
+    bm_method: str = "matmul",
+) -> tuple[BMFlowOutput, BMFlowState]:
+    """The flagship driver (OpticalFlow_BlockMatching.cpp:13-362) —
+    synchronous wrapper of :func:`optical_flow_block_matching_async`
+    (dispatch + immediate fetch; see there for the parameter surface
+    and the steady-state pipelining design)."""
+    finalize, state = optical_flow_block_matching_async(
+        it_rgb, itp1_rgb, max_int, param, mode, iter_max, state,
+        search_range, kernel_spatial, kernel_intensity, subpixel_scale,
+        mesh, bm_method)
+    return finalize(), state
