@@ -124,3 +124,39 @@ class TestFeatureTracking:
         for gray, pts, prev_pts, accept in outs:
             assert len(pts) == 0  # static scene: nothing passes the rule
         assert state.prev_gray is not None
+
+
+class TestBMFlowStream:
+    def test_matches_sequential_driver(self):
+        """The pipelined flagship stream == the sequential sync driver
+        over the same frames, bitwise (dispatch-ahead must not change
+        results), and the third output onward is bidirectional."""
+        import numpy as np
+        from scipy.ndimage import gaussian_filter
+
+        from tpuflow.pipeline.streaming import bm_flow_stream
+        from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+        rng = np.random.default_rng(3)
+        base = gaussian_filter(rng.uniform(0, 255, (44, 72, 3)), (2, 2, 0))
+        frames = [base[4 * i : 4 * i + 32, 2 * i : 2 * i + 56]
+                  for i in range(4)]
+        kw = dict(iter_max=32, search_range=9, kernel_spatial=4,
+                  kernel_intensity=0.12)
+
+        stream_outs = list(bm_flow_stream(iter(frames), 255.0, **kw))
+
+        state = None
+        seq_outs = []
+        for a, b in zip(frames[:-1], frames[1:]):
+            out, state = optical_flow_block_matching(a, b, 255.0,
+                                                     state=state, **kw)
+            seq_outs.append(out)
+
+        assert len(stream_outs) == len(seq_outs) == 3
+        assert not stream_outs[0].bidirectional
+        assert stream_outs[1].bidirectional
+        for o_s, o_q in zip(stream_outs, seq_outs):
+            np.testing.assert_array_equal(o_s.u, o_q.u)
+            np.testing.assert_array_equal(o_s.v, o_q.v)
+            np.testing.assert_array_equal(o_s.t, o_q.t)

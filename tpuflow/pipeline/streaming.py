@@ -172,6 +172,52 @@ def dense_flow_stream(
         state.prev_gray = gray
 
 
+def bm_flow_stream(
+    frames: Iterable[np.ndarray],
+    max_int: float = 255.0,
+    **driver_kwargs,
+):
+    """Streaming flagship: segmentation-BM flow over a frame iterable,
+    PIPELINED — each frame's device stages are dispatched before the
+    previous frame's outputs are fetched
+    (:func:`tpuflow.solvers.bm_flow.optical_flow_block_matching_async`),
+    so the output fetch and host labeling hide behind device work.
+
+    Yields :class:`BMFlowOutput` per frame pair (the first yields after
+    two frames; from the third frame on the estimate is bidirectional
+    for the middle frame, like the reference's frame loop,
+    Scratch_MeaningfulMotion.cpp:544-552). ``driver_kwargs`` pass
+    through to the driver (iter_max, search_range, kernel_spatial,
+    kernel_intensity, subpixel_scale, mesh, bm_method, mode, param).
+
+    A capability the reference only offers for image sequences via the
+    CLI — this is its VideoDenseOF-style loop for the flagship path.
+    """
+    from tpuflow.solvers.bm_flow import optical_flow_block_matching_async
+
+    tel = get_telemetry()
+    state = None
+    pending = None
+    prev = None
+    for i, frame in enumerate(frames):
+        frame = np.asarray(frame)
+        if prev is not None:
+            finalize, state = optical_flow_block_matching_async(
+                prev, frame, max_int, state=state, **driver_kwargs)
+            if pending is not None:
+                out = pending()
+                tel.event("stream.bm_flow", frame=i - 1,
+                          bidirectional=bool(out.bidirectional))
+                yield out
+            pending = finalize
+        prev = frame
+    if pending is not None:
+        out = pending()
+        tel.event("stream.bm_flow", frame=-1,
+                  bidirectional=bool(out.bidirectional))
+        yield out
+
+
 def dense_flow_stream_batched(
     frames: np.ndarray,
     pyr_scale: float = 0.4,
