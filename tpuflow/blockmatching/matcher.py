@@ -240,6 +240,45 @@ def search_candidates(search_range: int) -> np.ndarray:
                     indexing="ij"), -1).reshape(-1, 2)
 
 
+def _padded_candidates(search_range: int, chunk: int, n_shards: int = 1):
+    """The (2R+1)^2 grid padded so each of ``n_shards`` devices holds a
+    chunk-multiple slice ((0, 0) fillers, discarded after scoring).
+    Returns (cand (n_padded, 2) device array, n_cand). The one copy of
+    the padding arithmetic shared by the single-device and
+    candidate-parallel matchers."""
+    cand_np = search_candidates(search_range)
+    n_cand = cand_np.shape[0]
+    per = -(-n_cand // n_shards)
+    per = -(-per // chunk) * chunk
+    pad = per * n_shards - n_cand
+    cand = jnp.asarray(
+        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    return cand, n_cand
+
+
+def _argmin_and_refine(costs, cur_lab, ref_lab, labels, perm, bounds,
+                       n_regions: int, search_range: int,
+                       subpixel_scale: int, coeff_mad: float,
+                       coeff_zncc: float):
+    """Integer argmin over a (possibly padding-trailed) cost table +
+    subpixel refinement for ONE direction -> (uv, cost). The one copy of
+    the scoring tail shared by every matcher variant (the fused ==
+    single-direction and sharded == single-device bitwise contracts
+    ride on it)."""
+    dt = cur_lab.dtype
+    cand_full = jnp.asarray(search_candidates(search_range))
+    costs = costs[: cand_full.shape[0]]
+    best = jnp.argmin(costs, axis=0)
+    best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
+    best_d = cand_full[best].astype(dt)
+    if subpixel_scale > 1:
+        best_d, best_cost = _subpixel_refine(
+            cur_lab, ref_lab, labels, perm, bounds, n_regions, best_d,
+            best_cost, subpixel_scale, coeff_mad, coeff_zncc)
+    uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
+    return uv, best_cost
+
+
 def _integer_costs(cur_lab, ref_lab, perm, bounds, n_regions: int,
                    cand, coeff_mad: float, coeff_zncc: float, chunk: int):
     """MAD+ZNCC cost of every candidate displacement, (n_cand_padded,
@@ -359,6 +398,12 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
                 # fetch — scripts/r2_bm_layout_ab.py). The bf16 path
                 # takes the same form whenever the backend supports
                 # rank-3 bf16 x bf16 = f32 dots (every non-CPU backend).
+                # NOTE: the gate reads the PROCESS default backend —
+                # the framework's contract is that computations run
+                # there (the CPU test mesh pins jax_platforms=cpu);
+                # explicitly device_put-ing operands onto CPU devices
+                # inside a TPU-default process is unsupported for
+                # method="matmul_bf16".
                 lhs = L if mxu_dtype is None else L.astype(mxu_dtype)
                 rhs = F if mxu_dtype is None else F.astype(mxu_dtype)
                 out = jax.lax.dot_general(
@@ -594,14 +639,9 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     permuted-gather + range-sum pass
     (:func:`_integer_costs`). ``chunk`` = candidates evaluated per pass
     (wider amortizes the gather / widens the matmul RHS)."""
-    dt = cur_lab.dtype
-    cand_np = search_candidates(search_range)
-    n_cand = cand_np.shape[0]
     if method.startswith("matmul"):
         chunk = max(chunk, 64)
-    pad = (-n_cand) % chunk
-    cand = jnp.asarray(
-        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    cand, _ = _padded_candidates(search_range, chunk)
     if method.startswith("matmul"):
         mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
         costs = _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions,
@@ -610,20 +650,9 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     else:
         costs = _integer_costs(cur_lab, ref_lab, perm, bounds, n_regions,
                                cand, coeff_mad, coeff_zncc, chunk)
-    costs = costs[:n_cand]
-    cand = cand[:n_cand]
-    best = jnp.argmin(costs, axis=0)  # (n_regions,)
-    best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
-    best_d = cand[best].astype(dt)  # (n_regions, (dy, dx))
-
-    if subpixel_scale > 1:
-        best_d, best_cost = _subpixel_refine(
-            cur_lab, ref_lab, labels, perm, bounds, n_regions, best_d,
-            best_cost, subpixel_scale, coeff_mad, coeff_zncc)
-
-    # (dx, dy) per region + per-pixel expansion.
-    uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
-    return uv, best_cost
+    return _argmin_and_refine(costs, cur_lab, ref_lab, labels, perm,
+                              bounds, n_regions, search_range,
+                              subpixel_scale, coeff_mad, coeff_zncc)
 
 
 @functools.partial(
@@ -640,30 +669,17 @@ def _match_two_directions(cur_lab, refp_lab, refn_lab, labels, perm,
     :func:`_integer_costs_matmul_bidi`, then runs each direction's
     argmin + subpixel refinement. Each direction's output is
     bitwise-equal to its single-direction program."""
-    dt = cur_lab.dtype
-    cand_np = search_candidates(search_range)
-    n_cand = cand_np.shape[0]
     chunk = max(chunk, 64)
-    pad = (-n_cand) % chunk
-    cand = jnp.asarray(
-        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    cand, _ = _padded_candidates(search_range, chunk)
     mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
     costs_pair = _integer_costs_matmul_bidi(
         cur_lab, refp_lab, refn_lab, labels, n_regions, cand, coeff_mad,
         coeff_zncc, chunk, search_range // 2, mxu_dtype)
-    out = []
-    for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)):
-        costs = costs[:n_cand]
-        best = jnp.argmin(costs, axis=0)
-        best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
-        best_d = cand[:n_cand][best].astype(dt)
-        if subpixel_scale > 1:
-            best_d, best_cost = _subpixel_refine(
-                cur_lab, ref_lab, labels, perm, bounds, n_regions,
-                best_d, best_cost, subpixel_scale, coeff_mad, coeff_zncc)
-        uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
-        out.append((uv, best_cost))
-    return tuple(out)
+    return tuple(
+        _argmin_and_refine(costs, cur_lab, ref_lab, labels, perm, bounds,
+                           n_regions, search_range, subpixel_scale,
+                           coeff_mad, coeff_zncc)
+        for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)))
 
 
 def _match_device_bidirectional(cur_lab, refp_lab, refn_lab, labels,

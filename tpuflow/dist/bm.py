@@ -30,11 +30,11 @@ from tpuflow.blockmatching.matcher import (
     _integer_costs,
     _integer_costs_matmul,
     _integer_costs_matmul_bidi,
-    _subpixel_refine,
+    _argmin_and_refine,
+    _padded_candidates,
     pad_region_bounds,
     region_bucket,
     region_reduction_plan,
-    search_candidates,
     validate_method,
 )
 from tpuflow.dist.solvers import shard_map
@@ -48,7 +48,6 @@ def _match_sharded(cur_lab, ref_lab, labels, perm, bounds, cand,
                    mesh: Mesh, n_regions: int, search_range: int,
                    subpixel_scale: int, coeff_mad: float,
                    coeff_zncc: float, chunk: int, method: str = "matmul"):
-    n_cand = search_candidates(search_range).shape[0]
     rep = P(None)
 
     def body(cur_t, ref_t, labels_t, perm_t, bounds_t, cand_t):
@@ -69,19 +68,10 @@ def _match_sharded(cur_lab, ref_lab, labels, perm, bounds, cand,
         body, mesh,
         in_specs=(rep, rep, rep, rep, rep, P(("ty", "tx"), None)),
         out_specs=P(("ty", "tx"), None, None))
-    costs = f(cur_lab, ref_lab, labels, perm, bounds, cand)[0][:n_cand]
-
-    dt = cur_lab.dtype
-    cand_full = jnp.asarray(search_candidates(search_range))
-    best = jnp.argmin(costs, axis=0)
-    best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
-    best_d = cand_full[best].astype(dt)
-    if subpixel_scale > 1:
-        best_d, best_cost = _subpixel_refine(
-            cur_lab, ref_lab, labels, perm, bounds, n_regions, best_d,
-            best_cost, subpixel_scale, coeff_mad, coeff_zncc)
-    uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
-    return uv, best_cost
+    costs = f(cur_lab, ref_lab, labels, perm, bounds, cand)[0]
+    return _argmin_and_refine(costs, cur_lab, ref_lab, labels, perm,
+                              bounds, n_regions, search_range,
+                              subpixel_scale, coeff_mad, coeff_zncc)
 
 
 def _match_device_sharded(cur_lab, ref_lab, labels, n_regions: int,
@@ -93,27 +83,19 @@ def _match_device_sharded(cur_lab, ref_lab, labels, n_regions: int,
     validate_method(method)
     if method.startswith("matmul"):
         chunk = max(chunk, 64)
-    cur_lab = jnp.asarray(cur_lab)
-    ref_lab = jnp.asarray(ref_lab)
-    d = int(np.prod(mesh.devices.shape))
-    cand_np = search_candidates(search_range)
-    n_cand = cand_np.shape[0]
-    # Pad so every device holds a chunk-multiple slice; (0, 0) fillers
-    # are discarded after the all-gather (global order is preserved).
-    per_dev = -(-n_cand // d)
-    per_dev = -(-per_dev // chunk) * chunk
-    pad = per_dev * d - n_cand
-    cand = jnp.asarray(
-        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    # Pad so every device holds a chunk-multiple slice ((0, 0) fillers,
+    # discarded after the all-gather — global order is preserved), and
+    # bucket the region count like the single-device matcher (stable
+    # jit signature across frames).
+    cand, _ = _padded_candidates(search_range, chunk,
+                                 int(np.prod(mesh.devices.shape)))
     perm, bounds = region_reduction_plan(np.asarray(labels),
                                          int(n_regions))
-    # Same region-count bucketing as the single-device matcher (stable
-    # jit signature across frames).
     n_pad_r = region_bucket(int(n_regions))
     bounds = pad_region_bounds(bounds, n_pad_r)
     return _match_sharded(
-        cur_lab, ref_lab, jnp.asarray(labels), jnp.asarray(perm),
-        jnp.asarray(bounds), cand, mesh, n_pad_r,
+        jnp.asarray(cur_lab), jnp.asarray(ref_lab), jnp.asarray(labels),
+        jnp.asarray(perm), jnp.asarray(bounds), cand, mesh, n_pad_r,
         int(search_range), int(subpixel_scale), float(coeff_mad),
         float(coeff_zncc), int(chunk), method)
 
@@ -133,7 +115,6 @@ def _match_sharded_bidi(cur_lab, refp_lab, refn_lab, labels, perm, bounds,
     (matcher._integer_costs_matmul_bidi), the two cost tables
     all-gather, and each direction's argmin + subpixel refinement
     replays replicated — bitwise the fused single-device program."""
-    n_cand = search_candidates(search_range).shape[0]
     rep = P(None)
 
     def body(cur_t, refp_t, refn_t, labels_t, perm_t, bounds_t, cand_t):
@@ -151,22 +132,11 @@ def _match_sharded_bidi(cur_lab, refp_lab, refn_lab, labels, perm, bounds,
         in_specs=(rep, rep, rep, rep, rep, rep, P(("ty", "tx"), None)),
         out_specs=(P(("ty", "tx"), None, None),) * 2)
     costs_pair = f(cur_lab, refp_lab, refn_lab, labels, perm, bounds, cand)
-
-    dt = cur_lab.dtype
-    cand_full = jnp.asarray(search_candidates(search_range))
-    out = []
-    for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)):
-        costs = costs[0][:n_cand]
-        best = jnp.argmin(costs, axis=0)
-        best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
-        best_d = cand_full[best].astype(dt)
-        if subpixel_scale > 1:
-            best_d, best_cost = _subpixel_refine(
-                cur_lab, ref_lab, labels, perm, bounds, n_regions,
-                best_d, best_cost, subpixel_scale, coeff_mad, coeff_zncc)
-        uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
-        out.append((uv, best_cost))
-    return tuple(out)
+    return tuple(
+        _argmin_and_refine(costs[0], cur_lab, ref_lab, labels, perm,
+                           bounds, n_regions, search_range,
+                           subpixel_scale, coeff_mad, coeff_zncc)
+        for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)))
 
 
 def _match_device_sharded_bidirectional(cur_lab, refp_lab, refn_lab,
@@ -191,23 +161,15 @@ def _match_device_sharded_bidirectional(cur_lab, refp_lab, refn_lab,
                                       coeff_mad, coeff_zncc,
                                       subpixel_scale, chunk, method))
     chunk = max(chunk, 64)
-    cur_lab = jnp.asarray(cur_lab)
-    refp_lab = jnp.asarray(refp_lab)
-    refn_lab = jnp.asarray(refn_lab)
-    d = int(np.prod(mesh.devices.shape))
-    cand_np = search_candidates(search_range)
-    n_cand = cand_np.shape[0]
-    per_dev = -(-n_cand // d)
-    per_dev = -(-per_dev // chunk) * chunk
-    pad = per_dev * d - n_cand
-    cand = jnp.asarray(
-        np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+    cand, _ = _padded_candidates(search_range, chunk,
+                                 int(np.prod(mesh.devices.shape)))
     perm, bounds = region_reduction_plan(np.asarray(labels),
                                          int(n_regions))
     n_pad_r = region_bucket(int(n_regions))
     bounds = pad_region_bounds(bounds, n_pad_r)
     return _match_sharded_bidi(
-        cur_lab, refp_lab, refn_lab, jnp.asarray(labels),
+        jnp.asarray(cur_lab), jnp.asarray(refp_lab),
+        jnp.asarray(refn_lab), jnp.asarray(labels),
         jnp.asarray(perm), jnp.asarray(bounds), cand, mesh, n_pad_r,
         int(search_range), int(subpixel_scale), float(coeff_mad),
         float(coeff_zncc), int(chunk), method)

@@ -198,7 +198,9 @@ def bm_flow_stream(
     tel = get_telemetry()
     state = None
     pending = None
+    pending_frame = -1
     prev = None
+    i = 0
     for i, frame in enumerate(frames):
         frame = np.asarray(frame)
         if prev is not None:
@@ -206,14 +208,15 @@ def bm_flow_stream(
                 prev, frame, max_int, state=state, **driver_kwargs)
             if pending is not None:
                 out = pending()
-                tel.event("stream.bm_flow", frame=i - 1,
+                tel.event("stream.bm_flow", frame=pending_frame,
                           bidirectional=bool(out.bidirectional))
                 yield out
             pending = finalize
+            pending_frame = i
         prev = frame
     if pending is not None:
         out = pending()
-        tel.event("stream.bm_flow", frame=-1,
+        tel.event("stream.bm_flow", frame=pending_frame,
                   bidirectional=bool(out.bidirectional))
         yield out
 

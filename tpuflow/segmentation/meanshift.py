@@ -23,8 +23,8 @@ query centers cost ~25x more on TPU, and the sentinel border replaces
 the per-offset validity mask entirely). The shift window spans
 kernel_spatial + margin, which makes the step EXACT for every query
 whose mode has drifted at most ``margin`` pixels from its origin
-(margin defaults to kernel_spatial; iteration k's window shrinks to
-R + min(k*R, margin), exactly covering the reachable drift; measured on
+(margin defaults to kernel_spatial; iteration 0's window shrinks to R —
+its queries have drift exactly 0; measured on
 the bundled KITTI frame a small tail of pixels drifts past ANY
 practical margin — their truncated-window modes stay in the right basin
 and the near-mode label merge absorbs the error). Labeling is irregular
@@ -49,6 +49,87 @@ def _color_sentinel(lab: jnp.ndarray, kernel_intensity: float):
     ops)."""
     return (jnp.max(jnp.abs(lab)) + jnp.asarray(
         float(kernel_intensity) + 1.0, lab.dtype)).astype(lab.dtype)
+
+
+def _ms_window(it: int, R: int, E: int) -> int:
+    """Offset-window half-width for mean-shift iteration ``it``.
+
+    Iteration 0's queries ARE their origins (drift exactly 0), so a
+    radius-R window provably covers every nonzero weight — the skipped
+    offsets add exact 0.0s and the shrunk window is bitwise the full
+    one. Later iterations use the full R + margin window: the general
+    'drift after k steps <= k*R' bound is UNSOUND under the legacy
+    empty-window reset (a query whose window empties jumps to (0, 0),
+    i.e. drift up to |origin|), so no further shrink is taken."""
+    return R if it == 0 else E
+
+
+def _ms_step(labh, state, xs, ys, E: int, E_k: int,
+             hs2: float, hr2: float):
+    """One mean-shift step over sentinel-padded channel planes.
+
+    The ONE copy of the accumulation algebra shared by the
+    single-device filter and the sharded tile body — the bitwise
+    single-vs-distributed contract rides on it. ``labh``: three
+    (h + 2E, w + 2E) planes; ``state`` = (ex, ey, c0, c1, c2) per-pixel
+    drift + query colors at (h, w); ``xs``/``ys``: GLOBAL pixel
+    coordinates of this (h, w) block (the legacy empty-window reset
+    jumps to global (0, 0), i.e. drift -xs/-ys).
+
+    Nested row/column loops: the y-part of the spatial test and the
+    row-band slices hoist to the dy loop (the row-major offset order is
+    preserved, so the sums are bitwise the flat loop's — measured
+    0.63 -> 0.48 s at KITTI res R=20)."""
+    ex, ey, c0, c1, c2 = state
+    h, w = ex.shape
+    dt = ex.dtype
+    span = 2 * E_k + 1
+
+    def outer(i, acc):
+        dy = i - E_k
+        dyf = dy.astype(dt)
+        ty2 = (dyf - ey) ** 2
+        b0 = jax.lax.dynamic_slice(labh[0], (E + dy, 0), (h, w + 2 * E))
+        b1 = jax.lax.dynamic_slice(labh[1], (E + dy, 0), (h, w + 2 * E))
+        b2 = jax.lax.dynamic_slice(labh[2], (E + dy, 0), (h, w + 2 * E))
+
+        def inner(j, acc):
+            s_dx, s_dy, s0, s1, s2, s_n = acc
+            dx = j - E_k
+            dxf = dx.astype(dt)
+            # Data point at the static offset from the ORIGIN pixel:
+            q0 = jax.lax.dynamic_slice(b0, (0, E + dx), (h, w))
+            q1 = jax.lax.dynamic_slice(b1, (0, E + dx), (h, w))
+            q2 = jax.lax.dynamic_slice(b2, (0, E + dx), (h, w))
+            d_sp = (dxf - ex) ** 2 + ty2
+            d_cl = (q0 - c0) ** 2 + (q1 - c1) ** 2 + (q2 - c2) ** 2
+            wgt = jnp.where((d_sp <= hs2) & (d_cl <= hr2), 1.0, 0.0
+                            ).astype(dt)
+            # dx/dy are scalars: accumulating wgt*d instead of
+            # wgt*(origin+d) drops the per-offset coordinate builds.
+            return (s_dx + wgt * dxf, s_dy + wgt * dyf,
+                    s0 + wgt * q0, s1 + wgt * q1, s2 + wgt * q2,
+                    s_n + wgt)
+
+        # unroll: XLA fuses 8 offsets' slices + tests into one kernel
+        # per carry round-trip — fusing 8 offsets cuts the carry's HBM
+        # traffic ~5x; beyond that the sweep is VPU-compute-bound
+        # (unroll 16/32 measured 0.67/0.75 s vs 0.64 — register
+        # pressure).
+        return jax.lax.fori_loop(0, span, inner, acc, unroll=8)
+
+    z = jnp.zeros((h, w), dt)
+    s_dx, s_dy, s0, s1, s2, s_n = jax.lax.fori_loop(
+        0, span, outer, (z, z, z, z, z, z))
+    n = jnp.maximum(s_n, 1.0)
+    # Mean position = origin + mean offset: the drift carries the small
+    # quantity directly (no large-coordinate cancellation). The
+    # all-points-excluded edge case keeps the legacy semantics
+    # (position resets to global (0, 0), i.e. drift -xs).
+    got = s_n > 0
+    return (jnp.where(got, s_dx / n, -xs),
+            jnp.where(got, s_dy / n, -ys),
+            s0 / n, s1 / n, s2 / n)
 
 
 @dataclass
@@ -123,64 +204,6 @@ def mean_shift_filter(
             for c in range(3)]
     c_orig = [lab[..., c] for c in range(3)]
 
-    def step(state, E_k: int):
-        # Query drift from origin (ex, ey) (H, W) and colors (3x (H, W)).
-        ex, ey, c0, c1, c2 = state
-        span = 2 * E_k + 1
-
-        # Nested row/column loops: the y-part of the spatial test and
-        # the row-band slices hoist to the dy loop (the row-major offset
-        # order is preserved, so the sums are bitwise the flat loop's —
-        # measured 0.63 -> 0.48 s at KITTI res R=20).
-        def outer(i, acc):
-            dy = i - E_k
-            dyf = dy.astype(dt)
-            ty2 = (dyf - ey) ** 2
-            b0 = jax.lax.dynamic_slice(labh[0], (E + dy, 0),
-                                       (h, w + 2 * E))
-            b1 = jax.lax.dynamic_slice(labh[1], (E + dy, 0),
-                                       (h, w + 2 * E))
-            b2 = jax.lax.dynamic_slice(labh[2], (E + dy, 0),
-                                       (h, w + 2 * E))
-
-            def inner(j, acc):
-                s_dx, s_dy, s0, s1, s2, s_n = acc
-                dx = j - E_k
-                dxf = dx.astype(dt)
-                # Data point at the static offset from the ORIGIN pixel:
-                q0 = jax.lax.dynamic_slice(b0, (0, E + dx), (h, w))
-                q1 = jax.lax.dynamic_slice(b1, (0, E + dx), (h, w))
-                q2 = jax.lax.dynamic_slice(b2, (0, E + dx), (h, w))
-                d_sp = (dxf - ex) ** 2 + ty2
-                d_cl = (q0 - c0) ** 2 + (q1 - c1) ** 2 + (q2 - c2) ** 2
-                wgt = jnp.where((d_sp <= hs2) & (d_cl <= hr2), 1.0, 0.0
-                                ).astype(dt)
-                # dx/dy are scalars: accumulating wgt*d instead of
-                # wgt*(origin+d) drops the per-offset coordinate builds.
-                return (s_dx + wgt * dxf, s_dy + wgt * dyf,
-                        s0 + wgt * q0, s1 + wgt * q1, s2 + wgt * q2,
-                        s_n + wgt)
-
-            # unroll: XLA fuses 8 offsets' slices + tests into one
-            # kernel per carry round-trip — fusing 8 offsets cuts the
-            # carry's HBM traffic ~5x; beyond that the sweep is
-            # VPU-compute-bound (unroll 16/32 measured 0.67/0.75 s vs
-            # 0.64 — register pressure).
-            return jax.lax.fori_loop(0, span, inner, acc, unroll=8)
-
-        z = jnp.zeros((h, w), dt)
-        s_dx, s_dy, s0, s1, s2, s_n = jax.lax.fori_loop(
-            0, span, outer, (z, z, z, z, z, z))
-        n = jnp.maximum(s_n, 1.0)
-        # Mean position = origin + mean offset: the drift carries the
-        # small quantity directly (no large-coordinate cancellation).
-        # The all-points-excluded edge case keeps the legacy semantics
-        # (position resets to 0, i.e. drift -xs).
-        got = s_n > 0
-        return (jnp.where(got, s_dx / n, -xs),
-                jnp.where(got, s_dy / n, -ys),
-                s0 / n, s1 / n, s2 / n)
-
     state = (jnp.zeros((h, w), dt), jnp.zeros((h, w), dt), *c_orig)
     max_drift = jnp.asarray(0.0, dt)
     for it in range(iters):
@@ -188,13 +211,8 @@ def mean_shift_filter(
             ex, ey = state[0], state[1]
             max_drift = jnp.maximum(max_drift,
                                     jnp.sqrt(jnp.max(ex * ex + ey * ey)))
-        # Drift after k steps is <= k*R (each mean lies within R of its
-        # query), so iteration k only needs an R + min(k*R, M) window —
-        # the skipped offsets all had weight 0 (exactly: at k=0 the
-        # query IS the origin). Zero-weight terms add exact 0.0s, so the
-        # shrunk window is bitwise-identical to the full one.
-        E_k = R + min(it * R, M)
-        state = step(state, E_k)
+        state = _ms_step(labh, state, xs, ys, E, _ms_window(it, R, E),
+                         hs2, hr2)
     ex, ey, c0, c1, c2 = state
     pos = jnp.stack([xs + ex, ys + ey], axis=-1)
     cl = jnp.stack([c0, c1, c2], axis=-1)
@@ -500,58 +518,16 @@ def _ms_sharded_fn(mesh, h: int, w: int, kernel_spatial: int,
         xs = col0 + jnp.arange(tw, dtype=dt)[None, :] * jnp.ones((th, 1), dt)
         ys = row0 + jnp.arange(th, dtype=dt)[:, None] * jnp.ones((1, tw), dt)
 
-        def step(state, E_k: int):
-            ex, ey, c0, c1, c2 = state
-            span = 2 * E_k + 1
-
-            # Same nested row/column structure as the single-device
-            # filter (bitwise-equal sums: row-major order preserved).
-            def outer(i, acc):
-                dy = i - E_k
-                dyf = dy.astype(dt)
-                ty2 = (dyf - ey) ** 2
-                b0 = _lax.dynamic_slice(labh[0], (E + dy, 0),
-                                        (th, tw + 2 * E))
-                b1 = _lax.dynamic_slice(labh[1], (E + dy, 0),
-                                        (th, tw + 2 * E))
-                b2 = _lax.dynamic_slice(labh[2], (E + dy, 0),
-                                        (th, tw + 2 * E))
-
-                def inner(j, acc):
-                    s_dx, s_dy, s0, s1, s2, s_n = acc
-                    dx = j - E_k
-                    dxf = dx.astype(dt)
-                    # Data point at the static offset from the origin
-                    # pixel: a dynamic window of the halo'd tile (== the
-                    # roll of the global frame restricted to this tile).
-                    q0 = _lax.dynamic_slice(b0, (0, E + dx), (th, tw))
-                    q1 = _lax.dynamic_slice(b1, (0, E + dx), (th, tw))
-                    q2 = _lax.dynamic_slice(b2, (0, E + dx), (th, tw))
-                    d_sp = (dxf - ex) ** 2 + ty2
-                    d_cl = ((q0 - c0) ** 2 + (q1 - c1) ** 2
-                            + (q2 - c2) ** 2)
-                    wgt = jnp.where((d_sp <= hs2) & (d_cl <= hr2),
-                                    1.0, 0.0).astype(dt)
-                    return (s_dx + wgt * dxf, s_dy + wgt * dyf,
-                            s0 + wgt * q0, s1 + wgt * q1, s2 + wgt * q2,
-                            s_n + wgt)
-
-                return _lax.fori_loop(0, span, inner, acc, unroll=8)
-
-            z = jnp.zeros((th, tw), dt)
-            s_dx, s_dy, s0, s1, s2, s_n = _lax.fori_loop(
-                0, span, outer, (z, z, z, z, z, z))
-            n = jnp.maximum(s_n, 1.0)
-            got = s_n > 0
-            return (jnp.where(got, s_dx / n, -xs),
-                    jnp.where(got, s_dy / n, -ys),
-                    s0 / n, s1 / n, s2 / n)
-
+        # The iteration body is THE single-device step (_ms_step): a
+        # dynamic window of the halo'd tile == the roll of the global
+        # frame restricted to this tile, and the global xs/ys carry the
+        # legacy empty-window reset — bitwise-equal sums by sharing the
+        # one copy of the accumulation algebra.
         z = jnp.zeros((th, tw), dt)
         state = (z, z, lab_t[..., 0], lab_t[..., 1], lab_t[..., 2])
-        M = E - R
         for it in range(iters):
-            state = step(state, R + min(it * R, M))
+            state = _ms_step(labh, state, xs, ys, E, _ms_window(it, R, E),
+                             hs2, hr2)
         ex, ey, c0, c1, c2 = state
         return (jnp.stack([xs + ex, ys + ey], axis=-1),
                 jnp.stack([c0, c1, c2], axis=-1))
@@ -572,9 +548,9 @@ def mean_shift_filter_sharded(
 
     The static-shift window reads data only within E = R + margin pixels
     of each query's ORIGIN pixel, so one halo exchange of the Lab frame
-    (width E, zero-filled at global borders — out-of-image data points
-    are masked by the global-coordinate validity test exactly as in the
-    single-device step) makes the entire iteration loop tile-local.
+    (width E, sentinel-filled outside the global frame — out-of-image
+    data points fail the color test exactly as in the single-device
+    step) makes the entire iteration loop tile-local.
     Bitwise-identical accumulation order to the single-device filter
     (equivalence test on the virtual CPU mesh, tests/test_dist.py).
     Multi-chip analogue of the reference's OpenMP row loop inside
