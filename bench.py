@@ -156,15 +156,21 @@ def bench_horn_schunck(on_tpu):
         k = np.ones((WINDOW, WINDOW), np.float64) / WINDOW**2
         u = np.zeros_like(gt)
         v = np.zeros_like(gt)
-        t0 = time.perf_counter()
-        for _ in range(10):
-            ub = cv2.filter2D(u, -1, k, borderType=cv2.BORDER_CONSTANT)
-            vb = cv2.filter2D(v, -1, k, borderType=cv2.BORDER_CONSTANT)
-            upd = (gx * ub + gy * vb + gt) / denom
-            u = ub - gx * upd
-            v = vb - gy * upd
-        cpu_dt = (time.perf_counter() - t0) / 10 * ITERS
-        vs = cpu_dt / dt
+        # Best of 3 windows: the CPU baseline is host-load-sensitive
+        # and a single window swung vs_baseline ~2x between runs.
+        cpu_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                ub = cv2.filter2D(u, -1, k,
+                                  borderType=cv2.BORDER_CONSTANT)
+                vb = cv2.filter2D(v, -1, k,
+                                  borderType=cv2.BORDER_CONSTANT)
+                upd = (gx * ub + gy * vb + gt) / denom
+                u = ub - gx * upd
+                v = vb - gy * upd
+            cpu_best = min(cpu_best, (time.perf_counter() - t0) / 10)
+        vs = cpu_best * ITERS / dt
     except Exception:
         pass
     return 1.0 / dt, vs
