@@ -157,7 +157,7 @@ def _contiguous_range_sums(sorted_fields: jnp.ndarray,
 #: normalized Lab (core/color.py, /100) made MAD ~100x too small, so the
 #: cost degenerated to pure ZNCC — measured 1.4 dB of motion-compensation
 #: PSNR on the KITTI quality crop. The matcher un-normalizes internally.
-_LAB_SCALE = 100.0
+from tpuflow.core.color import LAB_SCALE as _LAB_SCALE  # noqa: E402
 
 
 def _moment_fields(cur: jnp.ndarray, ref_shifted: jnp.ndarray,

@@ -14,10 +14,23 @@ Their behavior is reconstructed here with the standard definitions:
   converting, ``OpticalFlow_BlockMatching.cpp:66-81``); output L is scaled
   to [0, 1] (L*/100) so matching/gradient thresholds stay resolution-free.
 
+IMPORTANT: the reference's missing ``ImgClass::Lab`` carries STANDARD
+CIE units (L* in [0, 100]), and every constant the reference tunes
+against Lab quantities (the matcher's coeff_MAD=1/coeff_ZNCC=0.5
+balance, the refinement sigmas 0.2/sqrt(2) and 0.03/sqrt(2)) assumes
+that scale. Consumers that implement reference-contracted math multiply
+by :data:`LAB_SCALE` internally (blockmatching/matcher.py,
+solvers/bm_flow.py) — round 3 measured the normalized scale silently
+degenerating both the matching cost and the robust penalties.
+
 Everything is elementwise jnp and fuses under jit.
 """
 
 from __future__ import annotations
+
+#: Factor between this module's normalized Lab ([0, 1] L) and the
+#: standard CIE scale the reference's constants assume.
+LAB_SCALE = 100.0
 
 import jax.numpy as jnp
 

@@ -32,6 +32,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding
 
+from tpuflow.core.color import LAB_SCALE
 from tpuflow.dist.halo import halo_pad_2d
 from tpuflow.dist.solvers import SPEC, shard_map
 from tpuflow.solvers.mestimators import geman_mcclure_psi, geman_mcclure_rho
@@ -257,8 +258,10 @@ def gradient_method_flow_sharded(
         raise ValueError(f"image {h}x{w} not divisible by mesh {ty}x{tx}")
     if h // ty <= fuse or w // tx <= fuse:
         raise ValueError("tile smaller than the fused halo; lower fuse")
-    interest_l = jnp.asarray(interest_lab)[..., 0]
-    reference_l = jnp.asarray(reference_lab)[..., 0]
+    # Standard Lab units — matches the single-device
+    # gradient_method_flow (core/color.py LAB_SCALE).
+    interest_l = jnp.asarray(interest_lab)[..., 0] * LAB_SCALE
+    reference_l = jnp.asarray(reference_lab)[..., 0] * LAB_SCALE
     dt = interest_l.dtype
     sharding = NamedSharding(mesh, SPEC)
     args = [jax.device_put(a, sharding)
@@ -418,8 +421,10 @@ def gradient_method_flow_sharded_bidirectional(
         raise ValueError("tile smaller than the fused halo; lower fuse")
     from jax.sharding import PartitionSpec as P
 
-    interest_l = jnp.asarray(interest_lab)[..., 0]
-    refs_l = jnp.stack([jnp.asarray(r)[..., 0] for r in reference_labs])
+    # Standard Lab units — matches the single-device refine.
+    interest_l = jnp.asarray(interest_lab)[..., 0] * LAB_SCALE
+    refs_l = jnp.stack([jnp.asarray(r)[..., 0] * LAB_SCALE
+                        for r in reference_labs])
     dt = interest_l.dtype
     args = [
         jax.device_put(interest_l, NamedSharding(mesh, SPEC)),
@@ -602,8 +607,10 @@ def affine_parametric_flow_sharded(
     if h // ty <= R or w // tx <= R:
         raise ValueError("tile smaller than the warp halo; shrink the "
                          "displacement bound or the mesh")
-    interest_l = jnp.asarray(interest_lab)[..., 0]
-    reference_l = jnp.asarray(reference_lab)[..., 0]
+    # Standard Lab units — matches the single-device
+    # affine_parametric_flow.
+    interest_l = jnp.asarray(interest_lab)[..., 0] * LAB_SCALE
+    reference_l = jnp.asarray(reference_lab)[..., 0] * LAB_SCALE
     dt = interest_l.dtype
     n_pad = region_bucket(int(n_regions))
     sharding = NamedSharding(mesh, SPEC)

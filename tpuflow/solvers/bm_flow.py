@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuflow.core.color import srgb_to_lab
+from tpuflow.core.color import LAB_SCALE, srgb_to_lab
 from tpuflow.core.config import (
     MODE_OUTPUT_AFFINE_BLOCKMATCHING,
     MultipleMotionParam,
@@ -485,13 +485,18 @@ def gradient_method_flow(
     :func:`gradient_method_dt_zero`). ``u0``/``v0`` warm-start the IRLS
     (streaming pipelines; the reference always starts from zero).
     """
-    gx, gy = gradient_method_grad(interest_lab[..., 0])
+    # Gradients/dt in STANDARD Lab units: the reference's robust
+    # constants (sigma_d = 0.2/sqrt(2), sigma_s = 0.03/sqrt(2),
+    # OpticalFlow_BlockMatching.cpp:47-48) are tuned against the missing
+    # ImgClass Lab's L in [0, 100]; tpuflow's normalized Lab would
+    # shrink every data residual ~100x against them.
+    interest_l = interest_lab[..., 0] * LAB_SCALE
+    reference_l = reference_lab[..., 0] * LAB_SCALE
+    gx, gy = gradient_method_grad(interest_l)
     if zero_warp:
-        it = gradient_method_dt_zero(reference_lab[..., 0],
-                                     interest_lab[..., 0])
+        it = gradient_method_dt_zero(reference_l, interest_l)
     else:
-        it = gradient_method_dt(reference_lab[..., 0], interest_lab[..., 0],
-                                mv_u, mv_v)
+        it = gradient_method_dt(reference_l, interest_l, mv_u, mv_v)
     if _use_gated_kernel(gx.dtype):
         u, v, _, _, trace = irls_gradient_method_fast(
             gx, gy, it, jnp.asarray(labels),
@@ -530,8 +535,11 @@ def gradient_method_flow_bidirectional(
     ``reference_labs``: sequence of B reference Lab frames. Returns a
     list of B (u, v) pairs in the same order, each bitwise equal to the
     serial :func:`gradient_method_flow` call with ``zero_warp=True``."""
-    gx, gy = gradient_method_grad(interest_lab[..., 0])
-    its = jnp.stack([gradient_method_dt_zero(r[..., 0], interest_lab[..., 0])
+    # Standard Lab units — see gradient_method_flow.
+    interest_l = interest_lab[..., 0] * LAB_SCALE
+    gx, gy = gradient_method_grad(interest_l)
+    its = jnp.stack([gradient_method_dt_zero(r[..., 0] * LAB_SCALE,
+                                             interest_l)
                      for r in reference_labs])
     u, v, _, _, trace = irls_gradient_method_batched(
         gx, gy, its, jnp.asarray(labels),
@@ -640,11 +648,18 @@ def affine_parametric_flow(
     Returns (a (n_regions, 6), u, v).
 
     ``normalize_steps=True`` selects the stabilized step (mean gradient
-    instead of the reference's summed gradient) — recommended for large
-    regions; False reproduces the reference exactly.
+    instead of the reference's summed gradient); False reproduces the
+    reference exactly — which DIVERGES on mean-shift-sized regions (the
+    per-parameter gradient is a SUM of N site terms while the Lipschitz
+    sup is a per-site max, so the omega=1 step overshoots by ~N;
+    measured EPE 17 vs a 2.6-px true flow on a synthetic affine pair,
+    against 1.0 with the stabilized step). The flagship driver defaults
+    to the stabilized step.
     """
-    gx, gy = gradient_method_grad(interest_lab[..., 0])
-    it = gradient_method_dt(reference_lab[..., 0], interest_lab[..., 0],
+    # Standard Lab units — see gradient_method_flow.
+    interest_l = interest_lab[..., 0] * LAB_SCALE
+    gx, gy = gradient_method_grad(interest_l)
+    it = gradient_method_dt(reference_lab[..., 0] * LAB_SCALE, interest_l,
                             jnp.asarray(mv_u), jnp.asarray(mv_v))
     # Bucket the static region count (like the block matcher) so
     # frame-to-frame segmentation drift reuses the compiled IRLS.
@@ -902,18 +917,24 @@ def optical_flow_block_matching_async(
 
                 # Static displacement bound from the search geometry
                 # (subpixel adds < 1 px) keeps the dispatch sync-free.
+                # normalize_steps: the reference's summed-gradient
+                # omega=1 step diverges on mean-shift-sized regions
+                # (see affine_parametric_flow) — the driver defaults to
+                # the stabilized mean-gradient step.
                 _, u, v = affine_parametric_flow_sharded(
                     reference_lab, interest_lab, mv[..., 0], mv[..., 1],
                     seg.labels, seg.n_regions, mesh,
                     iter_max=min(iter_max, 256),
                     error_min_threshold=param.error_min_threshold,
-                    max_displacement=search_range // 2 + 1)
+                    max_displacement=search_range // 2 + 1,
+                    normalize_steps=True)
                 return u, v
             _, u, v = affine_parametric_flow(
                 reference_lab, interest_lab, mv[..., 0], mv[..., 1],
                 seg.labels, seg.n_regions,
                 iter_max=min(iter_max, 256),
-                error_min_threshold=param.error_min_threshold)
+                error_min_threshold=param.error_min_threshold,
+                normalize_steps=True)
             return u, v
         # The reference zeroes MV before the gradient method
         # (OpticalFlow_BlockMatching.cpp:291-293) — reproduced here via
