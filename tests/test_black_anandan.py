@@ -219,3 +219,61 @@ class TestEnergyTrace:
         assert {e["level"] for e in energies} == {0, 1}
         assert all(e["iteration"] % 64 == 0 for e in energies)
         assert tr.as_dict()  # trace object collected the same pairs
+
+
+class TestAnalyticSup:
+    def test_analytic_bound_descends_and_converges(self):
+        """sup_mode="analytic" (the true Geman-McClure Lipschitz bound
+        max|psi'| = 2/sigma) descends the SAME energy monotonically and
+        actually recovers a small shift where the reference's
+        over-conservative /sigma^2 bound (~20x smaller steps) barely
+        moves within the same budget. Ground-truth audit finding: the
+        reference's own BA, run as written, leaves the flow ~0 at its
+        default budgets."""
+        import jax.numpy as jnp
+        from scipy.ndimage import gaussian_filter, shift as ndshift
+
+        from tpuflow.pyramid.pyramid import dt_level, grad_level
+        from tpuflow.solvers.black_anandan import (
+            irls_energy,
+            irls_optical_flow_level,
+        )
+
+        rng = np.random.default_rng(1)
+        base = gaussian_filter(rng.uniform(0, 1, (80, 110)), 2.5)
+        prev = base[10:-10, 10:-10]
+        nxt = ndshift(base, (-0.4, 0.0), order=3)[10:-10, 10:-10]
+        gx, gy = grad_level(jnp.asarray(prev, jnp.float32))
+        it = dt_level(jnp.asarray(prev, jnp.float32),
+                      jnp.asarray(nxt, jnp.float32))
+        z = jnp.zeros_like(gx)
+        args = (5.0, 1.0, float(0.2 / np.sqrt(2)),
+                float(0.03 / np.sqrt(2)), 2048, 1e-12, 0)
+        u_r, v_r, _, _, _ = irls_optical_flow_level(z, z, gx, gy, it,
+                                                    *args)
+        u_a, v_a, _, _, trace = irls_optical_flow_level(
+            z, z, gx, gy, it, *args, sup_mode="analytic")
+        m = (slice(12, -12), slice(12, -12))
+        # The analytic step moves much farther toward the true flow...
+        med_r = float(np.median(np.asarray(v_r)[m]))
+        med_a = float(np.median(np.asarray(v_a)[m]))
+        assert med_a < med_r < 0.001  # true v is -0.4
+        assert med_a < 10 * med_r
+        # ...while reaching a LOWER value of the same energy...
+        E_r = float(irls_energy(u_r, v_r, gx, gy, it, *args[:4]))
+        E_a = float(irls_energy(u_a, v_a, gx, gy, it, *args[:4]))
+        assert E_a < E_r
+        # ...monotonically (E(n) trace non-increasing).
+        tr = np.asarray(trace)
+        tr = tr[np.isfinite(tr)]
+        assert np.all(np.diff(tr) <= 1e-7)
+
+    def test_unknown_sup_mode_rejected(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from tpuflow.solvers.black_anandan import irls_sup
+
+        with pytest.raises(ValueError, match="sup_mode"):
+            irls_sup(jnp.ones((4, 4)), jnp.ones((4, 4)), 5.0, 1.0,
+                     0.1, 0.1, "fast")

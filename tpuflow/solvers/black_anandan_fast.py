@@ -44,7 +44,7 @@ from tpuflow.solvers.black_anandan import (
 
 @partial(jax.jit, static_argnames=("iter_max", "is_level0", "sigma_d",
                                    "sigma_s", "fuse", "tile_h", "tile_w",
-                                   "interpret"))
+                                   "interpret", "sup_mode"))
 def irls_level_fast(
     u0, v0, gx, gy, it,
     sigma_d: float, sigma_s: float,
@@ -55,6 +55,7 @@ def irls_level_fast(
     tile_h: int = 256,
     tile_w: int = 512,
     interpret: bool = False,
+    sup_mode: str = "reference",
 ):
     """One level: blocks of ``fuse`` fused sweeps + energy stop tests.
 
@@ -63,7 +64,8 @@ def irls_level_fast(
     path's version of the reference's E(n) telemetry
     (OpticalFlow.cpp:261-265); NaN past the stopping point.
     """
-    sup_x, sup_y = irls_sup(gx, gy, LAMBDA_D, LAMBDA_S, sigma_d, sigma_s)
+    sup_x, sup_y = irls_sup(gx, gy, LAMBDA_D, LAMBDA_S, sigma_d, sigma_s,
+                            sup_mode)
     check_every = 64 if is_level0 else fuse
     blocks_per_check = max(check_every // fuse, 1)
     n_blocks = -(-iter_max // fuse)
@@ -127,8 +129,13 @@ def optical_flow_pyramid_fast(
     tile_w: int = 512,
     interpret: bool = False,
     energy_trace=None,
+    sup_mode: str = "reference",
 ):
-    """Coarse-to-fine Black-Anandan flow on the fused Pallas sweep."""
+    """Coarse-to-fine Black-Anandan flow on the fused Pallas sweep.
+
+    ``sup_mode="analytic"`` takes the true Geman-McClure Lipschitz bound
+    (~20x the reference's descent rate, same minimizer) — see
+    :func:`tpuflow.solvers.black_anandan.irls_sup`."""
     if param is None:
         param = MultipleMotionParam()
     max_level = param.level
@@ -164,7 +171,7 @@ def optical_flow_pyramid_fast(
         u_l, v_l, _, _, trace = irls_level_fast(
             u0, v0, gx, gy, it_l, float(sigma_d), float(sigma_s),
             iters, param.error_min_threshold, level == 0,
-            fuse, tile_h, tile_w, interpret)
+            fuse, tile_h, tile_w, interpret, sup_mode)
         _emit_energy_trace_fast(level, trace, 64 if level == 0 else fuse,
                                 energy_trace)
         if level < max_level:
