@@ -124,6 +124,26 @@ class TestDistributedSolvers:
         np.testing.assert_allclose(np.asarray(u4), np.asarray(u1),
                                    rtol=1e-9, atol=1e-11)
 
+    def test_irls_analytic_sup_equivalence(self):
+        """sup_mode="analytic" (the true Geman-McClure Lipschitz bound)
+        matches between the sharded and single-device levels too."""
+        mesh = make_mesh(4)
+        h, w = 16, 16
+        gx = jnp.asarray(rng.normal(size=(h, w)))
+        gy = jnp.asarray(rng.normal(size=(h, w)))
+        it = jnp.asarray(0.1 * rng.normal(size=(h, w)))
+        z = jnp.zeros((h, w))
+        u1, v1, _, _, _ = irls_optical_flow_level(
+            z, z, gx, gy, it, LAMBDA_D, LAMBDA_S, 0.14, 0.02, 70, 1e-6,
+            True, "analytic")
+        u4, v4 = irls_level_sharded(
+            z, z, gx, gy, it, mesh, LAMBDA_D, LAMBDA_S, 0.14, 0.02, 70,
+            1e-6, True, sup_mode="analytic")
+        np.testing.assert_allclose(np.asarray(u4), np.asarray(u1),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(v4), np.asarray(v1),
+                                   rtol=1e-9, atol=1e-11)
+
 
 class TestFusedSharded:
     def test_fused_matches_unfused(self):

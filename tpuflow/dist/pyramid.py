@@ -53,6 +53,7 @@ def optical_flow_pyramid_sharded(
     iter_max: int = -1,
     fuse: int = 0,
     interpret: bool = False,
+    sup_mode: str = "reference",
 ):
     """Multi-chip Black-Anandan coarse-to-fine flow. Returns (u, v)
     sharded over the ("ty", "tx") mesh at full resolution.
@@ -63,7 +64,9 @@ def optical_flow_pyramid_sharded(
     level whose tiles fit the fused halo — identical descent, early-stop
     checks at the :func:`tpuflow.solvers.black_anandan_fast` cadence.
     ``fuse = 0`` exchanges a 1-px halo every iteration (the reference's
-    exact stopping semantics on every level)."""
+    exact stopping semantics on every level). ``sup_mode="analytic"``
+    takes the true Geman-McClure Lipschitz bound (~20x the descent
+    rate, same minimizer — tpuflow.solvers.black_anandan.irls_sup)."""
     if param is None:
         param = MultipleMotionParam()
     ty, tx = mesh.devices.shape
@@ -106,17 +109,18 @@ def optical_flow_pyramid_sharded(
             u_l, v_l = irls_level_sharded_fused(
                 z, z, gx, gy, it_l, mesh, LAMBDA_D, LAMBDA_S,
                 sigma_d, sigma_s, iters, param.error_min_threshold,
-                level == 0, fuse=fuse, interpret=interpret)
+                level == 0, fuse=fuse, interpret=interpret,
+                sup_mode=sup_mode)
         elif h % ty == 0 and w % tx == 0 and h // ty >= 2 and w // tx >= 2:
             u_l, v_l = irls_level_sharded(
                 z, z, gx, gy, it_l, mesh, LAMBDA_D, LAMBDA_S,
                 sigma_d, sigma_s, iters, param.error_min_threshold,
-                level == 0)
+                level == 0, sup_mode=sup_mode)
         else:
             # Tiny level: replicate (single-program, all devices identical).
             u_l, v_l, _, _, _ = irls_optical_flow_level(
                 z, z, gx, gy, it_l, LAMBDA_D, LAMBDA_S, sigma_d, sigma_s,
-                iters, param.error_min_threshold, level == 0)
+                iters, param.error_min_threshold, level == 0, sup_mode)
         if level < max_level:
             u_l, v_l = add_vector_offset(u_l, v_l, u, v)
         u, v = u_l, v_l

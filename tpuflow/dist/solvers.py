@@ -342,11 +342,29 @@ def _neighbor_terms(u_p, v_p, u, v, sigma_s, mask_l, mask_r, mask_t, mask_b,
     return nx, ny
 
 
+
+
+def _sup_sharded(g_t, lambda_d: float, lambda_s: float, sigma_d: float,
+                 sigma_s: float, sup_mode: str):
+    """Distributed sup_Error_uu: pmax over the mesh, then the same
+    bound as tpuflow.solvers.black_anandan.irls_sup (``"reference"``
+    keeps the reference's over-conservative /sigma^2 form bit-parity;
+    ``"analytic"`` takes the true Geman-McClure curvature bound 2/sigma
+    — same minimizer, ~20x the descent rate)."""
+    gmax = lax.pmax(lax.pmax(jnp.max(g_t * g_t), "tx"), "ty")
+    if sup_mode == "analytic":
+        return (lambda_d * gmax * (2.0 / sigma_d)
+                + 4.0 * lambda_s * (2.0 / sigma_s))
+    if sup_mode != "reference":
+        raise ValueError(f"unknown sup_mode {sup_mode!r}")
+    return lambda_d * gmax / sigma_d**2 + 4.0 * lambda_s / sigma_s**2
+
 @functools.lru_cache(maxsize=64)
 def _irls_sharded_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
                      lambda_s: float, sigma_d: float, sigma_s: float,
                      iter_max: int, error_min_threshold: float,
-                     is_level0: bool, energy_every: int):
+                     is_level0: bool, energy_every: int,
+                     sup_mode: str = "reference"):
     def tile_body(u0_t, v0_t, gx_t, gy_t, it_t):
         th, tw = gx_t.shape
         iy = lax.axis_index("ty")
@@ -358,10 +376,10 @@ def _irls_sharded_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
         mask_t = jnp.broadcast_to(yg > 0, (th, tw))
         mask_b = jnp.broadcast_to(yg < h - 1, (th, tw))
 
-        sup_x = (lambda_d * lax.pmax(lax.pmax(jnp.max(gx_t * gx_t), "tx"), "ty")
-                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
-        sup_y = (lambda_d * lax.pmax(lax.pmax(jnp.max(gy_t * gy_t), "tx"), "ty")
-                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
+        sup_x = _sup_sharded(gx_t, lambda_d, lambda_s, sigma_d, sigma_s,
+                             sup_mode)
+        sup_y = _sup_sharded(gy_t, lambda_d, lambda_s, sigma_d, sigma_s,
+                             sup_mode)
 
         def energy(u, v):
             u_p = halo_pad_2d(u, 1)
@@ -414,6 +432,7 @@ def irls_level_sharded(
     lambda_d: float, lambda_s: float, sigma_d: float, sigma_s: float,
     iter_max: int, error_min_threshold: float, is_level0: bool,
     energy_every: int = 64,
+    sup_mode: str = "reference",
 ):
     """Distributed IRLS relaxation level, semantics of
     IRLS_OpticalFlow_Pyramid (OpticalFlow.cpp:213-270) over the mesh.
@@ -430,7 +449,7 @@ def irls_level_sharded(
     f = _irls_sharded_fn(mesh, h, w, float(lambda_d), float(lambda_s),
                          float(sigma_d), float(sigma_s), int(iter_max),
                          float(error_min_threshold), bool(is_level0),
-                         int(energy_every))
+                         int(energy_every), sup_mode)
     return f(*args)
 
 
@@ -439,7 +458,7 @@ def _irls_sharded_fused_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
                            lambda_s: float, sigma_d: float, sigma_s: float,
                            iter_max: int, error_min_threshold: float,
                            is_level0: bool, fuse: int, use_pallas: bool,
-                           interpret: bool):
+                           interpret: bool, sup_mode: str = "reference"):
     from tpuflow.kernels.irls_stencil import (
         _irls_sweeps,
         _nb_masks,
@@ -461,10 +480,10 @@ def _irls_sharded_fused_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
         mask_t = jnp.broadcast_to(yg > 0, (th, tw))
         mask_b = jnp.broadcast_to(yg < h - 1, (th, tw))
 
-        sup_x = (lambda_d * lax.pmax(lax.pmax(jnp.max(gx_t * gx_t), "tx"), "ty")
-                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
-        sup_y = (lambda_d * lax.pmax(lax.pmax(jnp.max(gy_t * gy_t), "tx"), "ty")
-                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
+        sup_x = _sup_sharded(gx_t, lambda_d, lambda_s, sigma_d, sigma_s,
+                             sup_mode)
+        sup_y = _sup_sharded(gy_t, lambda_d, lambda_s, sigma_d, sigma_s,
+                             sup_mode)
 
         def energy(u, v):
             u_p = halo_pad_2d(u, 1)
@@ -536,6 +555,7 @@ def irls_level_sharded_fused(
     fuse: int = 16,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    sup_mode: str = "reference",
 ):
     """Distributed IRLS level with ``fuse`` sweeps per halo exchange and
     Pallas tile bodies — the multi-chip analogue of
@@ -564,5 +584,6 @@ def irls_level_sharded_fused(
     f = _irls_sharded_fused_fn(mesh, h, w, float(lambda_d), float(lambda_s),
                                float(sigma_d), float(sigma_s), int(iter_max),
                                float(error_min_threshold), bool(is_level0),
-                               int(fuse), bool(use_pallas), bool(interpret))
+                               int(fuse), bool(use_pallas), bool(interpret),
+                               sup_mode)
     return f(*args)
