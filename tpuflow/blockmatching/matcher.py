@@ -331,11 +331,11 @@ def _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions: int,
     rounded on entry, so region sums keep f32 carry error ~0.4%/sqrt(N)
     — winners agree with the f32 evaluator except at near-ties (which
     the subpixel stage re-scores in f32 anyway). Measured NEUTRAL at
-    KITTI-res region counts (0.445 vs 0.448 s/direction device rate,
-    61x61 grid, 384-region bucket — scripts/r2_bm_bf16_ab.py): there
-    the evaluator is bound by the field build + transposes, not the
-    MXU, so the bf16 systolic rate only pays at much larger region
-    counts."""
+    KITTI-res region counts (0.240 f32 vs 0.247 s/direction device
+    rate after the round-3 zero-pad rework shrank the per-candidate
+    matmul to 4 channels — scripts/r2_bm_bf16_ab.py): the evaluator is
+    bound by the field build + slices, not the MXU, so the bf16
+    systolic rate only pays at much larger region counts."""
     dt = cur_lab.dtype
     CH = chunk
     R = radius
