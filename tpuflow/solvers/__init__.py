@@ -30,3 +30,9 @@ from tpuflow.solvers.mestimators import (  # noqa: F401
     lorentzian_psi,
     lorentzian_rho,
 )
+from tpuflow.solvers.bm_flow import (  # noqa: F401
+    affine_parametric_flow,
+    gradient_method_flow,
+    optical_flow_block_matching,
+    optical_flow_block_matching_async,
+)
