@@ -243,17 +243,17 @@ def search_candidates(search_range: int) -> np.ndarray:
 def _padded_candidates(search_range: int, chunk: int, n_shards: int = 1):
     """The (2R+1)^2 grid padded so each of ``n_shards`` devices holds a
     chunk-multiple slice ((0, 0) fillers, discarded after scoring).
-    Returns (cand (n_padded, 2) device array, n_cand). The one copy of
-    the padding arithmetic shared by the single-device and
-    candidate-parallel matchers."""
+    Returns the padded (n_padded, 2) device array — the one copy of the
+    padding arithmetic shared by the single-device and
+    candidate-parallel matchers (the scoring tail rederives the true
+    candidate count from search_range itself)."""
     cand_np = search_candidates(search_range)
     n_cand = cand_np.shape[0]
     per = -(-n_cand // n_shards)
     per = -(-per // chunk) * chunk
     pad = per * n_shards - n_cand
-    cand = jnp.asarray(
+    return jnp.asarray(
         np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
-    return cand, n_cand
 
 
 def _argmin_and_refine(costs, cur_lab, ref_lab, labels, perm, bounds,
@@ -641,7 +641,7 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     (wider amortizes the gather / widens the matmul RHS)."""
     if method.startswith("matmul"):
         chunk = max(chunk, 64)
-    cand, _ = _padded_candidates(search_range, chunk)
+    cand = _padded_candidates(search_range, chunk)
     if method.startswith("matmul"):
         mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
         costs = _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions,
@@ -670,7 +670,7 @@ def _match_two_directions(cur_lab, refp_lab, refn_lab, labels, perm,
     argmin + subpixel refinement. Each direction's output is
     bitwise-equal to its single-direction program."""
     chunk = max(chunk, 64)
-    cand, _ = _padded_candidates(search_range, chunk)
+    cand = _padded_candidates(search_range, chunk)
     mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
     costs_pair = _integer_costs_matmul_bidi(
         cur_lab, refp_lab, refn_lab, labels, n_regions, cand, coeff_mad,

@@ -87,8 +87,8 @@ def _match_device_sharded(cur_lab, ref_lab, labels, n_regions: int,
     # discarded after the all-gather — global order is preserved), and
     # bucket the region count like the single-device matcher (stable
     # jit signature across frames).
-    cand, _ = _padded_candidates(search_range, chunk,
-                                 int(np.prod(mesh.devices.shape)))
+    cand = _padded_candidates(search_range, chunk,
+                              int(np.prod(mesh.devices.shape)))
     perm, bounds = region_reduction_plan(np.asarray(labels),
                                          int(n_regions))
     n_pad_r = region_bucket(int(n_regions))
@@ -161,8 +161,8 @@ def _match_device_sharded_bidirectional(cur_lab, refp_lab, refn_lab,
                                       coeff_mad, coeff_zncc,
                                       subpixel_scale, chunk, method))
     chunk = max(chunk, 64)
-    cand, _ = _padded_candidates(search_range, chunk,
-                                 int(np.prod(mesh.devices.shape)))
+    cand = _padded_candidates(search_range, chunk,
+                              int(np.prod(mesh.devices.shape)))
     perm, bounds = region_reduction_plan(np.asarray(labels),
                                          int(n_regions))
     n_pad_r = region_bucket(int(n_regions))

@@ -183,10 +183,12 @@ def bm_flow_stream(
     (:func:`tpuflow.solvers.bm_flow.optical_flow_block_matching_async`),
     so the output fetch and host labeling hide behind device work.
 
-    Yields :class:`BMFlowOutput` per frame pair (the first yields after
-    two frames; from the third frame on the estimate is bidirectional
-    for the middle frame, like the reference's frame loop,
-    Scratch_MeaningfulMotion.cpp:544-552). ``driver_kwargs`` pass
+    Yields :class:`BMFlowOutput` per frame pair, lagged one frame by
+    the dispatch-ahead pipeline: pair (f0, f1)'s output is yielded when
+    frame f2 arrives (or the iterable ends), so first-result latency is
+    three frames. From the second pair on the estimate is bidirectional
+    for the middle frame, like the reference's frame loop
+    (Scratch_MeaningfulMotion.cpp:544-552). ``driver_kwargs`` pass
     through to the driver (iter_max, search_range, kernel_spatial,
     kernel_intensity, subpixel_scale, mesh, bm_method, mode, param).
 
@@ -200,7 +202,6 @@ def bm_flow_stream(
     pending = None
     pending_frame = -1
     prev = None
-    i = 0
     for i, frame in enumerate(frames):
         frame = np.asarray(frame)
         if prev is not None:

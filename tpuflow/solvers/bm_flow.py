@@ -1048,7 +1048,8 @@ def optical_flow_block_matching(
     (dispatch + immediate fetch; see there for the parameter surface
     and the steady-state pipelining design)."""
     finalize, state = optical_flow_block_matching_async(
-        it_rgb, itp1_rgb, max_int, param, mode, iter_max, state,
-        search_range, kernel_spatial, kernel_intensity, subpixel_scale,
-        mesh, bm_method)
+        it_rgb, itp1_rgb, max_int, param=param, mode=mode,
+        iter_max=iter_max, state=state, search_range=search_range,
+        kernel_spatial=kernel_spatial, kernel_intensity=kernel_intensity,
+        subpixel_scale=subpixel_scale, mesh=mesh, bm_method=bm_method)
     return finalize(), state
