@@ -15,7 +15,12 @@ shifts) + a static core slice: wrap garbage stays inside the halo
 margin (halo >= E), exactly like the HS roll kernel
 (tpuflow/kernels/hs_stencil.py). Math is identical to the jnp filter
 (flat kernels, same accumulation order over the offset grid) — pinned
-by an interpret-mode equivalence test.
+by an interpret-mode equivalence test. NOTE: this kernel sweeps the
+full (2E+1)^2 square while the jnp filter sweeps the banded disc
+(meanshift._ms_bands); the two differ only at out-of-contract
+(drift > margin) outlier queries, where both windows are truncated
+approximations — the pinned test's in-contract data is bitwise-equal
+either way.
 
 Reference behavior: Segmentation<Lab> construction
 (OpticalFlow_BlockMatching.cpp:122-135; SURVEY.md §2.4).

@@ -51,6 +51,43 @@ def _color_sentinel(lab: jnp.ndarray, kernel_intensity: float):
         float(kernel_intensity) + 1.0, lab.dtype)).astype(lab.dtype)
 
 
+def _ms_bands(E_k: int, quant: int = 4) -> tuple[tuple[int, int, int], ...]:
+    """Banded-disc offset window: contiguous dy runs with constant
+    quantized x-half-width.
+
+    The spatial kernel test is Euclidean: within the drift contract
+    (|drift| <= margin) a data point at static offset (dx, dy) can only
+    pass ``d_sp <= R^2`` when |(dx, dy)| <= R + drift <= E — so the DISC
+    of radius E around the origin is the exact sound superset of the
+    square sweep (the square's corner offsets contribute exact +0.0 for
+    every in-contract query; they only ever fired for out-of-contract
+    drift>margin outliers, where the window is truncated/approximate
+    either way). Restricting the sweep to the disc cuts ~21.5% of the
+    offsets (pi/4). Bands quantize the per-row half-width UP to a
+    multiple of ``quant`` so XLA sees ~21 loop nests instead of 648
+    unrolled bodies (full unroll measured 37 s/run; per-dy exact widths
+    measured no better than q=4). Measured at KITTI res R=20:
+    0.406 s (square) -> 0.352 s (q=4), outputs bitwise-equal on the A/B
+    frame (scripts/r3_ms_disc_ab.py).
+
+    Returns (dy_lo, dy_hi, half_width) runs in ascending dy order, so
+    the row-major accumulation order of the kept offsets is preserved
+    and the sums are bitwise the square sweep's wherever the dropped
+    offsets weigh zero.
+    """
+    import math
+
+    bands: list[list[int]] = []
+    for dy in range(-E_k, E_k + 1):
+        wdx = math.isqrt(E_k * E_k - dy * dy)
+        wg = min(E_k, ((wdx + quant - 1) // quant) * quant)
+        if bands and bands[-1][2] == wg:
+            bands[-1][1] = dy
+        else:
+            bands.append([dy, dy, wg])
+    return tuple(tuple(b) for b in bands)
+
+
 def _ms_window(it: int, R: int, E: int) -> int:
     """Offset-window half-width for mean-shift iteration ``it``.
 
@@ -79,48 +116,55 @@ def _ms_step(labh, state, xs, ys, E: int, E_k: int,
     Nested row/column loops: the y-part of the spatial test and the
     row-band slices hoist to the dy loop (the row-major offset order is
     preserved, so the sums are bitwise the flat loop's — measured
-    0.63 -> 0.48 s at KITTI res R=20)."""
+    0.63 -> 0.48 s at KITTI res R=20). The sweep covers the banded DISC
+    of radius E_k (:func:`_ms_bands`) rather than the full square —
+    the square's corner offsets are exact +0.0 for every in-contract
+    query (measured 0.406 -> 0.352 s)."""
     ex, ey, c0, c1, c2 = state
     h, w = ex.shape
     dt = ex.dtype
-    span = 2 * E_k + 1
 
-    def outer(i, acc):
-        dy = i - E_k
-        dyf = dy.astype(dt)
-        ty2 = (dyf - ey) ** 2
-        b0 = jax.lax.dynamic_slice(labh[0], (E + dy, 0), (h, w + 2 * E))
-        b1 = jax.lax.dynamic_slice(labh[1], (E + dy, 0), (h, w + 2 * E))
-        b2 = jax.lax.dynamic_slice(labh[2], (E + dy, 0), (h, w + 2 * E))
+    acc = tuple(jnp.zeros((h, w), dt) for _ in range(6))
+    for dy_lo, dy_hi, wg in _ms_bands(E_k):
 
-        def inner(j, acc):
-            s_dx, s_dy, s0, s1, s2, s_n = acc
-            dx = j - E_k
-            dxf = dx.astype(dt)
-            # Data point at the static offset from the ORIGIN pixel:
-            q0 = jax.lax.dynamic_slice(b0, (0, E + dx), (h, w))
-            q1 = jax.lax.dynamic_slice(b1, (0, E + dx), (h, w))
-            q2 = jax.lax.dynamic_slice(b2, (0, E + dx), (h, w))
-            d_sp = (dxf - ex) ** 2 + ty2
-            d_cl = (q0 - c0) ** 2 + (q1 - c1) ** 2 + (q2 - c2) ** 2
-            wgt = jnp.where((d_sp <= hs2) & (d_cl <= hr2), 1.0, 0.0
-                            ).astype(dt)
-            # dx/dy are scalars: accumulating wgt*d instead of
-            # wgt*(origin+d) drops the per-offset coordinate builds.
-            return (s_dx + wgt * dxf, s_dy + wgt * dyf,
-                    s0 + wgt * q0, s1 + wgt * q1, s2 + wgt * q2,
-                    s_n + wgt)
+        def outer(i, acc, dy_lo=dy_lo, wg=wg):
+            dy = i + dy_lo
+            dyf = dy.astype(dt)
+            ty2 = (dyf - ey) ** 2
+            # Full-width row band: the column-0 start keeps the slice
+            # lane-aligned (a trimmed E-wg start column measured 22x
+            # SLOWER — relayout copies per band).
+            b0 = jax.lax.dynamic_slice(labh[0], (E + dy, 0), (h, w + 2 * E))
+            b1 = jax.lax.dynamic_slice(labh[1], (E + dy, 0), (h, w + 2 * E))
+            b2 = jax.lax.dynamic_slice(labh[2], (E + dy, 0), (h, w + 2 * E))
 
-        # unroll: XLA fuses 8 offsets' slices + tests into one kernel
-        # per carry round-trip — fusing 8 offsets cuts the carry's HBM
-        # traffic ~5x; beyond that the sweep is VPU-compute-bound
-        # (unroll 16/32 measured 0.67/0.75 s vs 0.64 — register
-        # pressure).
-        return jax.lax.fori_loop(0, span, inner, acc, unroll=8)
+            def inner(j, acc):
+                s_dx, s_dy, s0, s1, s2, s_n = acc
+                dx = j - wg
+                dxf = dx.astype(dt)
+                # Data point at the static offset from the ORIGIN pixel:
+                q0 = jax.lax.dynamic_slice(b0, (0, E + dx), (h, w))
+                q1 = jax.lax.dynamic_slice(b1, (0, E + dx), (h, w))
+                q2 = jax.lax.dynamic_slice(b2, (0, E + dx), (h, w))
+                d_sp = (dxf - ex) ** 2 + ty2
+                d_cl = (q0 - c0) ** 2 + (q1 - c1) ** 2 + (q2 - c2) ** 2
+                wgt = jnp.where((d_sp <= hs2) & (d_cl <= hr2), 1.0, 0.0
+                                ).astype(dt)
+                # dx/dy are scalars: accumulating wgt*d instead of
+                # wgt*(origin+d) drops the per-offset coordinate builds.
+                return (s_dx + wgt * dxf, s_dy + wgt * dyf,
+                        s0 + wgt * q0, s1 + wgt * q1, s2 + wgt * q2,
+                        s_n + wgt)
 
-    z = jnp.zeros((h, w), dt)
-    s_dx, s_dy, s0, s1, s2, s_n = jax.lax.fori_loop(
-        0, span, outer, (z, z, z, z, z, z))
+            # unroll: XLA fuses 8 offsets' slices + tests into one kernel
+            # per carry round-trip — fusing 8 offsets cuts the carry's HBM
+            # traffic ~5x; beyond that the sweep is VPU-compute-bound
+            # (unroll 16/32 measured 0.67/0.75 s vs 0.64 — register
+            # pressure).
+            return jax.lax.fori_loop(0, 2 * wg + 1, inner, acc, unroll=8)
+
+        acc = jax.lax.fori_loop(0, dy_hi - dy_lo + 1, outer, acc)
+    s_dx, s_dy, s0, s1, s2, s_n = acc
     n = jnp.maximum(s_n, 1.0)
     # Mean position = origin + mean offset: the drift carries the small
     # quantity directly (no large-coordinate cancellation). The
