@@ -20,6 +20,28 @@ def _two_region_rgb(h=40, w=60, split=30, seed=0):
 
 
 class TestMeanShift:
+    def test_ms_bands_cover_disc(self):
+        """The banded offset window (meanshift._ms_bands) is a sound
+        superset of the Euclidean disc: every |offset| <= E_k is swept,
+        the dy runs tile [-E_k, E_k] contiguously in ascending order
+        (preserving the row-major accumulation order), and widths never
+        exceed the square's."""
+        import math
+
+        from tpuflow.segmentation.meanshift import _ms_bands
+
+        for E_k in (1, 2, 3, 5, 8, 20, 40):
+            bands = _ms_bands(E_k)
+            assert bands[0][0] == -E_k and bands[-1][1] == E_k
+            prev_hi = None
+            for dy_lo, dy_hi, wg in bands:
+                assert dy_lo <= dy_hi and 0 <= wg <= E_k
+                if prev_hi is not None:
+                    assert dy_lo == prev_hi + 1
+                prev_hi = dy_hi
+                for dy in range(dy_lo, dy_hi + 1):
+                    assert wg >= math.isqrt(E_k * E_k - dy * dy)
+
     def test_filter_converges_within_regions(self):
         import jax.numpy as jnp
 
