@@ -64,10 +64,31 @@ def _load_gray_pair(prev_path, next_path, video=None):
 
     def gray(a):
         if a.ndim == 3:
-            return np.asarray(rgb_to_gray(jnp.asarray(a, jnp.float64)))
+            return _cvt_gray_fixed(a)
         return np.asarray(a, np.float64)
 
     return prev, nxt, gray(prev), gray(nxt)
+
+
+def _cvt_gray_fixed(rgb: np.ndarray) -> np.ndarray:
+    """BT.601 gray with OpenCV's fixed-point rounding.
+
+    The reference demos preprocess with ``cvtColor(..., COLOR_BGR2GRAY)``
+    (HornSchunckOF/main.cpp:11-26), whose 8-bit path is the shift-15
+    fixed-point luma ``(9798 R + 19235 G + 3735 B + 2^14) >> 15`` — NOT
+    float BT.601 rounded (the two differ on ~300 of 466k pixels per
+    bundled frame at .5 ties). Matching it exactly makes the whole demo
+    pipeline reproduce the repository's committed result images
+    bit-for-bit (img/resimage/*hsbresenhamLineFlow.png — see
+    tests/test_demos.py::test_hs_demo_reproduces_committed_golden_image).
+    Non-integral inputs (already-filtered floats) keep the float luma."""
+    arr = np.asarray(rgb, np.float64)
+    ints = np.rint(arr)
+    if not (arr == ints).all():
+        return np.asarray(rgb_to_gray(jnp.asarray(arr, jnp.float64)))
+    r, g, b = (ints[..., i].astype(np.int64) for i in range(3))
+    return ((9798 * r + 19235 * g + 3735 * b + (1 << 14)) >> 15
+            ).astype(np.float64)
 
 
 def demo_horn_schunck(
