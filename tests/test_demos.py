@@ -93,6 +93,54 @@ class TestDemos:
                            outlier=5.0)
         np.testing.assert_array_equal(ours, np.asarray(Image.open(golden)))
 
+    @pytest.mark.parametrize("pair", ["000040", "000050"])
+    def test_fb_demo_render_reproduces_committed_golden(self, pair):
+        """The FarnebackOF repository commits its demo renders
+        (image/res_img/*_Farneback-64.png). Our OpenCV-style quiver
+        (viz.quiver.plot_quiver_cv — from-scratch replication of
+        cv::line LINE_8 + clipLine + cv::circle) fed with OpenCV's own
+        flow values reproduces them BIT-FOR-BIT, pinning the demo's
+        drawing conventions (next-frame canvas, 10-px grid, x10 scale,
+        cvRound endpoints, blue lines, radius-0 red dots,
+        FarnebackOF.cpp:25-44) against artifacts of the original
+        author's build. tpuflow's own Farneback intentionally draws
+        shorter lines here — it tracks the true flow more closely than
+        OpenCV's biased demo-config output
+        (test_farneback_ground_truth_beats_opencv)."""
+        cv2 = pytest.importorskip("cv2")
+        from PIL import Image
+
+        from tpuflow.viz.quiver import plot_quiver_cv
+
+        left = REFERENCE / "FarnebackOF/image/left_img"
+        golden = (REFERENCE /
+                  f"FarnebackOF/image/res_img/{pair}_Farneback-64.png")
+        if not golden.exists():
+            pytest.skip("committed golden artifact absent")
+        prev = cv2.imread(str(left / f"{pair}_10.png"))
+        nxt = cv2.imread(str(left / f"{pair}_11.png"))
+        flow = cv2.calcOpticalFlowFarneback(
+            cv2.cvtColor(prev, cv2.COLOR_BGR2GRAY),
+            cv2.cvtColor(nxt, cv2.COLOR_BGR2GRAY),
+            None, 0.5, 1, 64, 2, 8, 1.6, 0)
+        ours = plot_quiver_cv(nxt[..., ::-1].copy(), flow[..., 0],
+                              flow[..., 1], delta=10, scale=10.0,
+                              line_color=(0, 0, 255), dot_color=(255, 0, 0),
+                              dot_radius=0)
+        np.testing.assert_array_equal(ours, np.asarray(Image.open(golden)))
+
+    def test_fb_branch_overlay_written(self, tmp_path):
+        """write_matrices (the HS-demo "fb" branch) also writes the
+        plotFlow-style fbbresenhamLineFlow.png (main.cpp:118-119)."""
+        from tpuflow.pipeline.demos import demo_farneback_pair
+
+        prefix = str(tmp_path) + "/"
+        demo_farneback_pair(*PAIR, prefix, pyr_scale=0.5, levels=3,
+                            winsize=15, iterations=3, poly_n=5,
+                            poly_sigma=1.2, write_matrices=True)
+        assert (tmp_path / "fbbresenhamLineFlow.png").exists()
+        assert (tmp_path / "Farneback-15.png").exists()
+
     def test_lucas_kanade_demo(self, tmp_path):
         from tpuflow.pipeline.demos import demo_lucas_kanade
 

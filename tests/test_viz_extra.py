@@ -44,3 +44,39 @@ class TestMotionCompensation:
         comp = np.asarray(compensate(jnp.asarray(nxt), u,
                                      jnp.zeros((30, 40))))
         np.testing.assert_allclose(comp[:, 5:-5], base[:, 5:-5], atol=1e-9)
+
+
+class TestCvPrimitives:
+    """The from-scratch OpenCV drawing primitives in viz.quiver are
+    pinned pixel-for-pixel against the in-environment OpenCV build —
+    they are what lets the demo renders reproduce the reference
+    repository's committed result images bit-exactly."""
+
+    def test_line_cv8_matches_opencv(self):
+        import pytest
+
+        cv2 = pytest.importorskip("cv2")
+        from tpuflow.viz.quiver import _draw_line_cv8
+
+        rng = np.random.default_rng(3)
+        for _ in range(400):
+            x0, y0, x1, y1 = (int(t) for t in rng.integers(-200, 400, 4))
+            ref = np.zeros((48, 64, 3), np.uint8)
+            cv2.line(ref, (x0, y0), (x1, y1), (255, 255, 255))
+            ours = np.zeros((48, 64, 3), np.uint8)
+            _draw_line_cv8(ours, x0, y0, x1, y1, (255, 255, 255))
+            np.testing.assert_array_equal(ours, ref)
+
+    def test_disc_footprints_match_opencv_circle(self):
+        import pytest
+
+        cv2 = pytest.importorskip("cv2")
+        from tpuflow.viz.quiver import _CV_DISC
+
+        for r, offs in _CV_DISC.items():
+            ref = np.zeros((9, 9, 3), np.uint8)
+            cv2.circle(ref, (4, 4), r, (255, 255, 255), -1)
+            ours = np.zeros((9, 9, 3), np.uint8)
+            for dx, dy in offs:
+                ours[4 + dy, 4 + dx] = 255
+            np.testing.assert_array_equal(ours, ref)

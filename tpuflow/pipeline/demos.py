@@ -28,7 +28,7 @@ import numpy as np
 
 from tpuflow.core.color import rgb_to_gray
 from tpuflow.core.io import read_image, write_image, write_matrix_txt
-from tpuflow.viz.quiver import plot_quiver
+from tpuflow.viz.quiver import plot_quiver, plot_quiver_cv
 
 
 def _read_video_frames(video_path, frame_prev: int, frame_next: int):
@@ -154,8 +154,22 @@ def demo_farneback_pair(
     if write_matrices:
         write_matrix_txt(f"{save_prefix}uMatrixFB.txt", u, "u_matrix")
         write_matrix_txt(f"{save_prefix}vMatrixFB.txt", v, "v_matrix")
-    quiver = plot_quiver(next_raw, u, v, delta=delta, scale=scale,
-                         outlier=0)
+        # The HS-demo "fb" branch also draws the plotFlow-style overlay
+        # on the PREV frame: plotBresenhamLine(v, u, 20, 300, 5)
+        # (main.cpp:118-119 — the swapped argument order is CORRECT for
+        # that plotter's row-first convention, unlike the "hs" branch).
+        write_image(f"{save_prefix}fbbresenhamLineFlow.png",
+                    plot_quiver(prev_raw, u, v, delta=20, scale=300.0,
+                                outlier=5))
+    # FarnebackOF.cpp:25-44 draws OpenCV-style on the NEXT frame: blue
+    # thickness-1 cv::lines to cvRound'ed endpoints + radius-0 red dots
+    # at the grid points. plot_quiver_cv replicates cv::line/cv::circle
+    # bit-for-bit, so with OpenCV's own flow values this reproduces the
+    # repository's committed res_img artifacts exactly
+    # (tests/test_demos.py::test_fb_demo_render_reproduces_committed_golden).
+    quiver = plot_quiver_cv(next_raw, u, v, delta=delta, scale=scale,
+                            line_color=(0, 0, 255), dot_color=(255, 0, 0),
+                            dot_radius=0)
     write_image(f"{save_prefix}Farneback-{winsize}.png", quiver)
     return u, v
 

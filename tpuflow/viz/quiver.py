@@ -54,6 +54,125 @@ def _draw_line(img: np.ndarray, x0: int, y0: int, x1: int, y1: int,
                 r -= dy
 
 
+def _clip_line_cv(w: int, h: int, x1: int, y1: int, x2: int, y2: int):
+    """OpenCV ``clipLine``: two-phase (rows then columns) Cohen-Sutherland
+    with double-precision truncating interpolation — replicated exactly so
+    :func:`_draw_line_cv8` matches ``cv::line`` pixel-for-pixel on
+    out-of-frame endpoints (pinned by tests/test_viz_extra.py against the
+    in-environment OpenCV)."""
+    right, bottom = w - 1, h - 1
+    c1 = (x1 < 0) + (x1 > right) * 2 + (y1 < 0) * 4 + (y1 > bottom) * 8
+    c2 = (x2 < 0) + (x2 > right) * 2 + (y2 < 0) * 4 + (y2 > bottom) * 8
+    if (c1 & c2) == 0 and (c1 | c2) != 0:
+        if c1 & 12:
+            a = 0 if c1 < 8 else bottom
+            x1 += int(float(a - y1) * (x2 - x1) / (y2 - y1))
+            y1 = a
+            c1 = (x1 < 0) + (x1 > right) * 2
+        if c2 & 12:
+            a = 0 if c2 < 8 else bottom
+            x2 += int(float(a - y2) * (x2 - x1) / (y2 - y1))
+            y2 = a
+            c2 = (x2 < 0) + (x2 > right) * 2
+        if (c1 & c2) == 0 and (c1 | c2) != 0:
+            if c1:
+                a = 0 if c1 == 1 else right
+                y1 += int(float(a - x1) * (y2 - y1) / (x2 - x1))
+                x1 = a
+                c1 = 0
+            if c2:
+                a = 0 if c2 == 1 else right
+                y2 += int(float(a - x2) * (y2 - y1) / (x2 - x1))
+                x2 = a
+                c2 = 0
+    return (c1 | c2) == 0, x1, y1, x2, y2
+
+
+def _draw_line_cv8(img: np.ndarray, x1: int, y1: int, x2: int, y2: int,
+                   color: tuple[int, int, int]) -> None:
+    """``cv::line`` thickness-1 LINE_8: OpenCV's LineIterator walk
+    (left-to-right normalization, error seed ``maj - 2*mino``, minor step
+    when the error is negative, both endpoints inclusive) after
+    :func:`_clip_line_cv`. Bit-identical to OpenCV's rasterizer."""
+    h, w = img.shape[:2]
+    if not (0 <= x1 < w and 0 <= y1 < h and 0 <= x2 < w and 0 <= y2 < h):
+        ok, x1, y1, x2, y2 = _clip_line_cv(w, h, x1, y1, x2, y2)
+        if not ok:
+            return
+    dx = x2 - x1
+    dy = y2 - y1
+    if dx < 0:
+        dx, dy = -dx, -dy
+        x1, y1 = x2, y2
+    sy = 1 if dy >= 0 else -1
+    dy = abs(dy)
+    if dy > dx:
+        maj, mino = dy, dx
+        mjx, mjy, mnx, mny = 0, sy, 1, 0
+    else:
+        maj, mino = dx, dy
+        mjx, mjy, mnx, mny = 1, 0, 0, sy
+    err = maj - 2 * mino
+    x, y = x1, y1
+    for _ in range(maj + 1):
+        img[y, x] = color
+        if err < 0:
+            err += 2 * maj - 2 * mino
+            x += mjx + mnx
+            y += mjy + mny
+        else:
+            err -= 2 * mino
+            x += mjx
+            y += mjy
+
+
+# cv::circle(..., radius, FILLED) footprints for the tiny radii the demos
+# use: radius 0 = one pixel (FarnebackOF.cpp:36 passes 0.5, truncated to 0
+# by the int parameter), radius 1 = the 5-pixel plus (DenseFlow.cpp:44).
+_CV_DISC = {0: ((0, 0),),
+            1: ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))}
+
+
+def plot_quiver_cv(
+    image: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    delta: int = 10,
+    scale: float = 10.0,
+    line_color: tuple[int, int, int] = (0, 0, 255),
+    dot_color: tuple[int, int, int] = (255, 0, 0),
+    dot_radius: int = 0,
+) -> np.ndarray:
+    """The OpenCV-demo quiver style, bit-identical to the reference
+    binaries' drawing: per grid point a thickness-1 8-connected
+    ``cv::line`` from (x, y) to ``cvRound(x + u*scale), cvRound(y +
+    v*scale)`` followed by a filled ``cv::circle`` at the grid point
+    (FarnebackOF.cpp:25-38: blue lines + radius-0 red dots;
+    VideoDenseOF/DenseFlow.cpp:40-46: blue lines + radius-1 black dots
+    on a 5-px grid). Colors are RGB. ``cvRound`` is round-half-to-even
+    (np.rint). Contrast :func:`plot_quiver`, which is the reference's
+    own plotFlow.cpp Bresenham style (truncating casts, endpoint
+    exclusive, outlier gate)."""
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    out = np.ascontiguousarray(img.astype(np.uint8).copy())
+    h, w = u.shape
+    disc = _CV_DISC[int(dot_radius)]
+    for y0 in range(0, h, delta):
+        for x0 in range(0, w, delta):
+            x1 = int(np.rint(x0 + u[y0, x0] * scale))
+            y1 = int(np.rint(y0 + v[y0, x0] * scale))
+            _draw_line_cv8(out, x0, y0, x1, y1, line_color)
+            for ddx, ddy in disc:
+                xx, yy = x0 + ddx, y0 + ddy
+                if 0 <= xx < w and 0 <= yy < h:
+                    out[yy, xx] = dot_color
+    return out
+
+
 def plot_quiver(
     image: np.ndarray,
     u: np.ndarray,
