@@ -71,12 +71,33 @@ class TestCvPrimitives:
         import pytest
 
         cv2 = pytest.importorskip("cv2")
-        from tpuflow.viz.quiver import _CV_DISC
+        from tpuflow.viz.quiver import _cv_disc
 
-        for r, offs in _CV_DISC.items():
-            ref = np.zeros((9, 9, 3), np.uint8)
-            cv2.circle(ref, (4, 4), r, (255, 255, 255), -1)
-            ours = np.zeros((9, 9, 3), np.uint8)
-            for dx, dy in offs:
-                ours[4 + dy, 4 + dx] = 255
+        for r in (0, 1, 2, 3):
+            ref = np.zeros((15, 15, 3), np.uint8)
+            cv2.circle(ref, (7, 7), r, (255, 255, 255), -1)
+            ours = np.zeros((15, 15, 3), np.uint8)
+            for dx, dy in _cv_disc(r):
+                ours[7 + dy, 7 + dx] = 255
             np.testing.assert_array_equal(ours, ref)
+
+    def test_draw_tracks_matches_opencv(self):
+        """draw_tracks_cv == the reference LK overlay loop
+        (LucasKanadeOF.cpp:83-87) rendered with OpenCV itself."""
+        import pytest
+
+        cv2 = pytest.importorskip("cv2")
+        from tpuflow.viz.quiver import draw_tracks_cv
+
+        rng = np.random.default_rng(9)
+        base = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+        p0 = rng.uniform(-10, 90, (25, 2)).astype(np.float32)
+        p1 = (p0 + rng.uniform(-15, 15, (25, 2))).astype(np.float32)
+        ref = np.ascontiguousarray(base[..., ::-1].copy())  # BGR canvas
+        for a, b in zip(p0, p1):
+            cv2.line(ref, (int(np.rint(a[0])), int(np.rint(a[1]))),
+                     (int(np.rint(b[0])), int(np.rint(b[1]))), (0, 0, 255))
+            cv2.circle(ref, (int(np.rint(b[0])), int(np.rint(b[1]))), 3,
+                       (0, 255, 0), -1)
+        ours = draw_tracks_cv(base, p0, p1)
+        np.testing.assert_array_equal(ours, ref[..., ::-1])

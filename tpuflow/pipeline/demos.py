@@ -28,7 +28,8 @@ import numpy as np
 
 from tpuflow.core.color import rgb_to_gray
 from tpuflow.core.io import read_image, write_image, write_matrix_txt
-from tpuflow.viz.quiver import plot_quiver, plot_quiver_cv
+from tpuflow.viz.quiver import (draw_tracks_cv, plot_quiver,
+                                plot_quiver_cv)
 
 
 def _read_video_frames(video_path, frame_prev: int, frame_next: int):
@@ -184,9 +185,12 @@ def demo_lucas_kanade(
     min_motion: float = 2.0,
 ):
     """LucasKanadeOF pair demo: seed, track, accept; returns
-    (points, new_points, accept_mask) and optionally writes an overlay of
-    the accepted tracks."""
-    prev_raw, _, prev_g, next_g = _load_gray_pair(prev_path, next_path)
+    (points, new_points, accept_mask) and optionally writes the
+    reference's track overlay — red cv::lines from each accepted
+    feature's initial to its tracked position + filled radius-3 green
+    cv::circles at the tracked positions, drawn on the CURRENT (next)
+    color frame (LucasKanadeOF.cpp:83-87)."""
+    _, next_raw, prev_g, next_g = _load_gray_pair(prev_path, next_path)
     from tpuflow.solvers import (
         accept_tracked_point,
         good_features_to_track,
@@ -200,16 +204,10 @@ def demo_lucas_kanade(
     accept = np.asarray(accept_tracked_point(pts, new_pts, status,
                                              min_motion))
     if save_path is not None:
-        overlay = prev_raw.copy() if prev_raw.ndim == 3 else \
-            np.stack([prev_raw] * 3, -1)
-        overlay = np.ascontiguousarray(overlay, np.uint8)
-        u = np.zeros(prev_g.shape)
-        v = np.zeros(prev_g.shape)
-        for (x0, y0), (x1, y1) in zip(pts[accept], new_pts[accept]):
-            u[int(y0) % u.shape[0], int(x0) % u.shape[1]] = x1 - x0
-            v[int(y0) % u.shape[0], int(x0) % u.shape[1]] = y1 - y0
-        quiver = plot_quiver(overlay, u, v, delta=1, scale=1.0, outlier=0)
-        write_image(save_path, quiver)
+        overlay = draw_tracks_cv(next_raw, pts[accept], new_pts[accept],
+                                 line_color=(255, 0, 0),
+                                 dot_color=(0, 255, 0), dot_radius=3)
+        write_image(save_path, overlay)
     return pts, new_pts, accept
 
 

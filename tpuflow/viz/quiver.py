@@ -126,11 +126,51 @@ def _draw_line_cv8(img: np.ndarray, x1: int, y1: int, x2: int, y2: int,
             y += mjy
 
 
-# cv::circle(..., radius, FILLED) footprints for the tiny radii the demos
-# use: radius 0 = one pixel (FarnebackOF.cpp:36 passes 0.5, truncated to 0
-# by the int parameter), radius 1 = the 5-pixel plus (DenseFlow.cpp:44).
-_CV_DISC = {0: ((0, 0),),
-            1: ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))}
+def _cv_disc(radius: int) -> tuple[tuple[int, int], ...]:
+    """``cv::circle(..., radius, FILLED)`` footprint for the small radii
+    the demos use: exactly the Euclidean disc ``dx^2 + dy^2 <= r^2``
+    (verified pixel-for-pixel against OpenCV for r = 0..3 in
+    tests/test_viz_extra.py). Radius 0 = one pixel (FarnebackOF.cpp:36
+    passes 0.5, truncated to 0 by the int parameter); radius 1 = the
+    5-pixel plus (DenseFlow.cpp:44); radius 3 = the 29-pixel disc
+    (LucasKanadeOF.cpp:86)."""
+    r = int(radius)
+    return tuple((dx, dy)
+                 for dy in range(-r, r + 1)
+                 for dx in range(-r, r + 1)
+                 if dx * dx + dy * dy <= r * r)
+
+
+def draw_tracks_cv(
+    image: np.ndarray,
+    points_from: np.ndarray,
+    points_to: np.ndarray,
+    line_color: tuple[int, int, int] = (255, 0, 0),
+    dot_color: tuple[int, int, int] = (0, 255, 0),
+    dot_radius: int = 3,
+) -> np.ndarray:
+    """The LK demo's track overlay (LucasKanadeOF.cpp:83-87): per
+    accepted feature a thickness-1 ``cv::line`` from its initial to its
+    tracked position and a filled radius-3 ``cv::circle`` at the tracked
+    position, on the CURRENT color frame. Colors are RGB (the reference's
+    Scalar(0,0,255)/Scalar(0,255,0) BGR = red lines / green dots);
+    float coordinates round like OpenCV's Point2f->Point (cvRound)."""
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    out = np.ascontiguousarray(img.astype(np.uint8).copy())
+    h, w = out.shape[:2]
+    disc = _cv_disc(dot_radius)
+    for (x0, y0), (x1, y1) in zip(np.asarray(points_from),
+                                  np.asarray(points_to)):
+        xa, ya = int(np.rint(x0)), int(np.rint(y0))
+        xb, yb = int(np.rint(x1)), int(np.rint(y1))
+        _draw_line_cv8(out, xa, ya, xb, yb, line_color)
+        for ddx, ddy in disc:
+            xx, yy = xb + ddx, yb + ddy
+            if 0 <= xx < w and 0 <= yy < h:
+                out[yy, xx] = dot_color
+    return out
 
 
 def plot_quiver_cv(
@@ -160,7 +200,7 @@ def plot_quiver_cv(
         img = np.stack([img] * 3, axis=-1)
     out = np.ascontiguousarray(img.astype(np.uint8).copy())
     h, w = u.shape
-    disc = _CV_DISC[int(dot_radius)]
+    disc = _cv_disc(dot_radius)
     for y0 in range(0, h, delta):
         for x0 in range(0, w, delta):
             x1 = int(np.rint(x0 + u[y0, x0] * scale))
