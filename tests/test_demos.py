@@ -23,8 +23,14 @@ class TestDemos:
         assert (tmp_path / "vMatrixHS.txt").exists()
         assert (tmp_path / "hsbresenhamLineFlow.png").exists()
         assert u.shape == (375, 1242)
-        first = (tmp_path / "uMatrixHS.txt").read_text().splitlines()[0]
-        assert "rows=375" in first
+        # The dumps are cv::FileStorage-format YAML (main.cpp:99-102):
+        # OpenCV reads them back bitwise under the reference's key.
+        cv2 = pytest.importorskip("cv2")
+        fs = cv2.FileStorage(str(tmp_path / "uMatrixHS.txt"),
+                             cv2.FILE_STORAGE_READ)
+        back = fs.getNode("u matrix").mat()
+        fs.release()
+        np.testing.assert_array_equal(back, u)
 
     def test_farneback_demo_outputs(self, tmp_path):
         from tpuflow.pipeline.demos import demo_farneback_pair

@@ -236,14 +236,37 @@ def read_hog(path: str | Path) -> tuple[np.ndarray, bool]:
 # Matrix text dump (HS demo FileStorage-equivalent)
 
 
-def write_matrix_txt(path: str | Path, m: np.ndarray, name: str = "m") -> None:
-    """Human-readable matrix dump standing in for cv::FileStorage
-    (HornSchunckOF/main.cpp:99-102)."""
+def write_matrix_txt(path: str | Path, m: np.ndarray,
+                     name: str = "m") -> None:
+    """cv::FileStorage-compatible YAML matrix dump.
+
+    The reference demos dump u/v with ``cv::FileStorage(path, WRITE) <<
+    "u matrix" << u`` (HornSchunckOF/main.cpp:99-102), which writes a
+    YAML document with an ``!!opencv-matrix`` node even under a ``.txt``
+    name. This emits the same structure — ``cv2.FileStorage`` (and any
+    OpenCV-based downstream tool) reads our dumps back bitwise
+    (tests/test_demos.py). Values use shortest round-trip formatting, so
+    the f64 payload is exact."""
     m = np.asarray(m, dtype=np.float64)
+    vals = [repr(float(v)) for v in m.reshape(-1)]
+    lines = [f"%YAML 1.2\n---\n{name}: !!opencv-matrix\n",
+             f"   rows: {m.shape[0]}\n",
+             f"   cols: {m.shape[1]}\n",
+             "   dt: d\n",
+             "   data: [ "]
+    # Wrap the flow list the way OpenCV does (continuation lines
+    # indented under "data:"); any wrapping parses identically.
+    col = len(lines[-1])
+    out = lines
+    for i, s in enumerate(vals):
+        tok = s + (", " if i + 1 < len(vals) else " ]\n")
+        if col + len(tok) > 96:
+            out.append("\n       ")
+            col = 7
+        out.append(tok)
+        col += len(tok)
     with open(path, "w") as f:
-        f.write(f"{name} rows={m.shape[0]} cols={m.shape[1]}\n")
-        for row in m:
-            f.write(" ".join(f"{v:.10g}" for v in row) + "\n")
+        f.write("".join(out))
 
 
 # ---------------------------------------------------------------------------

@@ -116,8 +116,8 @@ def demo_horn_schunck(
                         window_size, max_iterations, alpha)
     u = np.asarray(u)
     v = np.asarray(v)
-    write_matrix_txt(f"{save_prefix}uMatrixHS.txt", u, "u_matrix")
-    write_matrix_txt(f"{save_prefix}vMatrixHS.txt", v, "v_matrix")
+    write_matrix_txt(f"{save_prefix}uMatrixHS.txt", u, "u matrix")
+    write_matrix_txt(f"{save_prefix}vMatrixHS.txt", v, "v matrix")
     quiver = plot_quiver(prev_raw, u, v, delta=delta, scale=scale,
                          outlier=outlier)
     write_image(f"{save_prefix}hsbresenhamLineFlow.png", quiver)
@@ -153,8 +153,8 @@ def demo_farneback_pair(
     u = np.asarray(u)
     v = np.asarray(v)
     if write_matrices:
-        write_matrix_txt(f"{save_prefix}uMatrixFB.txt", u, "u_matrix")
-        write_matrix_txt(f"{save_prefix}vMatrixFB.txt", v, "v_matrix")
+        write_matrix_txt(f"{save_prefix}uMatrixFB.txt", u, "u matrix")
+        write_matrix_txt(f"{save_prefix}vMatrixFB.txt", v, "v matrix")
         # The HS-demo "fb" branch also draws the plotFlow-style overlay
         # on the PREV frame: plotBresenhamLine(v, u, 20, 300, 5)
         # (main.cpp:118-119 — the swapped argument order is CORRECT for
