@@ -284,7 +284,10 @@ def feature_tracking_stream(
     state: TrackingState | None = None,
 ):
     """Yields (gray, points, prev_points, status) per tracked frame
-    (VideoFeaturesOF tracking(), FeaturesOpticalFlow.cpp:85-130)."""
+    (VideoFeaturesOF tracking(), FeaturesOpticalFlow.cpp:85-130). To
+    reproduce the reference's per-frame display (red track lines +
+    radius-3 green dots, FeaturesOpticalFlow.cpp:120-121), render each
+    yield with :func:`tpuflow.viz.quiver.draw_tracks_cv`."""
     from tpuflow.solvers import (
         accept_tracked_point,
         good_features_to_track,
