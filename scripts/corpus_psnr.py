@@ -12,7 +12,12 @@ driver over the corpus and reports, per pair and aggregated:
 
 Usage (real TPU):
   env PYTHONPATH=/root/.axon_site:/root/repo \
-      python -u scripts/corpus_psnr.py [--limit N] [--stride K]
+      python -u scripts/corpus_psnr.py [--limit N] [--stride K] \
+      [--corpus left|right]
+
+``--corpus right`` sweeps the stereo-right camera pairs
+(``img/rightimage``, 62 pairs) — an independent held-out set the
+flagship's constants were never examined against.
 """
 
 from __future__ import annotations
@@ -27,7 +32,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402
 
-REFERENCE = Path("/root/reference/HornSchunckOF/img/leftimage")
+CORPORA = {
+    "left": Path("/root/reference/HornSchunckOF/img/leftimage"),
+    "right": Path("/root/reference/HornSchunckOF/img/rightimage"),
+}
 
 
 def _gray(a: np.ndarray) -> np.ndarray:
@@ -46,7 +54,11 @@ def main() -> None:
                     help="max pairs (0 = all)")
     ap.add_argument("--stride", type=int, default=1,
                     help="take every K-th pair")
+    ap.add_argument("--corpus", choices=sorted(CORPORA), default="left",
+                    help="bundled corpus: left (62 pairs) or the "
+                         "stereo-right camera (62 pairs)")
     args = ap.parse_args()
+    corpus_dir = CORPORA[args.corpus]
 
     import jax.numpy as jnp
 
@@ -59,7 +71,7 @@ def main() -> None:
     except Exception:
         cv2 = None
 
-    stems = sorted(p.name[:-7] for p in REFERENCE.glob("*_10.png"))
+    stems = sorted(p.name[:-7] for p in corpus_dir.glob("*_10.png"))
     stems = stems[:: max(args.stride, 1)]
     if args.limit:
         stems = stems[: args.limit]
@@ -67,8 +79,8 @@ def main() -> None:
     rows = []
     t_total = 0.0
     for stem in stems:
-        prev, _ = read_image(str(REFERENCE / f"{stem}_10.png"))
-        nxt, _ = read_image(str(REFERENCE / f"{stem}_11.png"))
+        prev, _ = read_image(str(corpus_dir / f"{stem}_10.png"))
+        nxt, _ = read_image(str(corpus_dir / f"{stem}_11.png"))
         gp, gn = _gray(prev), _gray(nxt)
         t0 = time.perf_counter()
         out, _ = optical_flow_block_matching(prev, nxt, 255.0,
@@ -101,6 +113,7 @@ def main() -> None:
                 "median": round(float(np.median(vals)), 2)} if vals else None
 
     summary = {
+        "corpus": args.corpus,
         "pairs": len(rows),
         "flagship": agg("flagship_db"),
         "identity": agg("identity_db"),
