@@ -246,3 +246,55 @@ def optical_flow_pyramid_oracle(it_img, itp1_img, max_int, level,
                               np.minimum(xs // 2, v.shape[1] - 1)]
         u, v = ul, vl
     return u, v
+
+
+# ---------------------------------------------------------------------------
+# Region-gated IRLS oracle (OpticalFlow_BlockMatching.cpp:412-590):
+# Jacobi sweeps with the region-gated, direction-coherence-weighted
+# neighbor term (Error_u_Block :465-514) and the matching total energy
+# (Error_MultipleMotion_Block :540-590).
+
+
+def _gated_neighbor_fields(u, v, labels, sigma_s):
+    """Per-offset (psi_x, psi_y, rho) neighbor sums with the in-bounds &
+    same-region gate and coeff = 0.5*(1+cos angle); cos is taken as 1
+    where either vector is zero (the zero-field limit of the reference's
+    0/0)."""
+    h, w = u.shape
+    norm = np.sqrt(u * u + v * v)
+    nx = np.zeros_like(u)
+    ny = np.zeros_like(u)
+    erho = np.zeros_like(u)
+    for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        xs = np.arange(w) + dx
+        ys = np.arange(h) + dy
+        valid = (((xs >= 0) & (xs < w))[None, :]
+                 & ((ys >= 0) & (ys < h))[:, None])
+        yi = np.clip(ys, 0, h - 1)[:, None]
+        xi = np.clip(xs, 0, w - 1)[None, :]
+        un, vn = u[yi, xi], v[yi, xi]
+        gate = valid & (labels[yi, xi] == labels)
+        prod = norm * norm[yi, xi]
+        cosang = np.where(prod > 0,
+                          (u * un + v * vn) / np.maximum(prod, 1e-30), 1.0)
+        m = gate * 0.5 * (1.0 + cosang)
+        nx += m * gm_psi(u - un, sigma_s)
+        ny += m * gm_psi(v - vn, sigma_s)
+        erho += m * (gm_rho(u - un, sigma_s) + gm_rho(v - vn, sigma_s))
+    return nx, ny, erho
+
+
+def gated_irls_sweep_oracle(u, v, gx, gy, it, labels, lambda_d, lambda_s,
+                            sigma_d, sigma_s, sup_x, sup_y):
+    """One region-gated Jacobi IRLS sweep."""
+    psi_d = gm_psi(gx * u + gy * v + it, sigma_d)
+    nx, ny, _ = _gated_neighbor_fields(u, v, labels, sigma_s)
+    return (u - (lambda_d * gx * psi_d + lambda_s * nx) / sup_x,
+            v - (lambda_d * gy * psi_d + lambda_s * ny) / sup_y)
+
+
+def gated_irls_energy_oracle(u, v, gx, gy, it, labels, lambda_d, lambda_s,
+                             sigma_d, sigma_s):
+    _, _, erho = _gated_neighbor_fields(u, v, labels, sigma_s)
+    center = gm_rho(gx * u + gy * v + it, sigma_d)
+    return np.sum(lambda_d * center + lambda_s * erho)

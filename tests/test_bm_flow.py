@@ -482,6 +482,57 @@ class TestGradientMethod:
         assert jump > 1.5
 
 
+class TestGatedIrlsGoldenTrace:
+    def test_trace_matches_oracle_cadence(self):
+        """Golden E(n) telemetry for the region-gated IRLS
+        (VERDICT r3 #10): the trace returned by irls_gradient_method
+        equals an independent NumPy oracle's energy sequence at the
+        every-64-iterations cadence (E after the sweep with n == 64k,
+        OpticalFlow.cpp:261-265; region-gated energy
+        Error_MultipleMotion_Block, OpticalFlow_BlockMatching.cpp:
+        540-590). The batched bidirectional variant inherits the pin
+        via the bitwise batched==serial test above."""
+        import jax.numpy as jnp
+
+        from tests.oracles import (
+            gated_irls_energy_oracle,
+            gated_irls_sweep_oracle,
+        )
+        from tpuflow.solvers.bm_flow import irls_gradient_method
+
+        rng = np.random.default_rng(13)
+        h, w = 12, 14
+        gx = rng.normal(size=(h, w))
+        gy = rng.normal(size=(h, w))
+        it = 0.3 * rng.normal(size=(h, w))
+        labels = rng.integers(0, 3, (h, w)).astype(np.int32)
+        lam_d, lam_s, sd, ss = 5.0, 1.0, 0.3, 0.1
+        iters = 170  # 3 checks: n = 0, 64, 128
+        u, v, E, n, trace = irls_gradient_method(
+            jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(it),
+            jnp.asarray(labels), lam_d, lam_s, sd, ss, iters, 1e-12)
+        trace = np.asarray(trace)
+        assert trace.shape == (3,)
+        assert np.isfinite(trace).all()
+
+        sup_x = lam_d * np.max(gx * gx) / sd**2 + 4.0 * lam_s / ss**2
+        sup_y = lam_d * np.max(gy * gy) / sd**2 + 4.0 * lam_s / ss**2
+        uo = np.zeros((h, w))
+        vo = np.zeros((h, w))
+        expected = []
+        for k in range(iters):
+            uo, vo = gated_irls_sweep_oracle(
+                uo, vo, gx, gy, it, labels, lam_d, lam_s, sd, ss,
+                sup_x, sup_y)
+            if (k & 0x3F) == 0:
+                expected.append(gated_irls_energy_oracle(
+                    uo, vo, gx, gy, it, labels, lam_d, lam_s, sd, ss))
+        np.testing.assert_allclose(trace, expected, rtol=1e-9)
+        # The final fields match the oracle's too.
+        np.testing.assert_allclose(np.asarray(u), uo, rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v), vo, rtol=1e-7, atol=1e-10)
+
+
 class TestAffineParametric:
     def test_normalized_steps_recover_translation(self):
         """The stabilized (mean-gradient) step recovers the per-region

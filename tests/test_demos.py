@@ -155,3 +155,22 @@ class TestDemos:
         assert len(pts) > 20
         assert accept.sum() > 5  # KITTI ego-motion moves most features
         assert (tmp_path / "lk.png").exists()
+
+
+class TestMatrixDumpEdgeCases:
+    def test_nonfinite_values_round_trip_via_cv2(self, tmp_path):
+        """cv::FileStorage writes non-finite doubles as '.Inf'/'-.Inf'/
+        '.Nan'; Python's 'inf'/'nan' tokens would not parse back
+        (ADVICE r3). Our dump must round-trip through cv2 even when a
+        solver produced non-finite entries."""
+        cv2 = pytest.importorskip("cv2")
+        from tpuflow.core.io import write_matrix_txt
+
+        m = np.array([[1.5, np.inf], [-np.inf, np.nan]])
+        path = tmp_path / "m.txt"
+        write_matrix_txt(path, m, "u matrix")
+        fs = cv2.FileStorage(str(path), cv2.FILE_STORAGE_READ)
+        back = fs.getNode("u matrix").mat()
+        fs.release()
+        assert back is not None
+        np.testing.assert_array_equal(back, m)

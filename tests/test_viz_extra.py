@@ -101,3 +101,17 @@ class TestCvPrimitives:
                        (0, 255, 0), -1)
         ours = draw_tracks_cv(base, p0, p1)
         np.testing.assert_array_equal(ours, ref[..., ::-1])
+
+
+def test_plot_quiver_cv_rejects_shape_mismatch():
+    """Canvas bounds come from the flow shape; a mismatched image would
+    IndexError (smaller) or silently suppress edge dots (larger) —
+    reject up front (ADVICE r3)."""
+    import pytest as _pytest
+
+    from tpuflow.viz.quiver import plot_quiver_cv
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    u = np.zeros((16, 16))
+    with _pytest.raises(ValueError, match="must agree"):
+        plot_quiver_cv(img, u, u)

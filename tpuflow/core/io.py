@@ -248,7 +248,20 @@ def write_matrix_txt(path: str | Path, m: np.ndarray,
     (tests/test_demos.py). Values use shortest round-trip formatting, so
     the f64 payload is exact."""
     m = np.asarray(m, dtype=np.float64)
-    vals = [repr(float(v)) for v in m.reshape(-1)]
+
+    def _fmt(v: float) -> str:
+        # cv::FileStorage writes non-finite doubles as '.Inf'/'-.Inf'/
+        # '.Nan'; Python's 'inf'/'nan' would break the advertised
+        # cv2.FileStorage round-trip (ADVICE r3).
+        if v != v:
+            return ".Nan"
+        if v == np.inf:
+            return ".Inf"
+        if v == -np.inf:
+            return "-.Inf"
+        return repr(v)
+
+    vals = [_fmt(float(v)) for v in m.reshape(-1)]
     lines = [f"%YAML 1.2\n---\n{name}: !!opencv-matrix\n",
              f"   rows: {m.shape[0]}\n",
              f"   cols: {m.shape[1]}\n",

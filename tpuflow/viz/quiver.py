@@ -199,6 +199,9 @@ def plot_quiver_cv(
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
     out = np.ascontiguousarray(img.astype(np.uint8).copy())
+    if out.shape[:2] != u.shape:
+        raise ValueError(
+            f"image {out.shape[:2]} and flow {u.shape} shapes must agree")
     h, w = u.shape
     disc = _cv_disc(dot_radius)
     for y0 in range(0, h, delta):
