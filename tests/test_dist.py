@@ -392,13 +392,26 @@ class TestFarnebackSharded:
         np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
                                    atol=1e-5)
 
-    def test_rejects_multilevel(self):
+    @pytest.mark.parametrize("levels", [2, 3])
+    def test_multilevel_matches_single_device(self, levels):
+        """Multi-level configs (the HS-demo comparison shape,
+        HornSchunckOF/main.cpp:111): coarse levels replicated, finest
+        level tiled with the prolonged coarse flow as warm start —
+        must match the single-device multi-level solve."""
         from tpuflow.dist import make_mesh
         from tpuflow.dist.farneback import farneback_sharded
+        from tpuflow.solvers.farneback import calc_optical_flow_farneback
 
+        mesh = make_mesh(8)
         prev, nxt = self._pair(64, 128)
-        with pytest.raises(ValueError):
-            farneback_sharded(prev, nxt, make_mesh(8), levels=2)
+        u1, v1 = calc_optical_flow_farneback(
+            prev, nxt, None, 0.5, levels, 15, 3, 5, 1.2, 0)
+        u2, v2 = farneback_sharded(
+            prev, nxt, mesh, 0.5, levels, 15, 3, 5, 1.2)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   atol=1e-5)
 
 
 class TestMeanShiftSharded:

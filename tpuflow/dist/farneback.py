@@ -29,8 +29,9 @@ the virtual CPU mesh, tests/test_dist.py).
 The next-frame coefficient halos are exchanged ONCE per frame (they are
 iteration-invariant); per iteration only the 5-channel M field exchanges
 a winsize//2 halo. Multi-level configs (only the HS-demo comparison
-config, HornSchunckOF/main.cpp:111) run single-device — the coarse
-levels are small enough to replicate.
+config, HornSchunckOF/main.cpp:111) replicate the coarse levels — they
+are small — and tile only the finest level, warm-started with the
+prolonged coarse flow (the dist/pyramid.py scheme).
 """
 
 from __future__ import annotations
@@ -238,12 +239,12 @@ def _blur_solve_tile(M, winsize: int, use_pallas: bool):
 @functools.lru_cache(maxsize=64)
 def _fb_sharded_fn(mesh: Mesh, h: int, w: int, winsize: int,
                    iterations: int, poly_n: int, poly_sigma: float,
-                   wh: int, use_pallas: bool):
+                   wh: int, use_pallas: bool, with_init: bool = False):
     ty, tx = mesh.devices.shape
     th, tw = h // ty, w // tx
     spec = P("ty", "tx")
 
-    def tile_body(p_t, n_t):
+    def tile_body(p_t, n_t, u, v):
         row0 = lax.axis_index("ty") * th
         col0 = lax.axis_index("tx") * tw
         R1 = _poly_tile(p_t, poly_n, poly_sigma, use_pallas)
@@ -253,10 +254,17 @@ def _fb_sharded_fn(mesh: Mesh, h: int, w: int, winsize: int,
         R2h = jnp.stack([halo_pad_2d_clamp(c, wh) for c in R2], axis=-1)
         R2h_flat = R2h.reshape((th + 2 * wh) * hw_, 5)
 
-        u = jnp.zeros((th, tw), p_t.dtype)
-        v = jnp.zeros((th, tw), p_t.dtype)
-        M = _update_matrices_tile(R1, R2h_flat, u, v, row0, col0, h, w,
-                                  wh, True, R2_center=R2)
+        if not with_init:
+            u = jnp.zeros((th, tw), p_t.dtype)
+            v = jnp.zeros((th, tw), p_t.dtype)
+            M = _update_matrices_tile(R1, R2h_flat, u, v, row0, col0, h, w,
+                                      wh, True, R2_center=R2)
+        else:
+            # Coarse-level warm start (multi-level configs): the first
+            # update already warps by the prolonged flow, exactly like
+            # the single-device level-0 step (_farneback_impl).
+            M = _update_matrices_tile(R1, R2h_flat, u, v, row0, col0, h, w,
+                                      wh, False)
         for i in range(iterations):
             u, v = _blur_solve_tile(M, winsize, use_pallas)
             if i < iterations - 1:
@@ -264,8 +272,14 @@ def _fb_sharded_fn(mesh: Mesh, h: int, w: int, winsize: int,
                                           h, w, wh, False)
         return u, v
 
-    return jax.jit(shard_map(tile_body, mesh, in_specs=(spec, spec),
-                             out_specs=(spec, spec)))
+    if with_init:
+        return jax.jit(shard_map(
+            tile_body, mesh, in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec)))
+    fn = jax.jit(shard_map(lambda p, n: tile_body(p, n, None, None),
+                           mesh, in_specs=(spec, spec),
+                           out_specs=(spec, spec)))
+    return lambda p, n, u, v: fn(p, n)
 
 
 def farneback_sharded(
@@ -282,16 +296,17 @@ def farneback_sharded(
     warp_halo: int | None = None,
     use_pallas: bool | None = None,
 ):
-    """Distributed single-level Farneback flow over a ("ty", "tx") mesh.
+    """Distributed Farneback flow over a ("ty", "tx") mesh.
 
-    Matches calc_optical_flow_farneback(levels=1, flags=0) — both
-    reference dense-flow production configs — bitwise on any backend
-    whenever |flow| <= warp_halo. Returns (u, v) sharded over the mesh.
+    Matches calc_optical_flow_farneback(flags=0) whenever
+    |flow| <= warp_halo. Both reference dense-flow production configs
+    are single-level (levels=1); multi-level configs (the HS-demo
+    comparison config 0.5/3/15/3/5/1.2, ``HornSchunckOF/main.cpp:111``)
+    run levels ``levels-1..1`` REPLICATED through the single-device
+    coarse-to-fine loop (coarse levels are tiny — the dist/pyramid.py
+    scheme) and tile only the finest level, warm-started with the
+    prolonged coarse flow. Returns (u, v) sharded over the mesh.
     """
-    if levels != 1:
-        raise ValueError("farneback_sharded: only levels=1 is tiled "
-                         "(both reference configs); run multi-level "
-                         "configs single-device")
     if flags & 0x300:
         raise ValueError("farneback_sharded: initial-flow/gaussian flags "
                          "not supported in the tiled path")
@@ -308,10 +323,29 @@ def farneback_sharded(
     if use_pallas is None:
         use_pallas = _mesh_on_tpu(mesh)
 
+    prev = jnp.asarray(prev)
+    nxt = jnp.asarray(nxt)
+    u0 = v0 = None
+    if levels > 1:
+        # Coarse levels replicated through the exact single-device loop
+        # (min_level=1 stops before the finest level), then prolonged to
+        # full resolution the way _farneback_impl's level-0 step does.
+        from tpuflow.solvers.farneback import _farneback_impl
+
+        uc, vc = _farneback_impl(prev, nxt, None, None, float(pyr_scale),
+                                 int(levels), int(winsize),
+                                 int(iterations), int(poly_n),
+                                 float(poly_sigma), False, min_level=1)
+        u0 = jax.image.resize(uc, (h, w), method="linear") / pyr_scale
+        v0 = jax.image.resize(vc, (h, w), method="linear") / pyr_scale
+
     sharding = NamedSharding(mesh, P("ty", "tx"))
-    prev = jax.device_put(jnp.asarray(prev), sharding)
-    nxt = jax.device_put(jnp.asarray(nxt), sharding)
+    prev = jax.device_put(prev, sharding)
+    nxt = jax.device_put(nxt, sharding)
     f = _fb_sharded_fn(mesh, h, w, int(winsize), int(iterations),
                        int(poly_n), float(poly_sigma), int(wh),
-                       bool(use_pallas))
-    return f(prev, nxt)
+                       bool(use_pallas), with_init=levels > 1)
+    if levels > 1:
+        u0 = jax.device_put(u0, sharding)
+        v0 = jax.device_put(v0, sharding)
+    return f(prev, nxt, u0, v0)

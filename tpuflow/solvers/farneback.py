@@ -272,15 +272,20 @@ def _blur_solve(M: jnp.ndarray, winsize: int, gaussian: bool,
 @partial(jax.jit, static_argnames=("pyr_scale", "levels", "winsize",
                                    "iterations", "poly_n", "poly_sigma",
                                    "gaussian", "use_poly_kernel",
-                                   "use_blur_kernel"))
+                                   "use_blur_kernel", "min_level"))
 def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
                     iterations, poly_n, poly_sigma, gaussian,
-                    use_poly_kernel=None, use_blur_kernel=None):
+                    use_poly_kernel=None, use_blur_kernel=None,
+                    min_level=0):
+    """``min_level > 0`` stops the coarse-to-fine loop early and returns
+    the flow at that level's resolution — the distributed path
+    (tpuflow/dist/farneback.py) runs levels ``levels-1..1`` replicated
+    through this exact loop, then tiles only the finest level."""
     h, w = prev.shape
     dt = prev.dtype
 
     u = v = None
-    for k in range(levels - 1, -1, -1):
+    for k in range(levels - 1, min_level - 1, -1):
         scale = pyr_scale**k
         wl = int(round(w * scale))
         hl = int(round(h * scale))
