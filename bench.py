@@ -218,10 +218,123 @@ def bench_farneback_demo():
     return _bench_farneback_cfg(prev, nxt, cfg, b=5)
 
 
+def bench_farneback_demo3():
+    """HS-demo comparison Farneback (HornSchunckOF/main.cpp:111 config:
+    0.5, 3, 15, 3, 5, 1.2) at 1080p — the one MULTI-LEVEL production
+    config; its warp gather is the historical hot spot (VERDICT r3 #2)."""
+    prev, nxt = _frames_1080p()
+    cfg = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+               poly_n=5, poly_sigma=1.2, flags=0)
+    return _bench_farneback_cfg(prev, nxt, cfg, b=5)
+
+
+def _oracles():
+    """tests/oracles.py (the pinned f64 NumPy re-derivation of the
+    reference C++ math) as an importable module — the CPU baseline for
+    the metrics whose reference build cannot run (missing submodules,
+    SURVEY.md §0)."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    return importlib.import_module("oracles")
+
+
+def _ba_oracle_spf():
+    """Extrapolated pinned-oracle cost of the benched BA solve (6 levels
+    x 512 capped iters at KITTI res): per-sweep + per-energy f64 oracle
+    time measured at level-0 resolution, scaled by the exact pixel ratio
+    sum over levels (1/4 per level) and the 64-iter energy cadence."""
+    orc = _oracles()
+    rng = np.random.default_rng(3)
+    gx = rng.normal(size=(KH, KW))
+    gy = rng.normal(size=(KH, KW))
+    it = 0.1 * rng.normal(size=(KH, KW))
+    u = np.zeros((KH, KW))
+    v = np.zeros((KH, KW))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        u, v = orc.irls_sweep_oracle(u, v, gx, gy, it, 5.0, 1.0, 0.14,
+                                     0.02, 1e4, 1e4)
+    t_sweep = (time.perf_counter() - t0) / 4
+    t0 = time.perf_counter()
+    orc.irls_energy_oracle(u, v, gx, gy, it, 5.0, 1.0, 0.14, 0.02)
+    t_energy = time.perf_counter() - t0
+    s = sum(0.25**lv for lv in range(6))  # level pixel-count ratios
+    return (512 * t_sweep + 8 * t_energy) * s
+
+
+def _flagship_oracle_spf():
+    """Extrapolated pinned-f64-oracle cost of ONE flagship frame-pair at
+    KITTI res. Stage costs measured on reduced work and scaled by exact
+    op-count ratios (every stage is embarrassingly data-parallel):
+    mean-shift filter (8 iters x 41x41 window offsets, full frame),
+    bidirectional 61x61 region BM search with per-region bincount
+    reductions, and 2 x 2048 region-gated IRLS sweeps."""
+    orc = _oracles()
+    rng = np.random.default_rng(7)
+    h, w = KH, KW
+
+    # Mean-shift filter: 64 of the 1681 window offsets of one of the 8
+    # iterations, at 1/4 the pixels -> scale (1681/64) * 8 * 4.
+    ch, cw = h // 2, w // 2
+    lab = rng.uniform(0, 1, (ch, cw, 3))
+    ex = np.zeros((ch, cw))
+    ey = np.zeros((ch, cw))
+    acc = [np.zeros((ch, cw)) for _ in range(6)]
+    t0 = time.perf_counter()
+    for k in range(64):
+        dy, dx = k // 8 - 4, k % 8 - 4
+        sh = np.roll(lab, (dy, dx), axis=(0, 1))
+        d2 = ((sh - lab) ** 2).sum(-1)
+        m = (d2 <= 0.0039) & ((ex + dx) ** 2 + (ey + dy) ** 2 <= 400.0)
+        for i in range(3):
+            acc[i] += np.where(m, sh[..., i], 0.0)
+        acc[3] += m * dx
+        acc[4] += m * dy
+        acc[5] += m
+    t_ms = (time.perf_counter() - t0) * (1681 / 64) * 8 * 4
+
+    # BM search: 16 of ~3821 candidate evaluations (3721 full-pel +
+    # ~100 full-pel-equivalents of x2-subpixel refinement) per
+    # direction, x2 directions.
+    cur = rng.normal(size=(h, w))
+    ref = rng.normal(size=(h, w))
+    labels = rng.integers(0, 346, (h, w))
+    flat = labels.ravel()
+    t0 = time.perf_counter()
+    for k in range(16):
+        dy, dx = k // 4 - 2, k % 4 - 2
+        sh = np.roll(ref, (dy, dx), axis=(0, 1))
+        mad = np.abs(sh - cur)
+        prod = sh * cur
+        np.bincount(flat, weights=mad.ravel(), minlength=346)
+        np.bincount(flat, weights=prod.ravel(), minlength=346)
+    t_bm = (time.perf_counter() - t0) * (3821 / 16) * 2
+
+    # Region-gated IRLS refine: 4 measured sweeps -> 2048 x 2 directions.
+    gx = rng.normal(size=(h, w))
+    gy = rng.normal(size=(h, w))
+    it = 0.1 * rng.normal(size=(h, w))
+    u = np.zeros((h, w))
+    v = np.zeros((h, w))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        u, v = orc.gated_irls_sweep_oracle(
+            u, v, gx, gy, it, labels, 5.0, 1.0, 0.14, 0.02, 1e4, 1e4)
+    t_irls = (time.perf_counter() - t0) / 4 * 2048 * 2
+
+    return t_ms + t_bm + t_irls
+
+
 def bench_black_anandan(on_tpu):
     """Fused coarse-to-fine Black-Anandan at KITTI res, 5 levels,
     iteration budget capped at 512/level (the full reference budget is
-    (level+1)*10*1240 — throughput-normalized here)."""
+    (level+1)*10*1240 — throughput-normalized here). vs_baseline: the
+    pinned f64 NumPy oracle (same math/constants as the reference C++,
+    whose own build cannot run) extrapolated to the same budget."""
     import jax.numpy as jnp
 
     from tpuflow.core.config import MultipleMotionParam
@@ -242,18 +355,32 @@ def bench_black_anandan(on_tpu):
 
         dt = timed(lambda: optical_flow_pyramid(
             p, n, 255.0, param, iter_max=64), repeats=1, windows=1)
-    return 1.0 / dt
+    vs = None
+    try:
+        vs = _ba_oracle_spf() / dt
+    except Exception:
+        pass
+    return 1.0 / dt, vs
 
 
-def bench_bm_flagship(bm_method="matmul"):
-    """Flagship driver, FULL reference defaults, PIPELINED steady state:
-    the sequence loop dispatches frame i+1 before finalizing frame i
-    (optical_flow_block_matching_async), so each frame's output fetch
-    and host labeling hide behind the next frame's device work — how a
-    production frame loop runs. ``bm_method="matmul_bf16"`` benches the
-    bf16-input MXU search evaluator (scripts/r2_bm_bf16_ab.py)."""
-    from tpuflow.solvers.bm_flow import optical_flow_block_matching_async
+_CORPUS = "/root/reference/HornSchunckOF/img/leftimage"
 
+
+def _frames_flagship():
+    """Flagship bench frames: REAL bundled KITTI imagery (two
+    consecutive scenes' frame pairs, cycled) — region statistics on
+    gaussian-noise frames need not resemble real imagery (VERDICT r3
+    #3). Falls back to the synthetic frames when the corpus is absent.
+    Returns (frames, is_real)."""
+    import os
+
+    names = ["000050_10.png", "000050_11.png",
+             "000051_10.png", "000051_11.png"]
+    paths = [os.path.join(_CORPUS, n) for n in names]
+    if all(os.path.exists(p) for p in paths):
+        from tpuflow.core.io import read_image
+
+        return [read_image(p)[0].astype(np.float64) for p in paths], True
     prev, nxt = _frames_kitti()
     rng = np.random.default_rng(2)
     f0 = np.clip(np.stack([prev] * 3, -1) + rng.normal(0, 2, (KH, KW, 3)),
@@ -261,31 +388,55 @@ def bench_bm_flagship(bm_method="matmul"):
     f1 = np.clip(np.stack([nxt] * 3, -1) + rng.normal(0, 2, (KH, KW, 3)),
                  0, 255)
     f2 = np.roll(f1, 2, axis=1)
-    seq = [f0, f1, f2, f0, f1, f2, f0, f1, f2, f0, f1]
+    return [f0, f1, f2], False
 
-    def run_pairs(state, frames, pending):
+
+def bench_bm_flagship(bm_method="matmul", mesh=None, with_baseline=True):
+    """Flagship driver, FULL reference defaults, PIPELINED steady state
+    on REAL corpus frames: the sequence loop dispatches frame i+1 before
+    finalizing frame i (optical_flow_block_matching_async), so each
+    frame's output fetch and host labeling hide behind the next frame's
+    device work — how a production frame loop runs.
+    ``bm_method="matmul_bf16"`` benches the bf16-input MXU search
+    evaluator (scripts/r2_bm_bf16_ab.py); ``mesh=`` routes every device
+    stage through the sharded (shard_map) programs. vs_baseline: the
+    pinned-oracle CPU proxy (:func:`_flagship_oracle_spf`)."""
+    from tpuflow.solvers.bm_flow import optical_flow_block_matching_async
+
+    frames, _real = _frames_flagship()
+    cyc = len(frames)
+    # Continuous sequence: warmup covers the cold first pair + one full
+    # cycle (every region-count bucket compiles once), then best-of-2
+    # one-cycle windows against the ~±0.2 s run-to-run tunnel variance.
+    seq = [frames[i % cyc] for i in range(3 * cyc + 2)]
+
+    def run_pairs(state, frames_, pending):
         """Dispatch each pair, finalizing the previous pair's output
         only after the next dispatch is queued."""
-        for a, b in zip(frames[:-1], frames[1:]):
+        for a, b in zip(frames_[:-1], frames_[1:]):
             fin, state = optical_flow_block_matching_async(
                 a, b, 255.0, iter_max=2048, state=state,
-                bm_method=bm_method)
+                bm_method=bm_method, mesh=mesh)
             if pending is not None:
                 pending()
             pending = fin
         return state, pending
 
-    # Warmup: first (unidirectional) + first bidirectional pair carry
-    # the compiles; steady state starts after them. Best of two 4-pair
-    # windows against the ~±0.7 s run-to-run tunnel variance.
-    state, pending = run_pairs(None, seq[:3], None)
+    state, pending = run_pairs(None, seq[: cyc + 2], None)
     best = float("inf")
-    for lo in (2, 6):
+    for k in range(2):
+        lo = cyc + 1 + k * cyc
         t0 = time.perf_counter()
-        state, pending = run_pairs(state, seq[lo : lo + 5], pending)
-        best = min(best, (time.perf_counter() - t0) / 4)
+        state, pending = run_pairs(state, seq[lo : lo + cyc + 1], pending)
+        best = min(best, (time.perf_counter() - t0) / cyc)
     pending()
-    return best
+    vs = None
+    if with_baseline:
+        try:
+            vs = _flagship_oracle_spf() / best
+        except Exception:
+            pass
+    return best, vs
 
 
 def bench_hs_4k():
@@ -378,16 +529,33 @@ def main() -> None:
     guard("farneback_demo_kitti_fps",
           "frames/s/chip (Farneback 0.5/1/64/2/8/1.6, f32, 1242x375)",
           bench_farneback_demo)
+    guard("farneback_demo3_1080p_fps",
+          "frames/s/chip (Farneback 0.5/3/15/3/5/1.2 MULTI-LEVEL, f32, "
+          "1080p)",
+          bench_farneback_demo3)
     guard("black_anandan_kitti_fps",
           "frames/s/chip (5-level fused IRLS pyramid, iter_max 512/level, "
-          "1242x375)",
+          "1242x375; baseline: pinned f64 NumPy oracle, same budget, "
+          "op-count-extrapolated)",
           lambda: bench_black_anandan(on_tpu))
     guard("bm_flagship_kitti_spf",
-          "s/frame-pair PIPELINED steady state, best-of-2 4-pair windows "
-          "(mean-shift R=20 + bidirectional 61x61 BM + subpixel + gated "
-          "IRLS, reference defaults; frame i+1 dispatched before frame "
-          "i's fetch)",
+          "s/frame-pair PIPELINED steady state on REAL corpus frames "
+          "(000050/000051 cycled), best-of-2 4-pair windows (mean-shift "
+          "R=20 + bidirectional 61x61 BM + subpixel + gated IRLS, "
+          "reference defaults; frame i+1 dispatched before frame i's "
+          "fetch; baseline: pinned-oracle CPU proxy, op-count-"
+          "extrapolated)",
           bench_bm_flagship)
+    if on_tpu:
+        guard("bm_flagship_sharded_1dev_spf",
+              "s/frame-pair, same workload routed through the sharded "
+              "(shard_map) device programs on a 1-device mesh — the "
+              "multi-chip code path on real silicon (VERDICT r3 #1)",
+              lambda: bench_bm_flagship(
+                  mesh=__import__(
+                      "tpuflow.dist.mesh",
+                      fromlist=["make_mesh"]).make_mesh(1),
+                  with_baseline=False))
     guard("weak_scaling_1dev",
           "Mpix*iter/s on 1 device (fused sharded HS, 512x1024 tile)",
           lambda: bench_weak_scaling_row()["mpix_per_s"])

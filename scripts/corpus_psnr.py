@@ -57,11 +57,35 @@ def main() -> None:
     ap.add_argument("--corpus", choices=sorted(CORPORA), default="left",
                     help="bundled corpus: left (62 pairs) or the "
                          "stereo-right camera (62 pairs)")
+    ap.add_argument("--refine_warp", action="store_true",
+                    help="non-debug dt-under-BM-warp refine (the "
+                         "reference zeroes MV 'for DEBUG', "
+                         "OpticalFlow_BlockMatching.cpp:291-293)")
+    ap.add_argument("--mode", choices=["gradient", "affine"],
+                    default="gradient",
+                    help="refinement: region-gated gradient IRLS or the "
+                         "per-region affine path "
+                         "(--affine_blockmatching, "
+                         "Affine_BlockMatching.cpp:11-77)")
+    ap.add_argument("--normalize_steps", choices=["on", "off"],
+                    default="on",
+                    help="affine mode only: stabilized mean-gradient "
+                         "step (on, the driver default) or the "
+                         "reference's literal summed-gradient step "
+                         "(off)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="run the whole corpus as ONE continuous "
+                         "sequence through the async dispatch-ahead "
+                         "driver (bidirectional steady state) and "
+                         "report per-pair wall times — the timing mode "
+                         "that matches bench.py's bm_flagship row "
+                         "(VERDICT r3 #3)")
     args = ap.parse_args()
     corpus_dir = CORPORA[args.corpus]
 
     import jax.numpy as jnp
 
+    from tpuflow.core.config import MODE_OUTPUT_AFFINE_BLOCKMATCHING
     from tpuflow.core.io import read_image
     from tpuflow.pipeline.motion_compensation import compensate
     from tpuflow.solvers.bm_flow import optical_flow_block_matching
@@ -76,6 +100,12 @@ def main() -> None:
     if args.limit:
         stems = stems[: args.limit]
 
+    if args.pipelined:
+        _pipelined_sweep(stems, corpus_dir, args, read_image)
+        return
+
+    mode_val = (MODE_OUTPUT_AFFINE_BLOCKMATCHING
+                if args.mode == "affine" else 0)
     rows = []
     t_total = 0.0
     for stem in stems:
@@ -83,8 +113,10 @@ def main() -> None:
         nxt, _ = read_image(str(corpus_dir / f"{stem}_11.png"))
         gp, gn = _gray(prev), _gray(nxt)
         t0 = time.perf_counter()
-        out, _ = optical_flow_block_matching(prev, nxt, 255.0,
-                                             iter_max=2048)
+        out, _ = optical_flow_block_matching(
+            prev, nxt, 255.0, iter_max=2048, mode=mode_val,
+            refine_warp=args.refine_warp,
+            affine_normalize_steps=args.normalize_steps == "on")
         t_total += time.perf_counter() - t0
         comp = np.asarray(compensate(
             jnp.asarray(gp), jnp.asarray(out.u.astype(np.float64)),
@@ -114,15 +146,64 @@ def main() -> None:
 
     summary = {
         "corpus": args.corpus,
+        "mode": args.mode,
+        "refine_warp": args.refine_warp,
+        "normalize_steps": args.normalize_steps,
         "pairs": len(rows),
         "flagship": agg("flagship_db"),
         "identity": agg("identity_db"),
         "cv2_farneback": agg("cv2_farneback_db"),
         "beats_identity": int(sum(
             r["flagship_db"] > r["identity_db"] for r in rows)),
+        "beats_cv2": int(sum(
+            r["flagship_db"] > r.get("cv2_farneback_db", 1e9)
+            for r in rows)),
         "driver_s_per_pair": round(t_total / max(len(rows), 1), 2),
     }
     print(json.dumps({"summary": summary}), flush=True)
+
+
+def _pipelined_sweep(stems, corpus_dir, args, read_image) -> None:
+    """The corpus as ONE continuous frame sequence through
+    optical_flow_block_matching_async — bidirectional pipelined steady
+    state (how bench.py times the flagship). Reports per-pair wall
+    times: mean-with-compiles, and mean/median over the tail (every
+    region-count bucket has compiled by then), resolving the pipelined-
+    synthetic vs per-pair-real timing gap in the record."""
+    from tpuflow.solvers.bm_flow import optical_flow_block_matching_async
+
+    frames = []
+    for stem in stems:
+        frames.append(read_image(str(corpus_dir / f"{stem}_10.png"))[0])
+        frames.append(read_image(str(corpus_dir / f"{stem}_11.png"))[0])
+
+    state, pending = None, None
+    times = []
+    t_prev = time.perf_counter()
+    for a, b in zip(frames[:-1], frames[1:]):
+        fin, state = optical_flow_block_matching_async(
+            a, b, 255.0, iter_max=2048, state=state,
+            refine_warp=args.refine_warp)
+        if pending is not None:
+            pending()
+        pending = fin
+        now = time.perf_counter()
+        times.append(now - t_prev)
+        t_prev = now
+    pending()
+    times = np.asarray(times)
+    warm = min(8, len(times) // 4)
+    tail = times[warm:]
+    print(json.dumps({"summary": {
+        "corpus": args.corpus,
+        "pipelined": True,
+        "refine_warp": args.refine_warp,
+        "pairs": int(len(times)),
+        "mean_s_per_pair_with_compiles": round(float(times.mean()), 3),
+        "tail_mean_s_per_pair": round(float(tail.mean()), 3),
+        "tail_median_s_per_pair": round(float(np.median(tail)), 3),
+        "tail_p90_s_per_pair": round(float(np.percentile(tail, 90)), 3),
+    }}), flush=True)
 
 
 if __name__ == "__main__":

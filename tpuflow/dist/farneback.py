@@ -141,14 +141,20 @@ def _poly_tile(tile, poly_n: int, poly_sigma: float, use_pallas: bool):
     return (r[..., 1], r[..., 2], r[..., 3], r[..., 4], r[..., 5] * 0.5)
 
 
-def _update_matrices_tile(R1, R2_halo_flat, u, v, row0, col0,
+def _update_matrices_tile(R1, R2_halo_packed, u, v, row0, col0,
                           img_h: int, img_w: int, wh: int,
                           zero_flow: bool, R2_center=None):
     """Tiled update_matrices (solvers/farneback.py): global-coordinate
     border logic, warp gather served from the halo'd next-frame
     coefficient stack (exchanged once per frame).
 
-    R2_halo_flat: ((th+2wh)*(tw+2wh), 5) flattened halo'd R2 stack.
+    R2_halo_packed: ((th+2wh)*(tw+2wh), 20) packed 2x2-neighborhood
+    table of the halo'd R2 stack (solvers.farneback._pack_bilinear —
+    ONE gather per pixel instead of four; the gather is
+    index-rate-bound). The packed neighbors edge-clamp inside the halo
+    array, which equals the old per-corner clamp: interior corners are
+    true neighbors, and at the halo (or global) edge the clamp-padded
+    replica IS the clamped corner.
     """
     b1_1, b2_1, a11_1, a22_1, a12_1 = R1
     th, tw = u.shape
@@ -173,20 +179,18 @@ def _update_matrices_tile(R1, R2_halo_flat, u, v, row0, col0,
         y0 = jnp.floor(yq).astype(jnp.int32)
         fx = (xq - x0)[..., None]
         fy = (yq - y0)[..., None]
-
-        def g(yy, xx):
-            # Global clamp (reference semantics) then local clamp into
-            # the exchanged halo (deviates only when |flow| > wh).
-            yy = jnp.clip(yy, 0, img_h - 1) - row0 + wh
-            xx = jnp.clip(xx, 0, img_w - 1) - col0 + wh
-            yy = jnp.clip(yy, 0, th + 2 * wh - 1)
-            xx = jnp.clip(xx, 0, tw + 2 * wh - 1)
-            return jnp.take(R2_halo_flat, yy * hw_ + xx, axis=0)
-
-        s00 = g(y0, x0)
-        s01 = g(y0, x0 + 1)
-        s10 = g(y0 + 1, x0)
-        s11 = g(y0 + 1, x0 + 1)
+        # Global clamp (reference semantics) then local clamp into the
+        # exchanged halo (deviates only when |flow| > wh).
+        yy = jnp.clip(jnp.clip(y0, 0, img_h - 1) - row0 + wh,
+                      0, th + 2 * wh - 1)
+        xx = jnp.clip(jnp.clip(x0, 0, img_w - 1) - col0 + wh,
+                      0, tw + 2 * wh - 1)
+        rows = jnp.take(R2_halo_packed, (yy * hw_ + xx).reshape(-1),
+                        axis=0).reshape(th, tw, 20)
+        s00 = rows[..., :5]
+        s01 = rows[..., 5:10]
+        s10 = rows[..., 10:15]
+        s11 = rows[..., 15:20]
         out = ((1 - fx) * (1 - fy) * s00 + fx * (1 - fy) * s01
                + (1 - fx) * fy * s10 + fx * fy * s11)
         b1_2, b2_2, a11_2, a22_2, a12_2 = (out[..., i] for i in range(5))
@@ -249,10 +253,11 @@ def _fb_sharded_fn(mesh: Mesh, h: int, w: int, winsize: int,
         col0 = lax.axis_index("tx") * tw
         R1 = _poly_tile(p_t, poly_n, poly_sigma, use_pallas)
         R2 = _poly_tile(n_t, poly_n, poly_sigma, use_pallas)
-        # Halo'd R2 stack, exchanged once — iteration-invariant.
-        hw_ = tw + 2 * wh
-        R2h = jnp.stack([halo_pad_2d_clamp(c, wh) for c in R2], axis=-1)
-        R2h_flat = R2h.reshape((th + 2 * wh) * hw_, 5)
+        # Halo'd R2 stack, exchanged + packed once — iteration-invariant.
+        from tpuflow.solvers.farneback import _pack_bilinear
+
+        R2h_flat = _pack_bilinear(
+            [halo_pad_2d_clamp(c, wh) for c in R2])
 
         if not with_init:
             u = jnp.zeros((th, tw), p_t.dtype)

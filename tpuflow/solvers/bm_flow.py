@@ -523,6 +523,7 @@ def gradient_method_flow_bidirectional(
     sigma_s: float = SIGMA_S_BM,
     iter_max: int = 2048,
     error_min_threshold: float = 1.0e-6,
+    mvs=None,
 ):
     """Both time directions of the flagship's gradient refine
     (OpticalFlow_BlockMatching.cpp:84-93 + 367-409, zero-MV branch
@@ -534,13 +535,24 @@ def gradient_method_flow_bidirectional(
 
     ``reference_labs``: sequence of B reference Lab frames. Returns a
     list of B (u, v) pairs in the same order, each bitwise equal to the
-    serial :func:`gradient_method_flow` call with ``zero_warp=True``."""
+    serial :func:`gradient_method_flow` call with ``zero_warp=True``.
+
+    ``mvs`` (optional sequence of B (H, W, 2) per-pixel BM fields)
+    switches each direction's dt to the non-debug BM warp
+    (gradient_method_dt — the driver's ``refine_warp=True`` lever);
+    each direction then matches the serial call with that MV."""
     # Standard Lab units — see gradient_method_flow.
     interest_l = interest_lab[..., 0] * LAB_SCALE
     gx, gy = gradient_method_grad(interest_l)
-    its = jnp.stack([gradient_method_dt_zero(r[..., 0] * LAB_SCALE,
-                                             interest_l)
-                     for r in reference_labs])
+    if mvs is None:
+        its = jnp.stack([gradient_method_dt_zero(r[..., 0] * LAB_SCALE,
+                                                 interest_l)
+                         for r in reference_labs])
+    else:
+        its = jnp.stack([
+            gradient_method_dt(r[..., 0] * LAB_SCALE, interest_l,
+                               mv[..., 0], mv[..., 1])
+            for r, mv in zip(reference_labs, mvs)])
     u, v, _, _, trace = irls_gradient_method_batched(
         gx, gy, its, jnp.asarray(labels),
         lambda_d, lambda_s, sigma_d, sigma_s,
@@ -775,8 +787,25 @@ def optical_flow_block_matching_async(
     subpixel_scale: int = 2,
     mesh=None,
     bm_method: str = "matmul",
+    refine_warp: bool = False,
+    affine_normalize_steps: bool = True,
 ):
     """The flagship driver, split into dispatch + deferred fetch.
+
+    ``affine_normalize_steps`` selects the per-region affine IRLS step
+    (mode=AFFINE only): True (default) = the stabilized mean-gradient
+    step (the reference's summed-gradient omega=1 step diverges on
+    mean-shift-sized regions, docs/MIGRATION.md); False = the
+    reference's literal step for parity studies.
+
+    ``refine_warp=True`` feeds the gradient-method refinement the REAL
+    per-pixel BM field instead of zeros: the reference zeroes MV before
+    the gradient refine "for DEBUG" (OpticalFlow_BlockMatching.cpp:
+    291-293) and the default reproduces that, but the non-debug math —
+    dt under the BM warp (gradient_method_dt, :385-397), refinement as
+    a correction on the warped residual — is the un-commented intent
+    (VERDICT r3 #4). Quality sweep: scripts/corpus_psnr.py
+    --refine_warp. Not yet composed with ``mesh``.
 
     Returns ``(finalize, state)``: every device stage is dispatched and
     all per-frame host work is done; ``finalize()`` fetches the composed
@@ -821,6 +850,9 @@ def optical_flow_block_matching_async(
         param = MultipleMotionParam()
     if state is None:
         state = BMFlowState()
+    if refine_warp and mesh is not None:
+        raise ValueError("refine_warp=True is not composed with mesh= "
+                         "yet; run the warped refine single-device")
 
     def to_lab(rgb):
         if rgb.ndim == 2:
@@ -927,18 +959,25 @@ def optical_flow_block_matching_async(
                     iter_max=min(iter_max, 256),
                     error_min_threshold=param.error_min_threshold,
                     max_displacement=search_range // 2 + 1,
-                    normalize_steps=True)
+                    normalize_steps=affine_normalize_steps)
                 return u, v
             _, u, v = affine_parametric_flow(
                 reference_lab, interest_lab, mv[..., 0], mv[..., 1],
                 seg.labels, seg.n_regions,
                 iter_max=min(iter_max, 256),
                 error_min_threshold=param.error_min_threshold,
-                normalize_steps=True)
+                normalize_steps=affine_normalize_steps)
             return u, v
         # The reference zeroes MV before the gradient method
         # (OpticalFlow_BlockMatching.cpp:291-293) — reproduced here via
-        # the gather-free zero-warp dt.
+        # the gather-free zero-warp dt; refine_warp=True restores the
+        # non-debug dt-under-BM-warp instead.
+        if refine_warp:
+            mv = bm_uv[labels_j]
+            return gradient_method_flow(
+                reference_lab, interest_lab, mv[..., 0], mv[..., 1],
+                labels_j, iter_max=iter_max,
+                error_min_threshold=param.error_min_threshold)
         if mesh is not None:
             from tpuflow.dist.bm_refine import gradient_method_flow_sharded
             from tpuflow.solvers.black_anandan import _emit_energy_trace
@@ -965,10 +1004,12 @@ def optical_flow_block_matching_async(
     # interleave) — bitwise equal to the two serial calls.
     if bidirectional and mode != MODE_OUTPUT_AFFINE_BLOCKMATCHING:
         if mesh is None:
+            mvs = ([bm_dev[0][0][labels_j], bm_dev[1][0][labels_j]]
+                   if refine_warp else None)
             refined_dev = gradient_method_flow_bidirectional(
                 [ref_prev, ref_next], interest_lab, labels_j,
                 iter_max=iter_max,
-                error_min_threshold=param.error_min_threshold)
+                error_min_threshold=param.error_min_threshold, mvs=mvs)
         else:
             from tpuflow.dist.bm_refine import (
                 gradient_method_flow_sharded_bidirectional,
@@ -1042,6 +1083,7 @@ def optical_flow_block_matching(
     subpixel_scale: int = 2,
     mesh=None,
     bm_method: str = "matmul",
+    refine_warp: bool = False,
 ) -> tuple[BMFlowOutput, BMFlowState]:
     """The flagship driver (OpticalFlow_BlockMatching.cpp:13-362) —
     synchronous wrapper of :func:`optical_flow_block_matching_async`
@@ -1051,5 +1093,6 @@ def optical_flow_block_matching(
         it_rgb, itp1_rgb, max_int, param=param, mode=mode,
         iter_max=iter_max, state=state, search_range=search_range,
         kernel_spatial=kernel_spatial, kernel_intensity=kernel_intensity,
-        subpixel_scale=subpixel_scale, mesh=mesh, bm_method=bm_method)
+        subpixel_scale=subpixel_scale, mesh=mesh, bm_method=bm_method,
+        refine_warp=refine_warp)
     return finalize(), state
