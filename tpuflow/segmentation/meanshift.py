@@ -201,7 +201,8 @@ class SegmentationResult:
 
 @functools.partial(jax.jit, static_argnames=("kernel_spatial",
                                              "kernel_intensity", "iters",
-                                             "margin", "with_drift"))
+                                             "margin", "with_drift",
+                                             "return_trajectory"))
 def mean_shift_filter(
     lab: jnp.ndarray,
     kernel_spatial: int = 20,
@@ -209,6 +210,7 @@ def mean_shift_filter(
     iters: int = 8,
     margin: int | None = None,
     with_drift: bool = False,
+    return_trajectory: bool = False,
 ):
     """Run ``iters`` mean-shift steps; returns (pos (H,W,2) xy, color (H,W,3)).
 
@@ -250,6 +252,7 @@ def mean_shift_filter(
 
     state = (jnp.zeros((h, w), dt), jnp.zeros((h, w), dt), *c_orig)
     max_drift = jnp.asarray(0.0, dt)
+    traj = []
     for it in range(iters):
         if with_drift:
             ex, ey = state[0], state[1]
@@ -257,12 +260,20 @@ def mean_shift_filter(
                                     jnp.sqrt(jnp.max(ex * ex + ey * ey)))
         state = _ms_step(labh, state, xs, ys, E, _ms_window(it, R, E),
                          hs2, hr2)
+        if return_trajectory:
+            traj.append(jnp.stack([state[0], state[1]], axis=-1))
     ex, ey, c0, c1, c2 = state
     pos = jnp.stack([xs + ex, ys + ey], axis=-1)
     cl = jnp.stack([c0, c1, c2], axis=-1)
+    out = (pos, cl)
     if with_drift:
-        return pos, cl, max_drift
-    return pos, cl
+        out = out + (max_drift,)
+    if return_trajectory:
+        # (iters, H, W, 2) per-iteration DRIFT (position - origin) after
+        # each step — the per-iteration window-schedule evidence
+        # (scripts/r4_ms_sched_ab.py).
+        out = out + (jnp.stack(traj),)
+    return out
 
 
 def _merge_labels(pos: np.ndarray, col: np.ndarray,
