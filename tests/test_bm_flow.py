@@ -904,14 +904,20 @@ class TestRefineWarp:
         assert np.isfinite(out1.u).all()
         assert not np.array_equal(out0.u, out1.u)
 
-    def test_refine_warp_rejects_mesh(self):
-        import pytest as _pytest
-
+    def test_refine_warp_with_mesh_matches_single_device(self):
+        """refine_warp composes with mesh=: the warped dt is computed on
+        the full frames and fed into the sharded refine (external_dt) —
+        the composed output must match the single-device refine_warp
+        run (the sharded IRLS uses the fused-block early-stop cadence,
+        identical descent; tolerances cover float re-association)."""
         from tpuflow.dist import make_mesh
         from tpuflow.solvers.bm_flow import optical_flow_block_matching
 
         f0, f1 = self._pair()
-        with _pytest.raises(ValueError, match="refine_warp"):
-            optical_flow_block_matching(
-                f0, f1, 255.0, iter_max=8, search_range=9,
-                kernel_spatial=4, refine_warp=True, mesh=make_mesh(8))
+        kw = dict(iter_max=64, search_range=9, kernel_spatial=4,
+                  refine_warp=True)
+        out1, _ = optical_flow_block_matching(f0, f1, 255.0, **kw)
+        out8, _ = optical_flow_block_matching(f0, f1, 255.0,
+                                              mesh=make_mesh(4), **kw)
+        np.testing.assert_allclose(out8.u, out1.u, atol=2e-5)
+        np.testing.assert_allclose(out8.v, out1.v, atol=2e-5)

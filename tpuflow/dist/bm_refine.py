@@ -137,7 +137,7 @@ def _gated_energy_tile(u, v, lab_t, gx, gy, it, masks,
 def _gated_sharded_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
                       lambda_s: float, sigma_d: float, sigma_s: float,
                       iter_max: int, error_min_threshold: float,
-                      fuse: int):
+                      fuse: int, external_dt: bool = False):
     from tpuflow.kernels.irls_stencil import _irls_sweeps_gated, _nb_masks
 
     blocks_per_check = max(64 // fuse, 1)
@@ -154,7 +154,16 @@ def _gated_sharded_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
         at_xedge = jnp.broadcast_to(xg == w - 1, (th, tw))
         at_yedge = jnp.broadcast_to(yg == h - 1, (th, tw))
 
-        gx, gy, it = _grad_dt_tile(int_t, ref_t, at_xedge, at_yedge)
+        if external_dt:
+            # refine_warp: ref_t carries the PRE-COMPUTED
+            # dt-under-BM-warp tile (the floor(MV) gather crosses tiles
+            # by up to the search bound, so it is evaluated outside the
+            # shard_map — gradient_method_dt on the full frames — and
+            # passed in sharded).
+            gx, gy, _ = _grad_tile(int_t, at_xedge, at_yedge)
+            it = ref_t
+        else:
+            gx, gy, it = _grad_dt_tile(int_t, ref_t, at_xedge, at_yedge)
 
         sup_x = (lambda_d
                  * lax.pmax(lax.pmax(jnp.max(gx * gx), "tx"), "ty")
@@ -242,6 +251,7 @@ def gradient_method_flow_sharded(
     iter_max: int = 2048,
     error_min_threshold: float = 1.0e-6,
     fuse: int = 8,
+    mv=None,
 ):
     """Distributed OpticalFlow_GradientMethod: returns (u, v, trace).
 
@@ -251,6 +261,12 @@ def gradient_method_flow_sharded(
     ... iterations — the fast-kernel contract of
     ``irls_gradient_method_fast``). ``labels`` may be any int map; it is
     carried as float for the tile-edge-exact region gate.
+
+    ``mv`` (an (H, W, 2) per-pixel BM field) switches the dt to the
+    non-debug BM warp (the driver's ``refine_warp=True``): the floor(MV)
+    gather crosses tile borders by up to the search bound, so the dt is
+    computed once on the full frames (gradient_method_dt, replicated —
+    cheap at image scale) and fed into the shard_map sharded.
     """
     h, w = labels.shape
     ty, tx = mesh.devices.shape
@@ -262,14 +278,22 @@ def gradient_method_flow_sharded(
     # gradient_method_flow (core/color.py LAB_SCALE).
     interest_l = jnp.asarray(interest_lab)[..., 0] * LAB_SCALE
     reference_l = jnp.asarray(reference_lab)[..., 0] * LAB_SCALE
+    if mv is not None:
+        from tpuflow.solvers.bm_flow import gradient_method_dt
+
+        second = gradient_method_dt(reference_l, interest_l,
+                                    mv[..., 0], mv[..., 1])
+    else:
+        second = reference_l
     dt = interest_l.dtype
     sharding = NamedSharding(mesh, SPEC)
     args = [jax.device_put(a, sharding)
-            for a in (interest_l, reference_l,
+            for a in (interest_l, second,
                       jnp.asarray(labels).astype(dt))]
     f = _gated_sharded_fn(mesh, h, w, float(lambda_d), float(lambda_s),
                           float(sigma_d), float(sigma_s), int(iter_max),
-                          float(error_min_threshold), int(fuse))
+                          float(error_min_threshold), int(fuse),
+                          external_dt=mv is not None)
     return f(*args)
 
 
@@ -278,7 +302,7 @@ def _gated_sharded_batched_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
                               lambda_s: float, sigma_d: float,
                               sigma_s: float, iter_max: int,
                               error_min_threshold: float, fuse: int,
-                              n_dirs: int):
+                              n_dirs: int, external_dt: bool = False):
     """Batched variant of :func:`_gated_sharded_fn`: ``n_dirs`` reference
     frames (the flagship's two time directions,
     OpticalFlow_BlockMatching.cpp:84-93) refine against ONE interest
@@ -305,8 +329,13 @@ def _gated_sharded_batched_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
         at_yedge = jnp.broadcast_to(yg == h - 1, (th, tw))
 
         gx, gy, taps = _grad_tile(int_t, at_xedge, at_yedge)
-        its = [_dt_zero_tile(refs_t[b], taps, at_xedge, at_yedge)
-               for b in range(n_dirs)]
+        if external_dt:
+            # refine_warp: refs_t carries pre-computed per-direction
+            # dt-under-BM-warp tiles (see _gated_sharded_fn).
+            its = [refs_t[b] for b in range(n_dirs)]
+        else:
+            its = [_dt_zero_tile(refs_t[b], taps, at_xedge, at_yedge)
+                   for b in range(n_dirs)]
 
         sup_x = (lambda_d
                  * lax.pmax(lax.pmax(jnp.max(gx * gx), "tx"), "ty")
@@ -405,6 +434,7 @@ def gradient_method_flow_sharded_bidirectional(
     iter_max: int = 2048,
     error_min_threshold: float = 1.0e-6,
     fuse: int = 8,
+    mvs=None,
 ):
     """Both time directions of the distributed gradient refine in ONE
     program (see :func:`_gated_sharded_batched_fn`). ``reference_labs``:
@@ -412,7 +442,9 @@ def gradient_method_flow_sharded_bidirectional(
     trace (B, n_checks))`` — each direction matches the serial
     :func:`gradient_method_flow_sharded` result, with one halo-exchange
     round per fused block shared between the directions' label/gradient
-    operands."""
+    operands. ``mvs`` (sequence of B (H, W, 2) BM fields) switches each
+    direction's dt to the non-debug BM warp (refine_warp — see
+    :func:`gradient_method_flow_sharded`)."""
     h, w = labels.shape
     ty, tx = mesh.devices.shape
     if h % ty or w % tx:
@@ -423,8 +455,16 @@ def gradient_method_flow_sharded_bidirectional(
 
     # Standard Lab units — matches the single-device refine.
     interest_l = jnp.asarray(interest_lab)[..., 0] * LAB_SCALE
-    refs_l = jnp.stack([jnp.asarray(r)[..., 0] * LAB_SCALE
-                        for r in reference_labs])
+    if mvs is not None:
+        from tpuflow.solvers.bm_flow import gradient_method_dt
+
+        refs_l = jnp.stack([
+            gradient_method_dt(jnp.asarray(r)[..., 0] * LAB_SCALE,
+                               interest_l, mv[..., 0], mv[..., 1])
+            for r, mv in zip(reference_labs, mvs)])
+    else:
+        refs_l = jnp.stack([jnp.asarray(r)[..., 0] * LAB_SCALE
+                            for r in reference_labs])
     dt = interest_l.dtype
     args = [
         jax.device_put(interest_l, NamedSharding(mesh, SPEC)),
@@ -435,7 +475,7 @@ def gradient_method_flow_sharded_bidirectional(
     f = _gated_sharded_batched_fn(
         mesh, h, w, float(lambda_d), float(lambda_s), float(sigma_d),
         float(sigma_s), int(iter_max), float(error_min_threshold),
-        int(fuse), len(reference_labs))
+        int(fuse), len(reference_labs), external_dt=mvs is not None)
     u, v, trace = f(*args)
     return [(u[b], v[b]) for b in range(len(reference_labs))], trace
 

@@ -805,7 +805,9 @@ def optical_flow_block_matching_async(
     dt under the BM warp (gradient_method_dt, :385-397), refinement as
     a correction on the warped residual — is the un-commented intent
     (VERDICT r3 #4). Quality sweep: scripts/corpus_psnr.py
-    --refine_warp. Not yet composed with ``mesh``.
+    --refine_warp. Composes with ``mesh`` (the warped dt is computed
+    once on the full frames and fed into the sharded refine —
+    dist/bm_refine.py external_dt).
 
     Returns ``(finalize, state)``: every device stage is dispatched and
     all per-frame host work is done; ``finalize()`` fetches the composed
@@ -850,9 +852,6 @@ def optical_flow_block_matching_async(
         param = MultipleMotionParam()
     if state is None:
         state = BMFlowState()
-    if refine_warp and mesh is not None:
-        raise ValueError("refine_warp=True is not composed with mesh= "
-                         "yet; run the warped refine single-device")
 
     def to_lab(rgb):
         if rgb.ndim == 2:
@@ -972,7 +971,7 @@ def optical_flow_block_matching_async(
         # (OpticalFlow_BlockMatching.cpp:291-293) — reproduced here via
         # the gather-free zero-warp dt; refine_warp=True restores the
         # non-debug dt-under-BM-warp instead.
-        if refine_warp:
+        if refine_warp and mesh is None:
             mv = bm_uv[labels_j]
             return gradient_method_flow(
                 reference_lab, interest_lab, mv[..., 0], mv[..., 1],
@@ -985,7 +984,8 @@ def optical_flow_block_matching_async(
             u, v, trace = gradient_method_flow_sharded(
                 reference_lab, interest_lab, seg.labels, mesh,
                 iter_max=iter_max,
-                error_min_threshold=param.error_min_threshold)
+                error_min_threshold=param.error_min_threshold,
+                mv=bm_uv[labels_j] if refine_warp else None)
             _emit_energy_trace(0, trace)
             return u, v
         return gradient_method_flow(
@@ -1016,11 +1016,14 @@ def optical_flow_block_matching_async(
             )
             from tpuflow.solvers.black_anandan import _emit_energy_trace
 
+            mvs = ([bm_dev[0][0][labels_j], bm_dev[1][0][labels_j]]
+                   if refine_warp else None)
             refined_dev, trace = (
                 gradient_method_flow_sharded_bidirectional(
                     [ref_prev, ref_next], interest_lab, seg.labels,
                     mesh, iter_max=iter_max,
-                    error_min_threshold=param.error_min_threshold))
+                    error_min_threshold=param.error_min_threshold,
+                    mvs=mvs))
             for b in range(2):
                 _emit_energy_trace(0, trace[b])
     else:
