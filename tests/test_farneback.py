@@ -167,3 +167,46 @@ def test_farneback_ground_truth_beats_opencv():
     cv2_epe = float(np.hypot(ref[m][..., 0] - dx,
                              ref[m][..., 1] - dy).mean())
     assert ours < cv2_epe
+
+
+def test_packed_bilinear_matches_four_gather():
+    """_bilinear_all's packed single-gather == the explicit four-corner
+    clamped gather at every in-bounds query (the only values
+    update_matrices keeps), including the x0 == w-1 / y0 == h-1 edge
+    cells where the packed neighbor is the clamped replica."""
+    import jax.numpy as jnp
+
+    from tpuflow.solvers.farneback import _bilinear_all
+
+    rng = np.random.default_rng(9)
+    h, w = 12, 17
+    fields = [jnp.asarray(rng.normal(size=(h, w)), jnp.float32)
+              for _ in range(5)]
+    # Queries covering interior, exact-integer, and edge-band cases —
+    # all in-bounds (xq in [0, w), yq in [0, h)).
+    xq = jnp.asarray(rng.uniform(0, w - 1e-3, (h, w)), jnp.float32)
+    yq = jnp.asarray(rng.uniform(0, h - 1e-3, (h, w)), jnp.float32)
+    xq = xq.at[0, :].set(w - 1 + 0.75)  # clamps: x0 = w-1 band
+    xq = jnp.minimum(xq, w - 1e-3)
+    yq = yq.at[:, 0].set(h - 1e-3)
+
+    got = _bilinear_all(fields, xq, yq)
+
+    flat = jnp.stack(fields, axis=-1).reshape(h * w, 5)
+    x0 = jnp.floor(xq).astype(jnp.int32)
+    y0 = jnp.floor(yq).astype(jnp.int32)
+    fx = (xq - x0)[..., None]
+    fy = (yq - y0)[..., None]
+
+    def g(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return jnp.take(flat, yy * w + xx, axis=0)
+
+    want = ((1 - fx) * (1 - fy) * g(y0, x0)
+            + fx * (1 - fy) * g(y0, x0 + 1)
+            + (1 - fx) * fy * g(y0 + 1, x0)
+            + fx * fy * g(y0 + 1, x0 + 1))
+    for i in range(5):
+        np.testing.assert_array_equal(np.asarray(got[i]),
+                                      np.asarray(want[..., i]))

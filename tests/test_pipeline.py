@@ -384,3 +384,19 @@ class TestMeshPipeline:
                                    rtol=0, atol=1e-4)
         np.testing.assert_allclose(outs["mesh"][1], outs["one"][1],
                                    rtol=0, atol=1e-4)
+
+
+def test_cli_refine_warp_flag_maps_to_param():
+    """--refine_warp (tpuflow extension) sets bm_refine_warp on the
+    multiple-motion param (docs/MIGRATION.md lever)."""
+    from tpuflow.cli.parser import build_parser, parse_args_to_options
+
+    p = build_parser()
+    opts = parse_args_to_options(p.parse_args(
+        ["-i", "a_%04d.pgm", "-o", "b_%04d.pgm",
+         "--opticalflow_blockmatching", "--refine_warp"]))
+    assert opts.multiple_motion_param.bm_refine_warp is True
+    opts2 = parse_args_to_options(p.parse_args(
+        ["-i", "a_%04d.pgm", "-o", "b_%04d.pgm",
+         "--opticalflow_blockmatching"]))
+    assert opts2.multiple_motion_param.bm_refine_warp is False

@@ -128,6 +128,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "the MXU reduction bf16 inputs with f32 accumulation "
                    "(winners can differ at near-ties; only pays at very "
                    "large region counts)")
+    p.add_argument("--refine_warp", action="store_true",
+                   help="tpuflow extension: run the flagship gradient "
+                   "refinement under the REAL BM warp instead of the "
+                   "reference's zeroed-'for DEBUG' vector "
+                   "(OpticalFlow_BlockMatching.cpp:291-293; see "
+                   "docs/MIGRATION.md)")
     return p
 
 
@@ -155,6 +161,8 @@ def parse_args_to_options(args) -> Options:
         opts.multiple_motion_param.level = args.mm_level
     if args.bm_precision == "bf16":
         opts.multiple_motion_param.bm_method = "matmul_bf16"
+    if args.refine_warp:
+        opts.multiple_motion_param.bm_refine_warp = True
     hp = opts.hog_param
     if args.hog_bins is not None:
         hp.bins = args.hog_bins

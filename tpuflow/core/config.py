@@ -87,6 +87,10 @@ class MultipleMotionParam:
     # (bf16 MXU inputs + f32 accumulation; winners can differ at
     # near-ties — only pays at very large region counts), or "gather".
     bm_method: str = "matmul"
+    # Gradient refine under the real BM warp (the reference zeroes MV
+    # "for DEBUG", OpticalFlow_BlockMatching.cpp:291-293; False keeps
+    # that faithful default — see docs/MIGRATION.md).
+    bm_refine_warp: bool = False
 
 
 @dataclass

@@ -219,7 +219,8 @@ def process_frame(
                     kernel_spatial=mm.bm_kernel_spatial,
                     kernel_intensity=mm.bm_kernel_intensity,
                     subpixel_scale=mm.bm_subpixel_scale,
-                    mesh=mesh, bm_method=mm.bm_method)
+                    mesh=mesh, bm_method=mm.bm_method,
+                    refine_warp=mm.bm_refine_warp)
             results["flow"] = out
             if write_outputs:
                 from tpuflow.pipeline.motion_compensation import compensate
