@@ -1087,6 +1087,7 @@ def optical_flow_block_matching(
     mesh=None,
     bm_method: str = "matmul",
     refine_warp: bool = False,
+    affine_normalize_steps: bool = True,
 ) -> tuple[BMFlowOutput, BMFlowState]:
     """The flagship driver (OpticalFlow_BlockMatching.cpp:13-362) —
     synchronous wrapper of :func:`optical_flow_block_matching_async`
@@ -1097,5 +1098,6 @@ def optical_flow_block_matching(
         iter_max=iter_max, state=state, search_range=search_range,
         kernel_spatial=kernel_spatial, kernel_intensity=kernel_intensity,
         subpixel_scale=subpixel_scale, mesh=mesh, bm_method=bm_method,
-        refine_warp=refine_warp)
+        refine_warp=refine_warp,
+        affine_normalize_steps=affine_normalize_steps)
     return finalize(), state
