@@ -60,7 +60,7 @@ def main():
         parts = spec.split(":")
         kind = parts[0]
         if kind not in ("tiled", "pipe", "roll", "rollpipe", "broll",
-                        "brollpipe"):
+                        "brollpipe", "roll2", "roll2pipe"):
             continue
         th, tw, f = int(parts[1]), int(parts[2]), int(parts[3])
         bf16 = len(parts) > 4 and parts[4] == "bf16"
@@ -68,10 +68,12 @@ def main():
 
         a, b = (pb, nb) if bf16 else (p, n)
         roll_arg = ("batched" if kind.startswith("b")
+                    else "two_stage" if kind.startswith("roll2")
                     else kind in ("roll", "rollpipe"))
         timed(f"{kind} f{f} {th}x{tw}{' bf16' if bf16 else ''}",
               lambda a=a, b=b, th=th, tw=tw, f=f,
-              p_=(kind in ("pipe", "rollpipe", "brollpipe")),
+              p_=(kind in ("pipe", "rollpipe", "brollpipe",
+                           "roll2pipe")),
               r_=roll_arg:
               horn_schunck_pallas(a, b, WINDOW, ITERS, ALPHA, tile_h=th,
                                   tile_w=tw, fuse=f, pipelined=p_,

@@ -348,3 +348,40 @@ class TestPipelinedTiled:
             for a, b in zip(out, ref):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=0, atol=1e-4)
+
+
+class TestHsTwoStageRoll:
+    """roll="two_stage" (r4): the two-stage alternating-drift 5-tap box
+    (scripts/r4_hs_formulation_probe.py — the one op-count lever left
+    after the flat ~20us/op probe). Reassociated summation -> float
+    tolerance, not bitwise."""
+
+    @pytest.mark.parametrize("iters", [10, 9])  # even + odd fuse tails
+    def test_matches_jnp_solver(self, iters):
+        import jax.numpy as jnp
+
+        from tpuflow.kernels import horn_schunck_pallas
+        from tpuflow.solvers import horn_schunck
+
+        rng = np.random.default_rng(3)
+        prev = jnp.asarray(rng.uniform(0, 255, (48, 160)), jnp.float32)
+        nxt = jnp.asarray(np.roll(np.asarray(prev), 2, axis=1),
+                          jnp.float32)
+        u1, v1 = horn_schunck(prev, nxt, 5, iters, 1.0)
+        u2, v2 = horn_schunck_pallas(prev, nxt, 5, iters, 1.0,
+                                     tile_h=24, tile_w=128, fuse=5,
+                                     roll="two_stage", interpret=True)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_rejects_non5_window(self):
+        import jax.numpy as jnp
+
+        from tpuflow.kernels import horn_schunck_pallas
+
+        a = jnp.zeros((16, 128), jnp.float32)
+        with pytest.raises(ValueError, match="5-tap"):
+            horn_schunck_pallas(a, a, 7, 4, 1.0, tile_h=16, tile_w=128,
+                                fuse=2, roll="two_stage", interpret=True)

@@ -98,6 +98,82 @@ def _box_sum_roll(a: jnp.ndarray, taps: int) -> jnp.ndarray:
     return out
 
 
+def _box_sum_roll2(a: jnp.ndarray, forward: bool) -> jnp.ndarray:
+    """5-tap cyclic box *sum* in TWO-STAGE form: pairs, quads, +1 tail —
+    3 rolls + 3 adds per axis instead of the classic 4 + 4
+    (:func:`_box_sum_roll`), at the price of a CONSTANT 2-px result
+    drift per axis (content rolled toward lower indices for
+    ``forward=True``, higher for ``forward=False``). The r4 probe
+    (scripts/r4_hs_formulation_probe.py) measured the composite sweep
+    ~14% faster — the sweep is op-count-bound (~20 us/op regardless of
+    kind), and this is the only 5-tap op-count reduction available.
+
+    forward: out[i] = sum a[i..i+4]  = box5_centered[i + 2]
+    backward: out[i] = sum a[i-4..i] = box5_centered[i - 2]
+    """
+    h, w = a.shape
+    if forward:
+        s1 = a + pltpu.roll(a, h - 1, 0)
+        s2 = s1 + pltpu.roll(s1, h - 2, 0)
+        rows = s2 + pltpu.roll(a, h - 4, 0)
+        s1 = rows + pltpu.roll(rows, w - 1, 1)
+        s2 = s1 + pltpu.roll(s1, w - 2, 1)
+        return s2 + pltpu.roll(rows, w - 4, 1)
+    s1 = a + pltpu.roll(a, 1, 0)
+    s2 = s1 + pltpu.roll(s1, 2, 0)
+    rows = s2 + pltpu.roll(a, 4, 0)
+    s1 = rows + pltpu.roll(rows, 1, 1)
+    s2 = s1 + pltpu.roll(s1, 2, 1)
+    return s2 + pltpu.roll(rows, 4, 1)
+
+
+def _hs_sweeps_roll2(u, v, gxa, gya, gta, inva, mask_full, window: int,
+                     fuse: int):
+    """Two-stage ALTERNATING-DRIFT sweeps (``roll="two_stage"``,
+    window == 5 only): even sweeps use the forward two-stage box (result
+    drifted -2 px per axis), odd sweeps the backward one (drift returns
+    to zero) — so the iteration-invariant fields need exactly ONE
+    pre-drifted copy set (built once per block, ~1 op/sweep amortized)
+    and the final state is undrifted whenever ``fuse`` is even (odd
+    fuse pays one undrift roll pair at block end).
+
+    Halo invariant unchanged: a sweep reaches 4 px on one side and 0 on
+    the other, alternating — taint grows 4 px/side per sweep PAIR, the
+    same 2 px/sweep budget as the symmetric box (halo >= fuse * r). The
+    box summation ORDER differs from :func:`_hs_sweeps_roll` (pairwise
+    association), so results match to float tolerance, not bitwise —
+    kept as an opt-in variant with its own equivalence test."""
+    if window != 5:
+        raise ValueError("roll='two_stage' implements the 5-tap box only")
+    h, w = u.shape
+
+    def drift(x):
+        # The forward box leaves content at R_{-2} per axis; sample the
+        # invariants in that frame.
+        return pltpu.roll(pltpu.roll(x, h - 2, 0), w - 2, 1)
+
+    gxa_d = drift(gxa)
+    gya_d = drift(gya)
+    gta_d = drift(gta)
+    inva_d = drift(inva)
+    mask_d = drift(mask_full)
+    inv_area = jnp.asarray(1.0 / (window * window), u.dtype)
+    for k in range(fuse):
+        fwd = (k % 2) == 0
+        ub = _box_sum_roll2(u, fwd) * inv_area
+        vb = _box_sum_roll2(v, fwd) * inv_area
+        g1, g2, g3, g4, m = ((gxa_d, gya_d, gta_d, inva_d, mask_d)
+                             if fwd else
+                             (gxa, gya, gta, inva, mask_full))
+        upd = (g1 * ub + g2 * vb + g3) * g4
+        u = (ub - g1 * upd) * m
+        v = (vb - g2 * upd) * m
+    if fuse % 2:
+        u = pltpu.roll(pltpu.roll(u, 2, 0), 2, 1)
+        v = pltpu.roll(pltpu.roll(v, 2, 0), 2, 1)
+    return u, v
+
+
 def _hs_sweeps_roll(u, v, gxa, gya, gta, inva, mask_full, window: int,
                     fuse: int):
     """``fuse`` Jacobi sweeps with every field kept FULL-SIZE: the box
@@ -224,6 +300,7 @@ def _hs_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
         u = us[:] * mask_full
         v = vs[:] * mask_full
         sweep = (_hs_sweeps_roll_batched if roll == "batched"
+                 else _hs_sweeps_roll2 if roll == "two_stage"
                  else _hs_sweeps_roll)
         u, v = sweep(u, v, gxs[:], gys[:], gts[:], invs[:],
                      mask_full, window, fuse)
@@ -581,6 +658,7 @@ def _hs_pipelined_kernel(u_hbm, v_hbm, gx_hbm, gy_hbm, gt_hbm, inv_hbm,
             u = bufs[slot, 0] * mask_full
             v = bufs[slot, 1] * mask_full
             sweep = (_hs_sweeps_roll_batched if roll == "batched"
+                     else _hs_sweeps_roll2 if roll == "two_stage"
                      else _hs_sweeps_roll)
             u, v = sweep(u, v, bufs[slot, 2], bufs[slot, 3],
                          bufs[slot, 4], bufs[slot, 5],
@@ -652,7 +730,10 @@ def horn_schunck_pallas(
     (:func:`_hs_sweeps_roll`) — no Mosaic relayout copies;
     ``roll="batched"`` additionally stacks u and v on the sublane axis so
     every roll/add instruction carries both fields
-    (:func:`_hs_sweeps_roll_batched`).
+    (:func:`_hs_sweeps_roll_batched`); ``roll="two_stage"`` uses the
+    two-stage alternating-drift 5-tap box (:func:`_hs_sweeps_roll2`,
+    12 box ops/field/sweep instead of 16 — float-tolerance, not bitwise,
+    vs the symmetric association).
     """
     from tpuflow.solvers.horn_schunck import hs_gradients
 
