@@ -61,6 +61,11 @@ def main() -> None:
                     help="non-debug dt-under-BM-warp refine (the "
                          "reference zeroes MV 'for DEBUG', "
                          "OpticalFlow_BlockMatching.cpp:291-293)")
+    ap.add_argument("--refine_sup", choices=["reference", "analytic"],
+                    default="reference",
+                    help="gradient-refine step bound: the reference's "
+                         "over-damped sup or the true Geman-McClure "
+                         "curvature bound (bm_flow._gated_sup)")
     ap.add_argument("--mode", choices=["gradient", "affine"],
                     default="gradient",
                     help="refinement: region-gated gradient IRLS or the "
@@ -116,14 +121,24 @@ def main() -> None:
         out, _ = optical_flow_block_matching(
             prev, nxt, 255.0, iter_max=2048, mode=mode_val,
             refine_warp=args.refine_warp,
-            affine_normalize_steps=args.normalize_steps == "on")
+            affine_normalize_steps=args.normalize_steps == "on",
+            refine_sup_mode=args.refine_sup)
         t_total += time.perf_counter() - t0
-        comp = np.asarray(compensate(
-            jnp.asarray(gp), jnp.asarray(out.u.astype(np.float64)),
-            jnp.asarray(out.v.astype(np.float64))))
+        uj = jnp.asarray(out.u.astype(np.float64))
+        vj = jnp.asarray(out.v.astype(np.float64))
+        comp = np.asarray(compensate(jnp.asarray(gp), uj, vj))
+        # Same-interpolation comparison: the cv2 row below compensates
+        # BILINEARLY, so the nearest-warped flagship number carries an
+        # interpolation handicap (~0.5 dB on the motion-rich crop) that
+        # says nothing about the flow. flagship_bilinear_db is the
+        # apples-to-apples flow-quality column; flagship_db keeps the
+        # reference-faithful nearest warp for continuity.
+        comp_b = np.asarray(compensate(jnp.asarray(gp), uj, vj,
+                                       method="bilinear"))
         row = {
             "pair": stem,
             "flagship_db": round(_psnr(comp, gn), 2),
+            "flagship_bilinear_db": round(_psnr(comp_b, gn), 2),
             "identity_db": round(_psnr(gp, gn), 2),
         }
         if cv2 is not None:
@@ -148,15 +163,20 @@ def main() -> None:
         "corpus": args.corpus,
         "mode": args.mode,
         "refine_warp": args.refine_warp,
+        "refine_sup": args.refine_sup,
         "normalize_steps": args.normalize_steps,
         "pairs": len(rows),
         "flagship": agg("flagship_db"),
+        "flagship_bilinear": agg("flagship_bilinear_db"),
         "identity": agg("identity_db"),
         "cv2_farneback": agg("cv2_farneback_db"),
         "beats_identity": int(sum(
             r["flagship_db"] > r["identity_db"] for r in rows)),
         "beats_cv2": int(sum(
             r["flagship_db"] > r.get("cv2_farneback_db", 1e9)
+            for r in rows)),
+        "beats_cv2_bilinear": int(sum(
+            r["flagship_bilinear_db"] > r.get("cv2_farneback_db", 1e9)
             for r in rows)),
         "driver_s_per_pair": round(t_total / max(len(rows), 1), 2),
     }

@@ -137,7 +137,8 @@ def _gated_energy_tile(u, v, lab_t, gx, gy, it, masks,
 def _gated_sharded_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
                       lambda_s: float, sigma_d: float, sigma_s: float,
                       iter_max: int, error_min_threshold: float,
-                      fuse: int, external_dt: bool = False):
+                      fuse: int, external_dt: bool = False,
+                      sup_mode: str = "reference"):
     from tpuflow.kernels.irls_stencil import _irls_sweeps_gated, _nb_masks
 
     blocks_per_check = max(64 // fuse, 1)
@@ -165,12 +166,19 @@ def _gated_sharded_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
         else:
             gx, gy, it = _grad_dt_tile(int_t, ref_t, at_xedge, at_yedge)
 
-        sup_x = (lambda_d
-                 * lax.pmax(lax.pmax(jnp.max(gx * gx), "tx"), "ty")
-                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
-        sup_y = (lambda_d
-                 * lax.pmax(lax.pmax(jnp.max(gy * gy), "tx"), "ty")
-                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
+        gx2 = lax.pmax(lax.pmax(jnp.max(gx * gx), "tx"), "ty")
+        gy2 = lax.pmax(lax.pmax(jnp.max(gy * gy), "tx"), "ty")
+        if sup_mode == "analytic":
+            # True Geman-McClure curvature bound (bm_flow._gated_sup).
+            sup_x = (lambda_d * gx2 * (2.0 / sigma_d)
+                     + 4.0 * lambda_s * (2.0 / sigma_s))
+            sup_y = (lambda_d * gy2 * (2.0 / sigma_d)
+                     + 4.0 * lambda_s * (2.0 / sigma_s))
+        else:
+            sup_x = (lambda_d * gx2 / sigma_d**2
+                     + 4.0 * lambda_s / sigma_s**2)
+            sup_y = (lambda_d * gy2 / sigma_d**2
+                     + 4.0 * lambda_s / sigma_s**2)
 
         row0 = iy * th - fuse
         col0 = ix * tw - fuse
@@ -252,6 +260,7 @@ def gradient_method_flow_sharded(
     error_min_threshold: float = 1.0e-6,
     fuse: int = 8,
     mv=None,
+    sup_mode: str = "reference",
 ):
     """Distributed OpticalFlow_GradientMethod: returns (u, v, trace).
 
@@ -293,7 +302,7 @@ def gradient_method_flow_sharded(
     f = _gated_sharded_fn(mesh, h, w, float(lambda_d), float(lambda_s),
                           float(sigma_d), float(sigma_s), int(iter_max),
                           float(error_min_threshold), int(fuse),
-                          external_dt=mv is not None)
+                          external_dt=mv is not None, sup_mode=sup_mode)
     return f(*args)
 
 
@@ -302,7 +311,8 @@ def _gated_sharded_batched_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
                               lambda_s: float, sigma_d: float,
                               sigma_s: float, iter_max: int,
                               error_min_threshold: float, fuse: int,
-                              n_dirs: int, external_dt: bool = False):
+                              n_dirs: int, external_dt: bool = False,
+                              sup_mode: str = "reference"):
     """Batched variant of :func:`_gated_sharded_fn`: ``n_dirs`` reference
     frames (the flagship's two time directions,
     OpticalFlow_BlockMatching.cpp:84-93) refine against ONE interest
@@ -337,12 +347,19 @@ def _gated_sharded_batched_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
             its = [_dt_zero_tile(refs_t[b], taps, at_xedge, at_yedge)
                    for b in range(n_dirs)]
 
-        sup_x = (lambda_d
-                 * lax.pmax(lax.pmax(jnp.max(gx * gx), "tx"), "ty")
-                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
-        sup_y = (lambda_d
-                 * lax.pmax(lax.pmax(jnp.max(gy * gy), "tx"), "ty")
-                 / sigma_d**2 + 4.0 * lambda_s / sigma_s**2)
+        gx2 = lax.pmax(lax.pmax(jnp.max(gx * gx), "tx"), "ty")
+        gy2 = lax.pmax(lax.pmax(jnp.max(gy * gy), "tx"), "ty")
+        if sup_mode == "analytic":
+            # True Geman-McClure curvature bound (bm_flow._gated_sup).
+            sup_x = (lambda_d * gx2 * (2.0 / sigma_d)
+                     + 4.0 * lambda_s * (2.0 / sigma_s))
+            sup_y = (lambda_d * gy2 * (2.0 / sigma_d)
+                     + 4.0 * lambda_s * (2.0 / sigma_s))
+        else:
+            sup_x = (lambda_d * gx2 / sigma_d**2
+                     + 4.0 * lambda_s / sigma_s**2)
+            sup_y = (lambda_d * gy2 / sigma_d**2
+                     + 4.0 * lambda_s / sigma_s**2)
 
         row0 = iy * th - fuse
         col0 = ix * tw - fuse
@@ -435,6 +452,7 @@ def gradient_method_flow_sharded_bidirectional(
     error_min_threshold: float = 1.0e-6,
     fuse: int = 8,
     mvs=None,
+    sup_mode: str = "reference",
 ):
     """Both time directions of the distributed gradient refine in ONE
     program (see :func:`_gated_sharded_batched_fn`). ``reference_labs``:
@@ -475,7 +493,8 @@ def gradient_method_flow_sharded_bidirectional(
     f = _gated_sharded_batched_fn(
         mesh, h, w, float(lambda_d), float(lambda_s), float(sigma_d),
         float(sigma_s), int(iter_max), float(error_min_threshold),
-        int(fuse), len(reference_labs), external_dt=mvs is not None)
+        int(fuse), len(reference_labs), external_dt=mvs is not None,
+        sup_mode=sup_mode)
     u, v, trace = f(*args)
     return [(u[b], v[b]) for b in range(len(reference_labs))], trace
 
