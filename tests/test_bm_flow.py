@@ -960,3 +960,24 @@ class TestAffineModeCropQuality:
             jnp.asarray(gp), jnp.asarray(out.u.astype(np.float64)),
             jnp.asarray(out.v.astype(np.float64))))
         assert psnr(comp, gn) > psnr(gp, gn) + 2.5
+
+
+def test_region_bucket_ladder():
+    """Buckets are 128 * (2^k or 3*2^k): monotone, >= n, consecutive
+    ratio <= 1.5 (bounded padding), MXU-lane multiples. Results are
+    bucket-independent (padded regions are empty +inf ranges), so the
+    ladder only trades recompiles vs padding."""
+    from tpuflow.blockmatching.matcher import region_bucket
+
+    vals = sorted({region_bucket(n) for n in range(1, 6000)})
+    for n in range(1, 6000, 13):
+        b = region_bucket(n)
+        assert b >= n and b % 128 == 0
+    # ratio <= 1.5 from 256 up (the 128->256 step is 2x — tiny counts
+    # compile fast and real KITTI frames have hundreds of regions)
+    big = [v for v in vals if v >= 256]
+    assert all(y / x <= 1.51 for x, y in zip(big, big[1:]))
+    assert region_bucket(1) == 128
+    assert region_bucket(300) == 384
+    assert region_bucket(385) == 512
+    assert region_bucket(1200) == 1536

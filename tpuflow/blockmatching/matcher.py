@@ -105,16 +105,36 @@ def region_reduction_plan(labels: np.ndarray, n_regions: int):
 
 
 def region_bucket(n_regions: int, minimum: int = 128) -> int:
-    """Round a region count up to the next multiple of 128 (>= ``minimum``).
+    """Round a region count up to the next bucket 128 * (2^k or 3*2^k):
+    128, 256, 384, 512, 768, 1024, 1536, 2048, ...
 
     The jitted matchers take the region count as a static argument;
     mean-shift region counts drift from frame to frame, and every fresh
     count would recompile the whole search (~10 s/frame measured on the
     v5e through the axon tunnel). Bucketing pads the per-region arrays to
     a stable size: padded regions are empty ranges whose cost is +inf,
-    and callers slice the outputs back to the true count. 128 is the MXU
-    lane tile — the matmul evaluator's one-hot width rides it exactly."""
-    return max(int(minimum), -(-int(n_regions) // 128) * 128)
+    and callers slice the outputs back to the true count — results are
+    bucket-independent. 128 is the MXU lane tile, so every bucket rides
+    the one-hot matmul width exactly.
+
+    Round 4 coarsened the ladder from every-multiple-of-128 to the
+    1-2-3 x 2^k pattern (consecutive ratio <= 1.5 from 256 up — the
+    bottom 128->256 rung is 2x; average padding ~20%): a REAL frame sequence drifts across many 128-buckets (the
+    pipelined corpus sweep measured tail p90 17 s/pair against a 2.3 s
+    median — almost all of it bucket recompiles), while the padding
+    itself is cheap (the search evaluator is field-build-bound, and the
+    one-hot build scales sub-linearly with the padded width)."""
+    n = max(int(minimum), int(n_regions))
+    m = -(-n // 128)
+    best = None
+    for base in (1, 3):
+        k = 0
+        while (base << k) < m:
+            k += 1
+        cand = base << k
+        if cand >= m and (best is None or cand < best):
+            best = cand
+    return 128 * best
 
 
 def pad_region_bounds(bounds: np.ndarray, n_pad: int) -> np.ndarray:
