@@ -210,3 +210,55 @@ def test_packed_bilinear_matches_four_gather():
     for i in range(5):
         np.testing.assert_array_equal(np.asarray(got[i]),
                                       np.asarray(want[..., i]))
+
+
+def test_dense_warp_matches_gather_under_bound():
+    """_warp_dense (the runtime-adaptive small-motion path) equals the
+    clamped-gather bilinear sample wherever the displacement bound
+    holds, including the fractional-edge band where the gather clamps
+    (edge padding replicates the same values). Tolerance covers the
+    hat-weight vs (1-fx) rounding-ulp difference."""
+    import jax.numpy as jnp
+
+    from tpuflow.solvers.farneback import _bilinear_all, _warp_dense
+
+    rng = np.random.default_rng(5)
+    h, w, D = 24, 40, 3
+    fields = [jnp.asarray(rng.normal(size=(h, w)), jnp.float32)
+              for _ in range(5)]
+    u = jnp.asarray(rng.uniform(-D, D, (h, w)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-D, D, (h, w)), jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    got = _warp_dense(fields, u, v, D)
+    want = _bilinear_all(fields, xs + u, ys + v)
+    inb = np.asarray((xs + u >= 0) & (xs + u < w)
+                     & (ys + v >= 0) & (ys + v < h))
+    for g, wv in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g)[inb],
+                                   np.asarray(wv)[inb],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_dense_warp_dispatch_preserves_flow():
+    """dense_warp_d on (default) vs forced-gather (0) produce matching
+    flow on a small-motion pair — the cond picks the dense branch and
+    the result stays within float tolerance of the gather path."""
+    import jax.numpy as jnp
+
+    from scipy.ndimage import gaussian_filter as gf
+
+    from tpuflow.solvers.farneback import calc_optical_flow_farneback
+
+    rng = np.random.default_rng(6)
+    base = gf(rng.uniform(0, 255, (70, 130)), 3.0).astype(np.float32)
+    prev = base[:64, :128]
+    nxt = base[2:66, 1:129]
+    u1, v1 = calc_optical_flow_farneback(prev, nxt, None, 0.5, 3, 15, 3,
+                                         5, 1.2, 0, dense_warp_d=0)
+    u2, v2 = calc_optical_flow_farneback(prev, nxt, None, 0.5, 3, 15, 3,
+                                         5, 1.2, 0, dense_warp_d=4)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=1e-3, atol=2e-4)

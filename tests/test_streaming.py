@@ -43,7 +43,10 @@ class TestDenseStream:
 
     def test_batched_scan_matches_generator(self):
         """The device-scanned clip API == the per-frame generator
-        (same pairs, same config, flags=0)."""
+        (same pairs, same config, flags=0). Tolerance 3e-5: the two
+        compile separately, and XLA's fusion reassociates the dense
+        adaptive warp's (2D+2)^2-term accumulation (_warp_dense)
+        differently per compilation — measured max drift ~1e-5 f32."""
         from tpuflow.pipeline.streaming import (
             SyntheticSource,
             dense_flow_stream,
@@ -61,9 +64,9 @@ class TestDenseStream:
         assert us.shape == (3, 60, 100)
         for k, (gray, u, v) in enumerate(outs):
             np.testing.assert_allclose(np.asarray(us[k]), u,
-                                       rtol=0, atol=1e-5)
+                                       rtol=0, atol=3e-5)
             np.testing.assert_allclose(np.asarray(vs[k]), v,
-                                       rtol=0, atol=1e-5)
+                                       rtol=0, atol=3e-5)
 
     def test_warm_start_carries_flow(self):
         from tpuflow.pipeline.streaming import (

@@ -113,11 +113,15 @@ def _pack_bilinear(fields):
     (H*W, 4C) row table: row i = [F(y,x), F(y,x+1), F(y+1,x),
     F(y+1,x+1)] (neighbors edge-clamped).
 
-    The warp gather is INDEX-rate-bound on this TPU (~25-55 M rows/s,
-    scripts/bench_gather.py), so one gather of wide rows beats four
-    gathers of narrow rows 4x; the shifted copies are bandwidth-cheap.
-    Iteration-invariant per level — build once, reuse across every
-    update_matrices call (VERDICT r3 #2)."""
+    Measured caveat (scripts/r4_fb_demo3_profile.py): the warp gather is
+    GATHERED-BYTES-bound at ~2.6 GB/s on this chip — one (N, 20) gather
+    and four (N, 5) gathers move the same bytes and cost the same
+    (0.98x), so packing is NEUTRAL for speed. It is kept because the
+    packed table is built once per level and shared across every
+    update_matrices call, and because the real warp speedup
+    (:func:`_warp_dense` — dense masked shifts for bounded
+    displacements) reuses neither. The round-3 hypothesis that the
+    gather was INDEX-rate-bound did not survive the clean profile."""
     F = jnp.stack(fields, axis=-1)                            # (H, W, C)
     Fx = jnp.concatenate([F[:, 1:], F[:, -1:]], axis=1)       # x+1 clamped
     Fy = jnp.concatenate([F[1:], F[-1:]], axis=0)             # y+1 clamped
@@ -155,7 +159,35 @@ def _bilinear_all(fields, xq, yq, packed=None):
     return [out[..., i] for i in range(n)]
 
 
-def update_matrices(R1, R2, u, v, zero_flow: bool = False, packed2=None):
+def _warp_dense(R2, u, v, D: int):
+    """Bilinear warp of the 5-field R2 stack by dense masked SHIFTS —
+    exact (up to weight-rounding ulps) whenever max(|u|, |v|) <= D.
+
+    The gather formulation is gathered-bytes-bound at ~2.6 GB/s
+    (~63 ms per full-res warp at 1080p, scripts/r4_fb_demo3_profile.py
+    — the entire cost of the multi-level demo3 config). For bounded
+    displacements the same bilinear sum is a static (2D+2)^2 sweep of
+    plain shifted slices with hat weights max(0, 1-|u-dx|) — dense VPU
+    work at HBM speed instead of the slow gather unit. Edge padding
+    replicates (matches the gather's index clamp for every in-bounds
+    query; out-of-bounds queries are masked by ``inb`` either way)."""
+    h, w = u.shape
+    F = jnp.stack(R2, axis=-1)
+    Fp = jnp.pad(F, ((D + 1, D + 1), (D + 1, D + 1), (0, 0)),
+                 mode="edge")
+    acc = jnp.zeros((h, w, len(R2)), F.dtype)
+    for dy in range(-D, D + 2):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - dy))
+        for dx in range(-D, D + 2):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - dx))
+            tap = jax.lax.dynamic_slice(
+                Fp, (D + 1 + dy, D + 1 + dx, 0), (h, w, len(R2)))
+            acc = acc + (wx * wy)[..., None] * tap
+    return [acc[..., i] for i in range(len(R2))]
+
+
+def update_matrices(R1, R2, u, v, zero_flow: bool = False, packed2=None,
+                    dense_warp_d: int = 0):
     """Accumulate the 5-channel normal-equation field M (OpenCV
     FarnebackUpdateMatrices): averaged A, flow-compensated db, border
     down-weighting.
@@ -184,8 +216,24 @@ def update_matrices(R1, R2, u, v, zero_flow: bool = False, packed2=None):
         xq = xs + u
         yq = ys + v
         inb = (xq >= 0) & (xq < w) & (yq >= 0) & (yq < h)
-        b1_2, b2_2, a11_2, a22_2, a12_2 = _bilinear_all(R2, xq, yq,
-                                                        packed=packed2)
+        if dense_warp_d > 0:
+            # Runtime dispatch: the dense shift sweep is exact only
+            # under the displacement bound, so the gather path stays as
+            # the fallback for large motion — one cond, both branches
+            # compiled, the common small-motion frame pays no gather.
+            dmax = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
+            sampled = jax.lax.cond(
+                dmax <= dense_warp_d,
+                lambda: jnp.stack(_warp_dense(R2, u, v, dense_warp_d),
+                                  axis=-1),
+                lambda: jnp.stack(_bilinear_all(R2, xq, yq,
+                                                packed=packed2),
+                                  axis=-1))
+            b1_2, b2_2, a11_2, a22_2, a12_2 = (
+                sampled[..., i] for i in range(5))
+        else:
+            b1_2, b2_2, a11_2, a22_2, a12_2 = _bilinear_all(
+                R2, xq, yq, packed=packed2)
 
         a11 = (a11_1 + a11_2) * 0.5
         a12 = (a12_1 + a12_2) * 0.5
@@ -293,11 +341,12 @@ def _blur_solve(M: jnp.ndarray, winsize: int, gaussian: bool,
 @partial(jax.jit, static_argnames=("pyr_scale", "levels", "winsize",
                                    "iterations", "poly_n", "poly_sigma",
                                    "gaussian", "use_poly_kernel",
-                                   "use_blur_kernel", "min_level"))
+                                   "use_blur_kernel", "min_level",
+                                   "dense_warp_d"))
 def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
                     iterations, poly_n, poly_sigma, gaussian,
                     use_poly_kernel=None, use_blur_kernel=None,
-                    min_level=0):
+                    min_level=0, dense_warp_d=4):
     """``min_level > 0`` stops the coarse-to-fine loop early and returns
     the flow at that level's resolution — the distributed path
     (tpuflow/dist/farneback.py) runs levels ``levels-1..1`` replicated
@@ -343,11 +392,12 @@ def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
         packed2 = None if (zero_flow and iterations <= 1) \
             else _pack_bilinear(R2)
         M = update_matrices(R1, R2, u, v, zero_flow=zero_flow,
-                            packed2=packed2)
+                            packed2=packed2, dense_warp_d=dense_warp_d)
         for i in range(iterations):
             u, v = _blur_solve(M, winsize, gaussian, use_blur_kernel)
             if i < iterations - 1:
-                M = update_matrices(R1, R2, u, v, packed2=packed2)
+                M = update_matrices(R1, R2, u, v, packed2=packed2,
+                                    dense_warp_d=dense_warp_d)
     return u, v
 
 
@@ -364,12 +414,16 @@ def calc_optical_flow_farneback(
     flags: int = 0,
     use_poly_kernel: bool | None = None,
     use_blur_kernel: bool | None = None,
+    dense_warp_d: int = 4,
 ):
     """OpenCV-parameterized Farneback flow -> (u, v).
 
     flags bit 0x100 (OPTFLOW_USE_INITIAL_FLOW) uses ``flow`` as init;
     bit 0x200 (OPTFLOW_FARNEBACK_GAUSSIAN) switches the winsize
-    aggregation to Gaussian weighting.
+    aggregation to Gaussian weighting. ``dense_warp_d`` (default 4)
+    enables the runtime-adaptive dense warp (:func:`_warp_dense`):
+    frames whose current flow stays within the bound skip the
+    slow gather entirely; 0 forces the gather path.
     """
     prev = jnp.asarray(prev)
     nxt = jnp.asarray(nxt)
@@ -379,4 +433,5 @@ def calc_optical_flow_farneback(
     gaussian = bool(flags & 0x200)
     return _farneback_impl(prev, nxt, u0, v0, float(pyr_scale), levels,
                            winsize, iterations, poly_n, float(poly_sigma),
-                           gaussian, use_poly_kernel, use_blur_kernel)
+                           gaussian, use_poly_kernel, use_blur_kernel,
+                           dense_warp_d=int(dense_warp_d))
