@@ -61,6 +61,11 @@ def main() -> None:
                     help="non-debug dt-under-BM-warp refine (the "
                          "reference zeroes MV 'for DEBUG', "
                          "OpticalFlow_BlockMatching.cpp:291-293)")
+    ap.add_argument("--subpixel", type=int, default=2,
+                    help="BM subpixel scale (reference default x2; "
+                         "higher is a tpuflow quality extension — the "
+                         "residual vs-cv2 gap is consistent with the "
+                         "x2 quantization)")
     ap.add_argument("--refine_sup", choices=["reference", "analytic"],
                     default="reference",
                     help="gradient-refine step bound: the reference's "
@@ -121,6 +126,7 @@ def main() -> None:
         out, _ = optical_flow_block_matching(
             prev, nxt, 255.0, iter_max=2048, mode=mode_val,
             refine_warp=args.refine_warp,
+            subpixel_scale=args.subpixel,
             affine_normalize_steps=args.normalize_steps == "on",
             refine_sup_mode=args.refine_sup)
         t_total += time.perf_counter() - t0
@@ -164,6 +170,7 @@ def main() -> None:
         "mode": args.mode,
         "refine_warp": args.refine_warp,
         "refine_sup": args.refine_sup,
+        "subpixel": args.subpixel,
         "normalize_steps": args.normalize_steps,
         "pairs": len(rows),
         "flagship": agg("flagship_db"),
