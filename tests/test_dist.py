@@ -901,3 +901,26 @@ class TestScratchSharded:
         # (the prefilter's conv reassociation): demand >= 99.9% match.
         same = np.mean(np.asarray(out_map) == np.asarray(ref_map))
         assert same > 0.999
+
+
+def test_farneback_sharded_gather_fallback_matches():
+    """The gather warp path (dense_warp_d=0) stays equivalent
+    tiled-vs-single-device — the fallback branch the runtime-adaptive
+    dense warp leaves for large motion."""
+    from scipy.ndimage import gaussian_filter
+
+    from tpuflow.dist import make_mesh
+    from tpuflow.dist.farneback import farneback_sharded
+    from tpuflow.solvers.farneback import calc_optical_flow_farneback
+
+    r = np.random.default_rng(17)
+    base = gaussian_filter(r.uniform(0, 255, (72, 136)), 3.0)
+    prev = base[:64, :128].astype(np.float32)
+    nxt = base[2:66, 1:129].astype(np.float32)
+    mesh = make_mesh(8)
+    u1, v1 = calc_optical_flow_farneback(
+        prev, nxt, None, 0.5, 1, 15, 2, 5, 1.1, 0, dense_warp_d=0)
+    u2, v2 = farneback_sharded(prev, nxt, mesh, 0.5, 1, 15, 2, 5, 1.1,
+                               dense_warp_d=0)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)

@@ -141,9 +141,31 @@ def _poly_tile(tile, poly_n: int, poly_sigma: float, use_pallas: bool):
     return (r[..., 1], r[..., 2], r[..., 3], r[..., 4], r[..., 5] * 0.5)
 
 
+def _warp_dense_tile(R2_halo, u, v, D: int, wh: int):
+    """Tiled :func:`tpuflow.solvers.farneback._warp_dense`: the bilinear
+    warp as a static (2D+2)^2 shifted-slice sweep over the halo'd R2
+    stack (valid whenever the GLOBAL flow bound <= D <= wh - 1; the
+    caller cond-dispatches on a pmax'd bound so every device takes the
+    same branch). Taps are plain dynamic_slices of the exchanged halo —
+    true neighbor-tile data interior, clamp replicas at global borders,
+    exactly like the gather path's index clamp."""
+    th, tw = u.shape
+    c = R2_halo.shape[-1]
+    acc = jnp.zeros((th, tw, c), u.dtype)
+    for dy in range(-D, D + 2):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - dy))
+        for dx in range(-D, D + 2):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(u - dx))
+            tap = lax.dynamic_slice(R2_halo, (wh + dy, wh + dx, 0),
+                                    (th, tw, c))
+            acc = acc + (wx * wy)[..., None] * tap
+    return acc
+
+
 def _update_matrices_tile(R1, R2_halo_packed, u, v, row0, col0,
                           img_h: int, img_w: int, wh: int,
-                          zero_flow: bool, R2_center=None):
+                          zero_flow: bool, R2_center=None,
+                          R2_halo=None, dense_warp_d: int = 0):
     """Tiled update_matrices (solvers/farneback.py): global-coordinate
     border logic, warp gather served from the halo'd next-frame
     coefficient stack (exchanged once per frame).
@@ -181,18 +203,31 @@ def _update_matrices_tile(R1, R2_halo_packed, u, v, row0, col0,
         fy = (yq - y0)[..., None]
         # Global clamp (reference semantics) then local clamp into the
         # exchanged halo (deviates only when |flow| > wh).
-        yy = jnp.clip(jnp.clip(y0, 0, img_h - 1) - row0 + wh,
-                      0, th + 2 * wh - 1)
-        xx = jnp.clip(jnp.clip(x0, 0, img_w - 1) - col0 + wh,
-                      0, tw + 2 * wh - 1)
-        rows = jnp.take(R2_halo_packed, (yy * hw_ + xx).reshape(-1),
-                        axis=0).reshape(th, tw, 20)
-        s00 = rows[..., :5]
-        s01 = rows[..., 5:10]
-        s10 = rows[..., 10:15]
-        s11 = rows[..., 15:20]
-        out = ((1 - fx) * (1 - fy) * s00 + fx * (1 - fy) * s01
-               + (1 - fx) * fy * s10 + fx * fy * s11)
+        def gather_warp():
+            yy = jnp.clip(jnp.clip(y0, 0, img_h - 1) - row0 + wh,
+                          0, th + 2 * wh - 1)
+            xx = jnp.clip(jnp.clip(x0, 0, img_w - 1) - col0 + wh,
+                          0, tw + 2 * wh - 1)
+            rows = jnp.take(R2_halo_packed, (yy * hw_ + xx).reshape(-1),
+                            axis=0).reshape(th, tw, 20)
+            s00 = rows[..., :5]
+            s01 = rows[..., 5:10]
+            s10 = rows[..., 10:15]
+            s11 = rows[..., 15:20]
+            return ((1 - fx) * (1 - fy) * s00 + fx * (1 - fy) * s01
+                    + (1 - fx) * fy * s10 + fx * fy * s11)
+
+        if dense_warp_d > 0 and R2_halo is not None:
+            # Global (pmax'd) flow bound — every device takes the same
+            # branch; the dense branch reads only the exchanged halo.
+            dloc = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
+            dmax = lax.pmax(lax.pmax(dloc, "tx"), "ty")
+            out = lax.cond(
+                dmax <= dense_warp_d,
+                lambda: _warp_dense_tile(R2_halo, u, v, dense_warp_d, wh),
+                gather_warp)
+        else:
+            out = gather_warp()
         b1_2, b2_2, a11_2, a22_2, a12_2 = (out[..., i] for i in range(5))
 
         a11 = (a11_1 + a11_2) * 0.5
@@ -243,7 +278,8 @@ def _blur_solve_tile(M, winsize: int, use_pallas: bool):
 @functools.lru_cache(maxsize=64)
 def _fb_sharded_fn(mesh: Mesh, h: int, w: int, winsize: int,
                    iterations: int, poly_n: int, poly_sigma: float,
-                   wh: int, use_pallas: bool, with_init: bool = False):
+                   wh: int, use_pallas: bool, with_init: bool = False,
+                   dense_warp_d: int = 0):
     ty, tx = mesh.devices.shape
     th, tw = h // ty, w // tx
     spec = P("ty", "tx")
@@ -256,8 +292,10 @@ def _fb_sharded_fn(mesh: Mesh, h: int, w: int, winsize: int,
         # Halo'd R2 stack, exchanged + packed once — iteration-invariant.
         from tpuflow.solvers.farneback import _pack_bilinear
 
-        R2h_flat = _pack_bilinear(
-            [halo_pad_2d_clamp(c, wh) for c in R2])
+        R2h_list = [halo_pad_2d_clamp(c, wh) for c in R2]
+        R2h_flat = _pack_bilinear(R2h_list)
+        R2_halo = (jnp.stack(R2h_list, axis=-1)
+                   if dense_warp_d > 0 else None)
 
         if not with_init:
             u = jnp.zeros((th, tw), p_t.dtype)
@@ -269,12 +307,15 @@ def _fb_sharded_fn(mesh: Mesh, h: int, w: int, winsize: int,
             # update already warps by the prolonged flow, exactly like
             # the single-device level-0 step (_farneback_impl).
             M = _update_matrices_tile(R1, R2h_flat, u, v, row0, col0, h, w,
-                                      wh, False)
+                                      wh, False, R2_halo=R2_halo,
+                                      dense_warp_d=dense_warp_d)
         for i in range(iterations):
             u, v = _blur_solve_tile(M, winsize, use_pallas)
             if i < iterations - 1:
                 M = _update_matrices_tile(R1, R2h_flat, u, v, row0, col0,
-                                          h, w, wh, False)
+                                          h, w, wh, False,
+                                          R2_halo=R2_halo,
+                                          dense_warp_d=dense_warp_d)
         return u, v
 
     if with_init:
@@ -300,6 +341,7 @@ def farneback_sharded(
     flags: int = 0,
     warp_halo: int | None = None,
     use_pallas: bool | None = None,
+    dense_warp_d: int = 4,
 ):
     """Distributed Farneback flow over a ("ty", "tx") mesh.
 
@@ -322,6 +364,8 @@ def farneback_sharded(
     th, tw = h // ty, w // tx
     wh = winsize if warp_halo is None else warp_halo
     wh = min(wh, th, tw)
+    if dense_warp_d + 1 > wh:
+        dense_warp_d = 0  # dense taps must fit the exchanged halo
     m = winsize // 2
     if m > th or m > tw or poly_n > th or poly_n > tw:
         raise ValueError("tile smaller than a required halo")
@@ -349,7 +393,8 @@ def farneback_sharded(
     nxt = jax.device_put(nxt, sharding)
     f = _fb_sharded_fn(mesh, h, w, int(winsize), int(iterations),
                        int(poly_n), float(poly_sigma), int(wh),
-                       bool(use_pallas), with_init=levels > 1)
+                       bool(use_pallas), with_init=levels > 1,
+                       dense_warp_d=int(dense_warp_d))
     if levels > 1:
         u0 = jax.device_put(u0, sharding)
         v0 = jax.device_put(v0, sharding)
