@@ -442,7 +442,9 @@ def bench_bm_flagship(bm_method="matmul", mesh=None, with_baseline=True):
 def bench_hs_4k():
     """Domain-size scaling (SURVEY.md §5.7's long-context analogue):
     the same 100-iter 5x5 Horn-Schunck on a 3840x2160 frame through the
-    tiled Pallas kernel — one chip, 4x the 1080p pixel count."""
+    tiled Pallas kernel — one chip, 4x the 1080p pixel count.
+    Baseline: the OpenCV-CPU loop at 4K (10 iterations measured,
+    linearly scaled to the 100-iteration budget)."""
     import jax.numpy as jnp
 
     from tpuflow.kernels import horn_schunck_pallas
@@ -456,7 +458,29 @@ def bench_hs_4k():
                                          tile_h=128, tile_w=1024,
                                          fuse=10, pipelined=True,
                                          roll=True), pairs, windows=2)
-    return 1.0 / dt
+    vs = None
+    try:
+        import cv2
+
+        pd = prev.astype(np.float64)
+        gx = cv2.Sobel(pd, -1, 1, 0, ksize=3)
+        gy = cv2.Sobel(pd, -1, 0, 1, ksize=3)
+        gt = nxt.astype(np.float64) - pd
+        denom = ALPHA**2 + gx * gx + gy * gy
+        k = np.ones((WINDOW, WINDOW), np.float64) / WINDOW**2
+        u = np.zeros_like(gt)
+        v = np.zeros_like(gt)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            ub = cv2.filter2D(u, -1, k, borderType=cv2.BORDER_CONSTANT)
+            vb = cv2.filter2D(v, -1, k, borderType=cv2.BORDER_CONSTANT)
+            upd = (gx * ub + gy * vb + gt) / denom
+            u = ub - gx * upd
+            v = vb - gy * upd
+        vs = (time.perf_counter() - t0) / 10 * ITERS / dt
+    except Exception:
+        pass
+    return 1.0 / dt, vs
 
 
 def bench_weak_scaling_row():
@@ -554,8 +578,7 @@ def main() -> None:
               lambda: bench_bm_flagship(
                   mesh=__import__(
                       "tpuflow.dist.mesh",
-                      fromlist=["make_mesh"]).make_mesh(1),
-                  with_baseline=False))
+                      fromlist=["make_mesh"]).make_mesh(1)))
     guard("weak_scaling_1dev",
           "Mpix*iter/s on 1 device (fused sharded HS, 512x1024 tile)",
           lambda: bench_weak_scaling_row()["mpix_per_s"])
