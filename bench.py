@@ -129,14 +129,16 @@ def bench_horn_schunck(on_tpu):
         from tpuflow.kernels import horn_schunck_pallas
 
         # Measured v5e optimum (scripts/bench_hs_kernels.py): pipelined
-        # DMA overlap + full-size cyclic-roll sweeps; frame loop scanned
-        # on device (one dispatch for the batch).
+        # DMA overlap + the two-stage alternating-drift box sweeps
+        # (roll="two_stage": 20.4 vs 21.6 ms/frame at device rate,
+        # interleaved scan A/B r4); frame loop scanned on device (one
+        # dispatch for the batch).
         pairs = jnp.asarray(_stack_pairs(prev, nxt), jnp.float32)
         dt = timed_scan(
             lambda a, b: horn_schunck_pallas(a, b, WINDOW, ITERS, ALPHA,
                                              tile_h=128, tile_w=1024,
                                              fuse=10, pipelined=True,
-                                             roll=True), pairs)
+                                             roll="two_stage"), pairs)
     else:
         from tpuflow.solvers import horn_schunck
 
@@ -457,7 +459,8 @@ def bench_hs_4k():
         lambda a, b: horn_schunck_pallas(a, b, WINDOW, ITERS, ALPHA,
                                          tile_h=128, tile_w=1024,
                                          fuse=10, pipelined=True,
-                                         roll=True), pairs, windows=2)
+                                         roll="two_stage"), pairs,
+        windows=2)
     vs = None
     try:
         import cv2
