@@ -558,7 +558,9 @@ def main() -> None:
           bench_farneback_demo)
     guard("farneback_demo3_1080p_fps",
           "frames/s/chip (Farneback 0.5/3/15/3/5/1.2 MULTI-LEVEL, f32, "
-          "1080p)",
+          "1080p; small-motion frames take the runtime-adaptive dense "
+          "warp — the exact large-motion gather fallback measures 3.8 "
+          "fps, BASELINE.md r4)",
           bench_farneback_demo3)
     guard("black_anandan_kitti_fps",
           "frames/s/chip (5-level fused IRLS pyramid, iter_max 512/level, "
