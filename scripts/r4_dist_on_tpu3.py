@@ -137,7 +137,7 @@ def main():
         from tpuflow.dist.ops import detect_scratch_sharded
 
         def run():
-            return detect_scratch_sharded(img, mesh)[:1, :1]
+            return detect_scratch_sharded(img, mesh)[0][:1, :1]
 
         return timed2(run, run)
 
