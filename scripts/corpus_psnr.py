@@ -61,6 +61,13 @@ def main() -> None:
                     help="non-debug dt-under-BM-warp refine (the "
                          "reference zeroes MV 'for DEBUG', "
                          "OpticalFlow_BlockMatching.cpp:291-293)")
+    ap.add_argument("--bm_method", default="matmul",
+                    choices=["matmul", "matmul_bf16", "matmul_coarse",
+                             "gather"],
+                    help="integer-search evaluator (matmul_coarse: "
+                         "stride-2 sweep + inclusive +-1 local "
+                         "refinement — ~1/4 the candidates, "
+                         "quality-guarded opt-in)")
     ap.add_argument("--subpixel", type=int, default=2,
                     help="BM subpixel scale (reference default x2; "
                          "higher is a tpuflow quality extension — the "
@@ -126,6 +133,7 @@ def main() -> None:
         out, _ = optical_flow_block_matching(
             prev, nxt, 255.0, iter_max=2048, mode=mode_val,
             refine_warp=args.refine_warp,
+            bm_method=args.bm_method,
             subpixel_scale=args.subpixel,
             affine_normalize_steps=args.normalize_steps == "on",
             refine_sup_mode=args.refine_sup)
@@ -170,6 +178,7 @@ def main() -> None:
         "mode": args.mode,
         "refine_warp": args.refine_warp,
         "refine_sup": args.refine_sup,
+        "bm_method": args.bm_method,
         "subpixel": args.subpixel,
         "normalize_steps": args.normalize_steps,
         "pairs": len(rows),

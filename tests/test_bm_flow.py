@@ -981,3 +981,80 @@ def test_region_bucket_ladder():
     assert region_bucket(300) == 384
     assert region_bucket(385) == 512
     assert region_bucket(1200) == 1536
+
+
+class TestCoarseSearch:
+    """bm_method="matmul_coarse" (r4, opt-in): stride-2 integer sweep +
+    inclusive +-1 local refinement — ~1/4 the integer candidates; not
+    bitwise with the exhaustive search (corpus guard in BASELINE.md)."""
+
+    def test_recovers_odd_shift(self):
+        """A shift with ODD components lies off the coarse grid; the
+        radius-1 local refinement must recover it exactly."""
+        import jax.numpy as jnp
+
+        from scipy.ndimage import gaussian_filter as gf
+
+        from tpuflow.blockmatching import (
+            block_matching_labels,
+            grid_labels,
+        )
+        from tpuflow.core.color import srgb_to_lab
+
+        rng = np.random.default_rng(31)
+        base = gf(rng.uniform(0, 1, (56, 72, 3)), (1.5, 1.5, 0))
+        prev = base[6:-6, 6:-6]
+        cur = base[9:-3, 7:-5]  # content moved by (-3, -1): odd shift
+        prev_lab = np.asarray(srgb_to_lab(jnp.asarray(prev)))
+        cur_lab = np.asarray(srgb_to_lab(jnp.asarray(cur)))
+        labels = grid_labels(44, 60, 12)
+        res = block_matching_labels(
+            cur_lab, prev_lab, labels, int(labels.max()) + 1,
+            search_range=11, subpixel_scale=2, method="matmul_coarse")
+        assert abs(np.median(res.u) - 1.0) < 0.51
+        assert abs(np.median(res.v) - 3.0) < 0.51
+
+    def test_close_to_exhaustive(self):
+        """On textured frames the coarse method's per-region winners
+        land within 1 px of the exhaustive search for the vast majority
+        of regions."""
+        import jax.numpy as jnp
+
+        from scipy.ndimage import gaussian_filter as gf
+
+        from tpuflow.blockmatching import (
+            block_matching_labels,
+            grid_labels,
+        )
+        from tpuflow.core.color import srgb_to_lab
+
+        rng = np.random.default_rng(32)
+        base = gf(rng.uniform(0, 1, (64, 96, 3)), (1.2, 1.2, 0))
+        prev = base[4:-4, 4:-4]
+        cur = base[6:-2, 5:-3]
+        prev_lab = np.asarray(srgb_to_lab(jnp.asarray(prev)))
+        cur_lab = np.asarray(srgb_to_lab(jnp.asarray(cur)))
+        labels = grid_labels(56, 88, 8)
+        n = int(labels.max()) + 1
+        full = block_matching_labels(cur_lab, prev_lab, labels, n,
+                                     search_range=15, subpixel_scale=2)
+        coarse = block_matching_labels(cur_lab, prev_lab, labels, n,
+                                       search_range=15, subpixel_scale=2,
+                                       method="matmul_coarse")
+        d = np.abs(coarse.region_uv - full.region_uv).max(axis=1)
+        assert (d <= 1.0).mean() > 0.9
+
+    def test_driver_accepts_coarse(self):
+        from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+        rng = np.random.default_rng(33)
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = np.clip(gf(rng.uniform(30, 220, (70, 104, 3)),
+                          (1.5, 1.5, 0)), 0, 255)
+        f0 = base[4:-6, 4:-8]
+        f1 = base[6:-4, 5:-7]
+        out, _ = optical_flow_block_matching(
+            f0, f1, 255.0, iter_max=32, search_range=9, kernel_spatial=4,
+            bm_method="matmul_coarse")
+        assert np.isfinite(out.u).all()

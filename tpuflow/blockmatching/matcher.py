@@ -42,7 +42,7 @@ import numpy as np
 #: Dispatch is by ``startswith("matmul")``, so an unlisted typo like
 #: ``"matmul_fp16"`` would otherwise silently run the f32 evaluator (and
 #: any other typo the slow gather path) — validate against this first.
-METHODS = ("matmul", "matmul_bf16", "gather")
+METHODS = ("matmul", "matmul_bf16", "matmul_coarse", "gather")
 
 
 def validate_method(method: str) -> None:
@@ -274,6 +274,48 @@ def _padded_candidates(search_range: int, chunk: int, n_shards: int = 1):
     pad = per * n_shards - n_cand
     return jnp.asarray(
         np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
+
+
+def coarse_candidates(search_range: int) -> np.ndarray:
+    """The stride-2 subgrid of :func:`search_candidates` (both dy and dx
+    even, (0, 0) included) — ~1/4 of the (2R+1)^2 grid. The
+    ``"matmul_coarse"`` method sweeps these, then recovers the odd
+    cells with an inclusive +-1-px local refinement around the coarse
+    winner (:func:`_local_refine`)."""
+    cand = search_candidates(search_range)
+    keep = (cand[:, 0] % 2 == 0) & (cand[:, 1] % 2 == 0)
+    return cand[keep]
+
+
+def _coarse_padded_candidates(search_range: int, chunk: int):
+    cand = coarse_candidates(search_range)
+    pad = (-len(cand)) % chunk
+    return (jnp.asarray(np.concatenate(
+        [cand, np.zeros((pad, 2), cand.dtype)])), len(cand))
+
+
+def _coarse_argmin_and_refine(costs, cur_lab, ref_lab, labels, perm,
+                              bounds, n_regions: int, search_range: int,
+                              subpixel_scale: int, coeff_mad: float,
+                              coeff_zncc: float):
+    """Scoring tail of the ``"matmul_coarse"`` method: argmin over the
+    stride-2 grid, then ONE inclusive [-1, +1]^2 local refinement at
+    1/subpixel steps (radius-1 :func:`_local_refine`) that recovers the
+    skipped odd integer cells AND subsumes the subpixel stage. Not
+    bitwise with the exhaustive search: a distant coarse cell can
+    out-score the true winner's even neighbors (quality-guarded —
+    corpus sweep in BASELINE.md)."""
+    dt = cur_lab.dtype
+    cand_full = jnp.asarray(coarse_candidates(search_range))
+    costs = costs[: cand_full.shape[0]]
+    best = jnp.argmin(costs, axis=0)
+    best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
+    best_d = cand_full[best].astype(dt)
+    best_d, best_cost = _local_refine(
+        cur_lab, ref_lab, labels, perm, bounds, n_regions, best_d,
+        best_cost, max(subpixel_scale, 1), 1, coeff_mad, coeff_zncc)
+    uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
+    return uv, best_cost
 
 
 def _argmin_and_refine(costs, cur_lab, ref_lab, labels, perm, bounds,
@@ -639,6 +681,69 @@ def _subpixel_refine(cur_lab, ref_lab, labels, perm, bounds,
     return best_d, best_cost
 
 
+def _local_refine(cur_lab, ref_lab, labels, perm, bounds,
+                  n_regions: int, best_d, best_cost,
+                  subpixel_scale: int, radius: int,
+                  coeff_mad: float, coeff_zncc: float):
+    """Inclusive [-radius, +radius]^2 refinement at 1/subpixel steps
+    around the per-region integer winner — :func:`_subpixel_refine`'s
+    shared-neighborhood scheme (all candidates' bilinear taps come from
+    one (2*radius+2)^2 tap gather) extended to integer radii, for the
+    coarse search's odd-cell recovery. Kept SEPARATE from
+    _subpixel_refine: that function's exclusive (-1, 1) grid and 3x3
+    taps are a bitwise contract of the exhaustive methods."""
+    dt = cur_lab.dtype
+    n_pix = cur_lab.shape[0] * cur_lab.shape[1]
+    s = 1.0 / subpixel_scale
+    steps = np.arange(-radius * subpixel_scale,
+                      radius * subpixel_scale + 1) * s
+    sub_np = np.stack(np.meshgrid(steps, steps, indexing="ij"),
+                      -1).reshape(-1, 2)  # (n_sub, 2), inclusive
+    n_sub = sub_np.shape[0]
+    h, w = cur_lab.shape[:2]
+    xs_i = jnp.arange(w, dtype=jnp.int32)[None, :]
+    ys_i = jnp.arange(h, dtype=jnp.int32)[:, None]
+    d_pix = best_d[labels]
+    x_base = xs_i + d_pix[..., 1].astype(jnp.int32)
+    y_base = ys_i + d_pix[..., 0].astype(jnp.int32)
+    ref_flat = ref_lab.reshape(h * w, -1)
+
+    ones = jnp.ones((h, w), dt)
+
+    def g(yy, xx):
+        # Zero-pad taps (get_zeropad), as in _subpixel_refine.
+        ok = ((yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)).astype(dt)
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return jnp.take(ref_flat, yy * w + xx, axis=0) * ok[..., None]
+
+    taps = range(-radius, radius + 2)
+    nb = {(jy, jx): g(y_base + jy, x_base + jx)
+          for jy in taps for jx in taps}
+
+    fields_all = []
+    for dy_f, dx_f in sub_np:
+        iy = int(np.floor(dy_f))
+        ix = int(np.floor(dx_f))
+        fx = float(dx_f - ix)
+        fy = float(dy_f - iy)
+        interp = ((1 - fx) * (1 - fy) * nb[(iy, ix)]
+                  + fx * (1 - fy) * nb[(iy, ix + 1)]
+                  + (1 - fx) * fy * nb[(iy + 1, ix)]
+                  + fx * fy * nb[(iy + 1, ix + 1)])
+        fields_all.append(_moment_fields(cur_lab, interp, ones))
+    f = jnp.stack(fields_all, axis=1).reshape(n_pix, n_sub * 7)
+    fs = jnp.take(f, perm, axis=0)
+    sums = _contiguous_range_sums(fs, bounds)
+    sums = jnp.transpose(sums.reshape(n_regions, n_sub, 7), (1, 0, 2))
+    mad, zncc, _ = _cost_from_sums(sums, dt)
+    sub_costs = coeff_mad * mad - coeff_zncc * zncc
+    sbest = jnp.argmin(sub_costs, axis=0)
+    best_cost = jnp.take_along_axis(sub_costs, sbest[None, :], axis=0)[0]
+    best_d = best_d + jnp.asarray(sub_np, dt)[sbest]
+    return best_d, best_cost
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_regions", "search_range", "subpixel_scale",
@@ -661,6 +766,14 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     (wider amortizes the gather / widens the matmul RHS)."""
     if method.startswith("matmul"):
         chunk = max(chunk, 64)
+    if method == "matmul_coarse":
+        cand, _ = _coarse_padded_candidates(search_range, chunk)
+        costs = _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions,
+                                      cand, coeff_mad, coeff_zncc, chunk,
+                                      search_range // 2, None)
+        return _coarse_argmin_and_refine(
+            costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,
+            search_range, subpixel_scale, coeff_mad, coeff_zncc)
     cand = _padded_candidates(search_range, chunk)
     if method.startswith("matmul"):
         mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
@@ -690,6 +803,16 @@ def _match_two_directions(cur_lab, refp_lab, refn_lab, labels, perm,
     argmin + subpixel refinement. Each direction's output is
     bitwise-equal to its single-direction program."""
     chunk = max(chunk, 64)
+    if method == "matmul_coarse":
+        cand, _ = _coarse_padded_candidates(search_range, chunk)
+        costs_pair = _integer_costs_matmul_bidi(
+            cur_lab, refp_lab, refn_lab, labels, n_regions, cand,
+            coeff_mad, coeff_zncc, chunk, search_range // 2, None)
+        return tuple(
+            _coarse_argmin_and_refine(
+                costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,
+                search_range, subpixel_scale, coeff_mad, coeff_zncc)
+            for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)))
     cand = _padded_candidates(search_range, chunk)
     mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
     costs_pair = _integer_costs_matmul_bidi(
