@@ -639,12 +639,20 @@ def _subpixel_refine(cur_lab, ref_lab, labels, perm, bounds,
     xs_i = jnp.arange(w, dtype=jnp.int32)[None, :]
     ys_i = jnp.arange(h, dtype=jnp.int32)[:, None]
     d_pix = best_d[labels]  # (H, W, (dy, dx)) integer-valued
-    x_base = xs_i + d_pix[..., 1].astype(jnp.int32)
-    y_base = ys_i + d_pix[..., 0].astype(jnp.int32)
+    # Taps are gathered DIRECTLY in region-sorted order (base indices
+    # permuted first): permutation commutes with every pointwise step
+    # below, so the range sums are bitwise the raster-order formulation
+    # while the (N, n_sub*7)-wide permuted reduction it needed
+    # (~120 MB of gathered bytes per direction at KITTI res on the
+    # ~2.6 GB/s gather unit) disappears (r4).
+    x_base = jnp.take(
+        (xs_i + d_pix[..., 1].astype(jnp.int32)).reshape(-1), perm)
+    y_base = jnp.take(
+        (ys_i + d_pix[..., 0].astype(jnp.int32)).reshape(-1), perm)
     ref_flat = ref_lab.reshape(h * w, -1)
-    n_ch = ref_flat.shape[-1]
+    cur_s = jnp.take(cur_lab.reshape(n_pix, -1), perm, axis=0)
 
-    ones = jnp.ones((h, w), dt)
+    ones = jnp.ones((n_pix,), dt)
 
     def g(yy, xx):
         # Zero-pad taps (get_zeropad): out-of-frame reads contribute 0
@@ -655,7 +663,7 @@ def _subpixel_refine(cur_lab, ref_lab, labels, perm, bounds,
         return jnp.take(ref_flat, yy * w + xx, axis=0) * ok[..., None]
 
     nb = {(jy, jx): g(y_base + jy, x_base + jx)
-          for jy in (-1, 0, 1) for jx in (-1, 0, 1)}  # (H, W, C) each
+          for jy in (-1, 0, 1) for jx in (-1, 0, 1)}  # (N, C), sorted
 
     fields_all = []
     for dy_f, dx_f in sub_np:
@@ -667,9 +675,8 @@ def _subpixel_refine(cur_lab, ref_lab, labels, perm, bounds,
                   + fx * (1 - fy) * nb[(iy, ix + 1)]
                   + (1 - fx) * fy * nb[(iy + 1, ix)]
                   + fx * fy * nb[(iy + 1, ix + 1)])
-        fields_all.append(_moment_fields(cur_lab, interp, ones))
-    f = jnp.stack(fields_all, axis=1).reshape(n_pix, n_sub * 7)
-    fs = jnp.take(f, perm, axis=0)
+        fields_all.append(_moment_fields(cur_s, interp, ones))
+    fs = jnp.stack(fields_all, axis=1).reshape(n_pix, n_sub * 7)
     sums = _contiguous_range_sums(fs, bounds)      # (n_regions, n_sub*7)
     sums = jnp.transpose(
         sums.reshape(n_regions, n_sub, 7), (1, 0, 2))
@@ -704,11 +711,16 @@ def _local_refine(cur_lab, ref_lab, labels, perm, bounds,
     xs_i = jnp.arange(w, dtype=jnp.int32)[None, :]
     ys_i = jnp.arange(h, dtype=jnp.int32)[:, None]
     d_pix = best_d[labels]
-    x_base = xs_i + d_pix[..., 1].astype(jnp.int32)
-    y_base = ys_i + d_pix[..., 0].astype(jnp.int32)
+    # Sorted-order tap gathers, as in _subpixel_refine (r4): the wide
+    # permuted reduction drops out; values are permutation-identical.
+    x_base = jnp.take(
+        (xs_i + d_pix[..., 1].astype(jnp.int32)).reshape(-1), perm)
+    y_base = jnp.take(
+        (ys_i + d_pix[..., 0].astype(jnp.int32)).reshape(-1), perm)
     ref_flat = ref_lab.reshape(h * w, -1)
+    cur_s = jnp.take(cur_lab.reshape(n_pix, -1), perm, axis=0)
 
-    ones = jnp.ones((h, w), dt)
+    ones = jnp.ones((n_pix,), dt)
 
     def g(yy, xx):
         # Zero-pad taps (get_zeropad), as in _subpixel_refine.
@@ -731,9 +743,8 @@ def _local_refine(cur_lab, ref_lab, labels, perm, bounds,
                   + fx * (1 - fy) * nb[(iy, ix + 1)]
                   + (1 - fx) * fy * nb[(iy + 1, ix)]
                   + fx * fy * nb[(iy + 1, ix + 1)])
-        fields_all.append(_moment_fields(cur_lab, interp, ones))
-    f = jnp.stack(fields_all, axis=1).reshape(n_pix, n_sub * 7)
-    fs = jnp.take(f, perm, axis=0)
+        fields_all.append(_moment_fields(cur_s, interp, ones))
+    fs = jnp.stack(fields_all, axis=1).reshape(n_pix, n_sub * 7)
     sums = _contiguous_range_sums(fs, bounds)
     sums = jnp.transpose(sums.reshape(n_regions, n_sub, 7), (1, 0, 2))
     mad, zncc, _ = _cost_from_sums(sums, dt)
