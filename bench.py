@@ -575,6 +575,14 @@ def main() -> None:
           "fetch; baseline: pinned-oracle CPU proxy, op-count-"
           "extrapolated)",
           bench_bm_flagship)
+    guard("bm_flagship_coarse_spf",
+          "s/frame-pair, same workload with the stride-2 coarse search "
+          "+ inclusive +-1 sorted-tap local refinement "
+          "(bm_method=matmul_coarse — NOT bit-faithful to the "
+          "exhaustive search; corpus quality -0.07 dB bilinear, "
+          "BASELINE.md r4)",
+          lambda: bench_bm_flagship(bm_method="matmul_coarse",
+                                    with_baseline=False))
     if on_tpu:
         guard("bm_flagship_sharded_1dev_spf",
               "s/frame-pair, same workload routed through the sharded "
