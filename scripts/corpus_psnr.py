@@ -63,7 +63,7 @@ def main() -> None:
                          "OpticalFlow_BlockMatching.cpp:291-293)")
     ap.add_argument("--bm_method", default="matmul",
                     choices=["matmul", "matmul_bf16", "matmul_coarse",
-                             "gather"],
+                             "matmul_coarse3", "gather"],
                     help="integer-search evaluator (matmul_coarse: "
                          "stride-2 sweep + inclusive +-1 local "
                          "refinement — ~1/4 the candidates, "

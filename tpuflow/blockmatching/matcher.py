@@ -42,7 +42,8 @@ import numpy as np
 #: Dispatch is by ``startswith("matmul")``, so an unlisted typo like
 #: ``"matmul_fp16"`` would otherwise silently run the f32 evaluator (and
 #: any other typo the slow gather path) — validate against this first.
-METHODS = ("matmul", "matmul_bf16", "matmul_coarse", "gather")
+METHODS = ("matmul", "matmul_bf16", "matmul_coarse", "matmul_coarse3",
+           "gather")
 
 
 def validate_method(method: str) -> None:
@@ -276,19 +277,24 @@ def _padded_candidates(search_range: int, chunk: int, n_shards: int = 1):
         np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
 
 
-def coarse_candidates(search_range: int) -> np.ndarray:
-    """The stride-2 subgrid of :func:`search_candidates` (both dy and dx
-    even, (0, 0) included) — ~1/4 of the (2R+1)^2 grid. The
-    ``"matmul_coarse"`` method sweeps these, then recovers the odd
-    cells with an inclusive +-1-px local refinement around the coarse
-    winner (:func:`_local_refine`)."""
+def coarse_candidates(search_range: int, stride: int = 2) -> np.ndarray:
+    """The stride-``stride`` subgrid of :func:`search_candidates` (dy
+    and dx both multiples of the stride, (0, 0) included) — ~1/stride^2
+    of the (2R+1)^2 grid. The ``"matmul_coarse"`` (stride 2) and
+    ``"matmul_coarse3"`` (stride 3) methods sweep these, then recover
+    the skipped cells with an inclusive +-1-px local refinement around
+    the coarse winner (:func:`_local_refine`; every integer lies within
+    1 of a stride-<=3 grid point, so the refinement covers the lattice
+    exactly — the heuristic risk is the coarse argmin picking a cell
+    away from the true winner's neighborhood)."""
     cand = search_candidates(search_range)
-    keep = (cand[:, 0] % 2 == 0) & (cand[:, 1] % 2 == 0)
+    keep = (cand[:, 0] % stride == 0) & (cand[:, 1] % stride == 0)
     return cand[keep]
 
 
-def _coarse_padded_candidates(search_range: int, chunk: int):
-    cand = coarse_candidates(search_range)
+def _coarse_padded_candidates(search_range: int, chunk: int,
+                              stride: int = 2):
+    cand = coarse_candidates(search_range, stride)
     pad = (-len(cand)) % chunk
     return (jnp.asarray(np.concatenate(
         [cand, np.zeros((pad, 2), cand.dtype)])), len(cand))
@@ -297,7 +303,7 @@ def _coarse_padded_candidates(search_range: int, chunk: int):
 def _coarse_argmin_and_refine(costs, cur_lab, ref_lab, labels, perm,
                               bounds, n_regions: int, search_range: int,
                               subpixel_scale: int, coeff_mad: float,
-                              coeff_zncc: float):
+                              coeff_zncc: float, stride: int = 2):
     """Scoring tail of the ``"matmul_coarse"`` method: argmin over the
     stride-2 grid, then ONE inclusive [-1, +1]^2 local refinement at
     1/subpixel steps (radius-1 :func:`_local_refine`) that recovers the
@@ -306,7 +312,7 @@ def _coarse_argmin_and_refine(costs, cur_lab, ref_lab, labels, perm,
     out-score the true winner's even neighbors (quality-guarded —
     corpus sweep in BASELINE.md)."""
     dt = cur_lab.dtype
-    cand_full = jnp.asarray(coarse_candidates(search_range))
+    cand_full = jnp.asarray(coarse_candidates(search_range, stride))
     costs = costs[: cand_full.shape[0]]
     best = jnp.argmin(costs, axis=0)
     best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
@@ -777,14 +783,15 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     (wider amortizes the gather / widens the matmul RHS)."""
     if method.startswith("matmul"):
         chunk = max(chunk, 64)
-    if method == "matmul_coarse":
-        cand, _ = _coarse_padded_candidates(search_range, chunk)
+    if method.startswith("matmul_coarse"):
+        stride = 3 if method.endswith("3") else 2
+        cand, _ = _coarse_padded_candidates(search_range, chunk, stride)
         costs = _integer_costs_matmul(cur_lab, ref_lab, labels, n_regions,
                                       cand, coeff_mad, coeff_zncc, chunk,
                                       search_range // 2, None)
         return _coarse_argmin_and_refine(
             costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,
-            search_range, subpixel_scale, coeff_mad, coeff_zncc)
+            search_range, subpixel_scale, coeff_mad, coeff_zncc, stride)
     cand = _padded_candidates(search_range, chunk)
     if method.startswith("matmul"):
         mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
@@ -814,15 +821,17 @@ def _match_two_directions(cur_lab, refp_lab, refn_lab, labels, perm,
     argmin + subpixel refinement. Each direction's output is
     bitwise-equal to its single-direction program."""
     chunk = max(chunk, 64)
-    if method == "matmul_coarse":
-        cand, _ = _coarse_padded_candidates(search_range, chunk)
+    if method.startswith("matmul_coarse"):
+        stride = 3 if method.endswith("3") else 2
+        cand, _ = _coarse_padded_candidates(search_range, chunk, stride)
         costs_pair = _integer_costs_matmul_bidi(
             cur_lab, refp_lab, refn_lab, labels, n_regions, cand,
             coeff_mad, coeff_zncc, chunk, search_range // 2, None)
         return tuple(
             _coarse_argmin_and_refine(
                 costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,
-                search_range, subpixel_scale, coeff_mad, coeff_zncc)
+                search_range, subpixel_scale, coeff_mad, coeff_zncc,
+                stride)
             for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)))
     cand = _padded_candidates(search_range, chunk)
     mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
