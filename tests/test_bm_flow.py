@@ -1058,3 +1058,28 @@ class TestCoarseSearch:
             f0, f1, 255.0, iter_max=32, search_range=9, kernel_spatial=4,
             bm_method="matmul_coarse")
         assert np.isfinite(out.u).all()
+
+
+def test_gated_analytic_sup_descends_faster():
+    """sup_mode="analytic" (the true Geman-McClure curvature bound) is
+    still monotone in energy at checkpoints and reaches a LOWER energy
+    than the reference's over-damped step within the same budget."""
+    import jax.numpy as jnp
+
+    from tpuflow.solvers.bm_flow import irls_gradient_method
+
+    rng = np.random.default_rng(17)
+    h, w = 24, 32
+    gx = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+    gy = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+    it = jnp.asarray(0.4 * rng.normal(size=(h, w)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 3, (h, w)).astype(np.int32))
+    args = (5.0, 1.0, 0.1414, 0.0212)
+    _, _, e_ref, _, tr_ref = irls_gradient_method(
+        gx, gy, it, labels, *args, 256, 1e-12)
+    _, _, e_an, _, tr_an = irls_gradient_method(
+        gx, gy, it, labels, *args, 256, 1e-12, sup_mode="analytic")
+    tr = np.asarray(tr_an)
+    tr = tr[np.isfinite(tr)]
+    assert (np.diff(tr) <= 1e-6).all()  # monotone at the check cadence
+    assert float(e_an) < float(e_ref)   # faster descent, same budget

@@ -262,3 +262,38 @@ def test_dense_warp_dispatch_preserves_flow():
                                rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
                                rtol=1e-3, atol=2e-4)
+
+
+def test_dense_warp_dispatch_branches():
+    """update_matrices' runtime cond: a flow field exceeding the bound
+    takes the gather branch (bitwise the forced-gather result); a
+    bounded field takes the dense branch (equal to the gather values
+    to weight-rounding ulps)."""
+    import jax.numpy as jnp
+
+    from tpuflow.solvers.farneback import poly_expansion, update_matrices
+
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.normal(size=(32, 48)), jnp.float32)
+    R = poly_expansion(img, 5, 1.2)
+
+    # Large motion (max |u| = 9 > D = 4): cond -> gather. Equal to
+    # fusion-level ulps (the cond branch compiles separately from the
+    # top-level gather, so FMA grouping can differ — observed max
+    # rel ~6e-5 on near-zero M entries).
+    u_big = jnp.asarray(rng.uniform(-9, 9, (32, 48)), jnp.float32)
+    v_big = jnp.asarray(rng.uniform(-3, 3, (32, 48)), jnp.float32)
+    u_big = u_big.at[0, 0].set(9.0)
+    m_gather = update_matrices(R, R, u_big, v_big, dense_warp_d=0)
+    m_adapt = update_matrices(R, R, u_big, v_big, dense_warp_d=4)
+    np.testing.assert_allclose(np.asarray(m_adapt),
+                               np.asarray(m_gather),
+                               rtol=1e-4, atol=1e-6)
+
+    # Bounded motion: cond -> dense, equal to ulps.
+    u_sm = jnp.asarray(rng.uniform(-3, 3, (32, 48)), jnp.float32)
+    v_sm = jnp.asarray(rng.uniform(-3, 3, (32, 48)), jnp.float32)
+    m_g = update_matrices(R, R, u_sm, v_sm, dense_warp_d=0)
+    m_d = update_matrices(R, R, u_sm, v_sm, dense_warp_d=4)
+    np.testing.assert_allclose(np.asarray(m_d), np.asarray(m_g),
+                               rtol=1e-4, atol=1e-5)
