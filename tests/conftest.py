@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Background bucket pre-warm threads would race pytest teardown and
+# slow the suite with compiles of neighbor buckets no test requests;
+# tests/test_streaming.py exercises the prewarm path synchronously.
+os.environ.setdefault("TPUFLOW_NO_PREWARM", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -1060,6 +1060,149 @@ class TestCoarseSearch:
         assert np.isfinite(out.u).all()
 
 
+class TestHalfResSearch:
+    """bm_method="matmul_half" (r5, the fast profile's search): the
+    stride-2 candidate grid scored on stride-2-subsampled frames (~1/16
+    the integer-sweep FLOPs of the exhaustive search), then the shared
+    full-res ±1 sorted-tap refinement. Not bitwise with the exhaustive
+    search (corpus guard in BASELINE.md round 5)."""
+
+    def test_recovers_odd_shift(self):
+        """A shift with ODD components lies off the even grid; the
+        full-res radius-1 refinement must recover it exactly."""
+        import jax.numpy as jnp
+
+        from scipy.ndimage import gaussian_filter as gf
+
+        from tpuflow.blockmatching import (
+            block_matching_labels,
+            grid_labels,
+        )
+        from tpuflow.core.color import srgb_to_lab
+
+        rng = np.random.default_rng(31)
+        base = gf(rng.uniform(0, 1, (56, 72, 3)), (1.5, 1.5, 0))
+        prev = base[6:-6, 6:-6]
+        cur = base[9:-3, 7:-5]  # content moved by (-3, -1): odd shift
+        prev_lab = np.asarray(srgb_to_lab(jnp.asarray(prev)))
+        cur_lab = np.asarray(srgb_to_lab(jnp.asarray(cur)))
+        labels = grid_labels(44, 60, 12)
+        res = block_matching_labels(
+            cur_lab, prev_lab, labels, int(labels.max()) + 1,
+            search_range=11, subpixel_scale=2, method="matmul_half")
+        assert abs(np.median(res.u) - 1.0) < 0.51
+        assert abs(np.median(res.v) - 3.0) < 0.51
+
+    def test_close_to_exhaustive(self):
+        """Per-region winners land within 1 px of the exhaustive search
+        for the vast majority of regions despite the quarter-resolution
+        scoring pass."""
+        import jax.numpy as jnp
+
+        from scipy.ndimage import gaussian_filter as gf
+
+        from tpuflow.blockmatching import (
+            block_matching_labels,
+            grid_labels,
+        )
+        from tpuflow.core.color import srgb_to_lab
+
+        rng = np.random.default_rng(32)
+        base = gf(rng.uniform(0, 1, (64, 96, 3)), (1.2, 1.2, 0))
+        prev = base[4:-4, 4:-4]
+        cur = base[6:-2, 5:-3]
+        prev_lab = np.asarray(srgb_to_lab(jnp.asarray(prev)))
+        cur_lab = np.asarray(srgb_to_lab(jnp.asarray(cur)))
+        labels = grid_labels(56, 88, 8)
+        n = int(labels.max()) + 1
+        full = block_matching_labels(cur_lab, prev_lab, labels, n,
+                                     search_range=15, subpixel_scale=2)
+        half = block_matching_labels(cur_lab, prev_lab, labels, n,
+                                     search_range=15, subpixel_scale=2,
+                                     method="matmul_half")
+        d = np.abs(half.region_uv - full.region_uv).max(axis=1)
+        assert (d <= 1.0).mean() > 0.9
+
+    def test_half_invisible_region_reseeds_at_zero(self):
+        """A region whose every pixel sits at odd coordinates has NO
+        sample on the half-res grid: every coarse cost is +inf, and the
+        inf-guard must re-seed its refinement at zero displacement
+        instead of the grid corner (-R, -R)."""
+        import jax.numpy as jnp
+
+        from tpuflow.blockmatching import block_matching_labels
+
+        rng = np.random.default_rng(34)
+        h, w = 32, 48
+        frame = rng.uniform(0.2, 0.8, (h, w, 3)).astype(np.float32)
+        labels = np.zeros((h, w), np.int32)
+        labels[5, 7] = 1  # single pixel, both coordinates odd
+        res = block_matching_labels(
+            jnp.asarray(frame), jnp.asarray(frame), labels, 2,
+            search_range=9, subpixel_scale=2, method="matmul_half")
+        assert np.isfinite(res.region_cost).all()
+        # identical frames: the refinement around the zero re-seed finds
+        # the exact match at displacement 0
+        np.testing.assert_allclose(res.region_uv[1], [0.0, 0.0])
+
+    def test_driver_fast_profile(self):
+        """profile="fast" = matmul_half + analytic sup + plateau stop;
+        runs end-to-end bidirectional and stays finite."""
+        from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+        rng = np.random.default_rng(35)
+        from scipy.ndimage import gaussian_filter as gf
+
+        base = np.clip(gf(rng.uniform(30, 220, (72, 104, 3)),
+                          (1.5, 1.5, 0)), 0, 255)
+        f0 = base[4:-6, 4:-8]
+        f1 = base[6:-4, 5:-7]
+        f2 = base[8:-2, 6:-6]
+        out, st = optical_flow_block_matching(
+            f0, f1, 255.0, iter_max=128, search_range=9, kernel_spatial=4,
+            profile="fast")
+        assert np.isfinite(out.u).all()
+        out2, _ = optical_flow_block_matching(
+            f1, f2, 255.0, iter_max=128, search_range=9, kernel_spatial=4,
+            profile="fast", state=st)
+        assert out2.bidirectional
+        assert np.isfinite(out2.u).all() and np.isfinite(out2.v).all()
+
+    def test_unknown_profile_raises(self):
+        from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+        f = np.zeros((16, 16, 3), np.float32)
+        with np.testing.assert_raises(ValueError):
+            optical_flow_block_matching(f, f, 255.0, profile="warp9")
+
+
+def test_plateau_stop_early():
+    """plateau_rtol > 0 stops the gradient IRLS once a 64-iteration
+    check window improves < rtol relative: fewer sweeps, energy within
+    rtol-per-window of the full run, and the default (0.0) keeps the
+    reference's run-to-budget behavior."""
+    import jax.numpy as jnp
+
+    from scipy.ndimage import gaussian_filter as gf
+
+    from tpuflow.solvers.bm_flow import irls_gradient_method
+
+    rng = np.random.default_rng(7)
+    h, w = 48, 64
+    gx = jnp.asarray(gf(rng.normal(0, 1, (h, w)), 1.5).astype(np.float32))
+    gy = jnp.asarray(gf(rng.normal(0, 1, (h, w)), 1.5).astype(np.float32))
+    it = jnp.asarray(gf(rng.normal(0, 1, (h, w)), 1.5).astype(np.float32))
+    labels = jnp.asarray((np.arange(h)[:, None] // 16 * 4
+                          + np.arange(w)[None, :] // 16).astype(np.int32))
+    args = (gx, gy, it, labels, 5.0, 1.0, float(0.2 / np.sqrt(2)),
+            float(0.03 / np.sqrt(2)), 2048, 1e-6)
+    full = irls_gradient_method(*args, sup_mode="analytic")
+    plat = irls_gradient_method(*args, sup_mode="analytic",
+                                plateau_rtol=1e-3)
+    assert int(plat[3]) < int(full[3])
+    assert float(plat[2]) <= float(full[2]) * (1.0 + 5e-3)
+
+
 def test_gated_analytic_sup_descends_faster():
     """sup_mode="analytic" (the true Geman-McClure curvature bound) is
     still monotone in energy at checkpoints and reaches a LOWER energy

@@ -501,6 +501,67 @@ class TestBlockMatchingSharded:
             np.testing.assert_array_equal(np.asarray(c_d),
                                           np.asarray(c_s))
 
+    @pytest.mark.parametrize("method", ["matmul_coarse", "matmul_half"])
+    def test_coarse_methods_match_single_device(self, method):
+        """The coarse/half-res searches shard along the candidate axis
+        too: stride-2 subgrid split over 8 devices + replicated full-res
+        local refinement == the single-device program, bitwise."""
+        from tpuflow.blockmatching import block_matching_labels
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.bm import block_matching_labels_sharded
+        from tpuflow.segmentation import segment_meanshift
+
+        mesh = make_mesh(8)
+        from scipy.ndimage import gaussian_filter
+
+        base = gaussian_filter(
+            rng.uniform(0, 1, (40, 64, 3)), (2, 2, 0)).astype(np.float32)
+        cur = base[2:34, 1:49]
+        ref = base[:32, :48]
+        seg = segment_meanshift(cur, 4, 0.12, iters=3, min_size=4)
+        r1 = block_matching_labels(cur, ref, seg.labels, seg.n_regions,
+                                   search_range=9, subpixel_scale=2,
+                                   method=method)
+        r2 = block_matching_labels_sharded(
+            cur, ref, seg.labels, seg.n_regions, mesh,
+            search_range=9, subpixel_scale=2, method=method)
+        np.testing.assert_array_equal(r2.region_uv, r1.region_uv)
+        np.testing.assert_array_equal(r2.region_cost, r1.region_cost)
+
+    def test_half_fused_bidirectional_matches_single_device(self):
+        """matmul_half through the fused bidirectional candidate-parallel
+        program == the fused single-device program, bitwise."""
+        import jax.numpy as jnp
+
+        from tpuflow.blockmatching.matcher import (
+            _match_device_bidirectional,
+        )
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.bm import _match_device_sharded_bidirectional
+        from tpuflow.segmentation import segment_meanshift
+
+        mesh = make_mesh(8)
+        from scipy.ndimage import gaussian_filter
+
+        base = gaussian_filter(
+            rng.uniform(0, 1, (40, 64, 3)), (2, 2, 0)).astype(np.float32)
+        cur = base[2:34, 1:49]
+        refp = base[:32, :48]
+        refn = base[4:36, 2:50]
+        seg = segment_meanshift(cur, 4, 0.12, iters=3, min_size=4)
+        single = _match_device_bidirectional(
+            jnp.asarray(cur), jnp.asarray(refp), jnp.asarray(refn),
+            seg.labels, seg.n_regions, 9, 1.0, 0.5, 2, 16,
+            method="matmul_half")
+        sharded = _match_device_sharded_bidirectional(
+            cur, refp, refn, seg.labels, seg.n_regions, mesh,
+            9, 1.0, 0.5, 2, 16, method="matmul_half")
+        for (uv_s, c_s), (uv_d, c_d) in zip(single, sharded):
+            np.testing.assert_array_equal(np.asarray(uv_d),
+                                          np.asarray(uv_s))
+            np.testing.assert_array_equal(np.asarray(c_d),
+                                          np.asarray(c_s))
+
     def test_bf16_matches_single_device(self):
         """The candidate-parallel split is precision-independent: the
         bf16 evaluator sharded over 8 devices == bf16 on one device,

@@ -163,3 +163,55 @@ class TestBMFlowStream:
             np.testing.assert_array_equal(o_s.u, o_q.u)
             np.testing.assert_array_equal(o_s.v, o_q.v)
             np.testing.assert_array_equal(o_s.t, o_q.t)
+
+
+class TestBucketPrewarm:
+    """Region-bucket ladder pre-warming (r5): the warmed jit signatures
+    must be EXACTLY what the streaming driver requests — a signature
+    mismatch would silently compile twice and the mid-stream recompile
+    tail would return."""
+
+    def test_neighbor_buckets_ladder(self):
+        from tpuflow.blockmatching.prewarm import neighbor_buckets
+
+        assert neighbor_buckets(300) == [256, 384, 512]
+        assert neighbor_buckets(100) == [128, 256]  # ladder floor
+        assert neighbor_buckets(1796) == [1536, 2048, 3072]
+        assert neighbor_buckets(300, include_current=False) == [256, 512]
+
+    def test_warm_primes_the_driver_signature(self):
+        """prewarm_flagship(background=False) then the real
+        driver-path bidirectional dispatch: the jit cache must not
+        grow (the warm compiled the exact program)."""
+        import jax.numpy as jnp
+
+        from tpuflow.blockmatching import prewarm as pw
+        from tpuflow.blockmatching.matcher import (
+            _match_device_bidirectional,
+            _match_two_directions,
+        )
+
+        h, w = 32, 48
+        pw.prewarm_flagship((h, w), 100, background=False,
+                            search_range=9, subpixel_scale=2,
+                            include_refine=False)
+        n0 = _match_two_directions._cache_size()
+        rng = np.random.default_rng(0)
+        cur = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        refp = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        refn = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        labels = np.zeros((h, w), np.int32)
+        labels[:2, :20] = np.arange(40).reshape(2, 20)
+        _match_device_bidirectional(
+            jnp.asarray(cur), jnp.asarray(refp), jnp.asarray(refn),
+            labels, 41, 9, 1.0, 0.5, 2, 16, "matmul")
+        assert _match_two_directions._cache_size() == n0
+
+    def test_synthetic_labels_exact_count(self):
+        from tpuflow.blockmatching.prewarm import _synthetic_labels
+
+        lab = _synthetic_labels(16, 32, 128)
+        assert lab.shape == (16, 32)
+        assert len(np.unique(lab)) == 128
+        with np.testing.assert_raises(ValueError):
+            _synthetic_labels(8, 8, 128)

@@ -43,7 +43,7 @@ import numpy as np
 #: ``"matmul_fp16"`` would otherwise silently run the f32 evaluator (and
 #: any other typo the slow gather path) — validate against this first.
 METHODS = ("matmul", "matmul_bf16", "matmul_coarse", "matmul_coarse3",
-           "gather")
+           "matmul_half", "gather")
 
 
 def validate_method(method: str) -> None:
@@ -293,9 +293,14 @@ def coarse_candidates(search_range: int, stride: int = 2) -> np.ndarray:
 
 
 def _coarse_padded_candidates(search_range: int, chunk: int,
-                              stride: int = 2):
+                              stride: int = 2, n_shards: int = 1):
+    """Coarse twin of :func:`_padded_candidates`: the stride-subgrid
+    padded so each of ``n_shards`` devices holds a chunk-multiple slice
+    ((0, 0) fillers, discarded after scoring)."""
     cand = coarse_candidates(search_range, stride)
-    pad = (-len(cand)) % chunk
+    per = -(-len(cand) // n_shards)
+    per = -(-per // chunk) * chunk
+    pad = per * n_shards - len(cand)
     return (jnp.asarray(np.concatenate(
         [cand, np.zeros((pad, 2), cand.dtype)])), len(cand))
 
@@ -317,6 +322,12 @@ def _coarse_argmin_and_refine(costs, cur_lab, ref_lab, labels, perm,
     best = jnp.argmin(costs, axis=0)
     best_cost = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
     best_d = cand_full[best].astype(dt)
+    # A region the coarse pass never scored (every candidate inf — e.g.
+    # a region with no pixel on the half-res sample grid under
+    # "matmul_half") would otherwise seed the refinement at the grid
+    # corner cand[0] = (-R, -R); re-seed it at zero displacement (the
+    # refinement then scores the true full-res costs around it).
+    best_d = jnp.where(jnp.isfinite(best_cost)[:, None], best_d, 0.0)
     best_d, best_cost = _local_refine(
         cur_lab, ref_lab, labels, perm, bounds, n_regions, best_d,
         best_cost, max(subpixel_scale, 1), 1, coeff_mad, coeff_zncc)
@@ -783,6 +794,24 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     (wider amortizes the gather / widens the matmul RHS)."""
     if method.startswith("matmul"):
         chunk = max(chunk, 64)
+    if method == "matmul_half":
+        # Half-resolution coarse sweep: the stride-2 full-res candidate
+        # grid IS the all-integer half-res grid (d_full = 2 * d_half),
+        # so the same candidate set — in the same canonical order —
+        # evaluates on the stride-2-subsampled frames/labels at ~1/4 the
+        # field-build + one-hot-matmul FLOPs (the evaluator's measured
+        # bound at real region counts, BASELINE.md r4). The scoring tail
+        # is the shared stride-2 coarse tail at FULL resolution: the
+        # inclusive +-1 sorted-tap refinement recovers the odd cells and
+        # re-scores the winner's neighborhood on the true frames.
+        cand, _ = _coarse_padded_candidates(search_range, chunk, 2)
+        costs = _integer_costs_matmul(
+            cur_lab[::2, ::2], ref_lab[::2, ::2], labels[::2, ::2],
+            n_regions, cand // 2, coeff_mad, coeff_zncc, chunk,
+            -(-(search_range // 2) // 2), None)
+        return _coarse_argmin_and_refine(
+            costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,
+            search_range, subpixel_scale, coeff_mad, coeff_zncc, 2)
     if method.startswith("matmul_coarse"):
         stride = 3 if method.endswith("3") else 2
         cand, _ = _coarse_padded_candidates(search_range, chunk, stride)
@@ -821,6 +850,18 @@ def _match_two_directions(cur_lab, refp_lab, refn_lab, labels, perm,
     argmin + subpixel refinement. Each direction's output is
     bitwise-equal to its single-direction program."""
     chunk = max(chunk, 64)
+    if method == "matmul_half":
+        # Fused-bidirectional half-res sweep — see _match_one_direction.
+        cand, _ = _coarse_padded_candidates(search_range, chunk, 2)
+        costs_pair = _integer_costs_matmul_bidi(
+            cur_lab[::2, ::2], refp_lab[::2, ::2], refn_lab[::2, ::2],
+            labels[::2, ::2], n_regions, cand // 2, coeff_mad,
+            coeff_zncc, chunk, -(-(search_range // 2) // 2), None)
+        return tuple(
+            _coarse_argmin_and_refine(
+                costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,
+                search_range, subpixel_scale, coeff_mad, coeff_zncc, 2)
+            for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)))
     if method.startswith("matmul_coarse"):
         stride = 3 if method.endswith("3") else 2
         cand, _ = _coarse_padded_candidates(search_range, chunk, stride)

@@ -128,6 +128,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "the MXU reduction bf16 inputs with f32 accumulation "
                    "(winners can differ at near-ties; only pays at very "
                    "large region counts)")
+    p.add_argument("--bm_profile", choices=["faithful", "fast"],
+                   default=None,
+                   help="flagship driver profile: 'faithful' (default) "
+                   "keeps every knob bit-faithful to the reference; "
+                   "'fast' runs the half-resolution coarse search plus "
+                   "the analytic-bound plateau-stopped refinement "
+                   "(documented speed/quality trade, BASELINE.md)")
     p.add_argument("--refine_warp", action="store_true",
                    help="tpuflow extension: run the flagship gradient "
                    "refinement under the REAL BM warp instead of the "
@@ -163,6 +170,8 @@ def parse_args_to_options(args) -> Options:
         opts.multiple_motion_param.bm_method = "matmul_bf16"
     if args.refine_warp:
         opts.multiple_motion_param.bm_refine_warp = True
+    if args.bm_profile:
+        opts.multiple_motion_param.bm_profile = args.bm_profile
     hp = opts.hog_param
     if args.hog_bins is not None:
         hp.bins = args.hog_bins

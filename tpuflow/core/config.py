@@ -91,6 +91,11 @@ class MultipleMotionParam:
     # "for DEBUG", OpticalFlow_BlockMatching.cpp:291-293; False keeps
     # that faithful default — see docs/MIGRATION.md).
     bm_refine_warp: bool = False
+    # Named driver profile (bm_flow.PROFILES): None/"faithful" keeps
+    # every default bit-faithful; "fast" is the documented speed
+    # operating point (half-res coarse search + analytic-bound
+    # plateau-stopped refinement).
+    bm_profile: str | None = None
 
 
 @dataclass

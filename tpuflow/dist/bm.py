@@ -27,6 +27,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpuflow.blockmatching.matcher import (
     BlockMatchResult,
+    _coarse_argmin_and_refine,
+    _coarse_padded_candidates,
     _integer_costs,
     _integer_costs_matmul,
     _integer_costs_matmul_bidi,
@@ -37,6 +39,34 @@ from tpuflow.blockmatching.matcher import (
     region_reduction_plan,
     validate_method,
 )
+
+
+def _is_coarse(method: str) -> bool:
+    """Methods that sweep the stride-2/3 candidate subgrid and finish
+    with the full-res local refinement tail."""
+    return method.startswith("matmul_coarse") or method == "matmul_half"
+
+
+def _coarse_stride(method: str) -> int:
+    return 3 if method.endswith("3") else 2
+
+
+def _local_costs(cur_t, ref_t, labels_t, n_regions, cand_t, coeff_mad,
+                 coeff_zncc, chunk, search_range, method):
+    """One device's slice of the integer cost table, dispatched on
+    ``method`` — the single copy of the evaluator dispatch the sharded
+    single-direction body shares with the single-device matcher."""
+    if method == "matmul_half":
+        return _integer_costs_matmul(
+            cur_t[::2, ::2], ref_t[::2, ::2], labels_t[::2, ::2],
+            n_regions, cand_t // 2, coeff_mad, coeff_zncc, chunk,
+            -(-(search_range // 2) // 2), None)
+    mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
+    if method.startswith("matmul_coarse"):
+        mxu_dtype = None
+    return _integer_costs_matmul(
+        cur_t, ref_t, labels_t, n_regions, cand_t, coeff_mad,
+        coeff_zncc, chunk, search_range // 2, mxu_dtype)
 from tpuflow.dist.solvers import shard_map
 
 
@@ -52,10 +82,9 @@ def _match_sharded(cur_lab, ref_lab, labels, perm, bounds, cand,
 
     def body(cur_t, ref_t, labels_t, perm_t, bounds_t, cand_t):
         if method.startswith("matmul"):
-            mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
-            local = _integer_costs_matmul(
-                cur_t, ref_t, labels_t, n_regions, cand_t, coeff_mad,
-                coeff_zncc, chunk, search_range // 2, mxu_dtype)
+            local = _local_costs(cur_t, ref_t, labels_t, n_regions,
+                                 cand_t, coeff_mad, coeff_zncc, chunk,
+                                 search_range, method)
         else:
             local = _integer_costs(cur_t, ref_t, perm_t, bounds_t,
                                    n_regions, cand_t, coeff_mad,
@@ -69,6 +98,11 @@ def _match_sharded(cur_lab, ref_lab, labels, perm, bounds, cand,
         in_specs=(rep, rep, rep, rep, rep, P(("ty", "tx"), None)),
         out_specs=P(("ty", "tx"), None, None))
     costs = f(cur_lab, ref_lab, labels, perm, bounds, cand)[0]
+    if _is_coarse(method):
+        return _coarse_argmin_and_refine(
+            costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,
+            search_range, subpixel_scale, coeff_mad, coeff_zncc,
+            _coarse_stride(method))
     return _argmin_and_refine(costs, cur_lab, ref_lab, labels, perm,
                               bounds, n_regions, search_range,
                               subpixel_scale, coeff_mad, coeff_zncc)
@@ -87,8 +121,12 @@ def _match_device_sharded(cur_lab, ref_lab, labels, n_regions: int,
     # discarded after the all-gather — global order is preserved), and
     # bucket the region count like the single-device matcher (stable
     # jit signature across frames).
-    cand = _padded_candidates(search_range, chunk,
-                              int(np.prod(mesh.devices.shape)))
+    n_shards = int(np.prod(mesh.devices.shape))
+    if _is_coarse(method):
+        cand, _ = _coarse_padded_candidates(
+            search_range, chunk, _coarse_stride(method), n_shards)
+    else:
+        cand = _padded_candidates(search_range, chunk, n_shards)
     perm, bounds = region_reduction_plan(np.asarray(labels),
                                          int(n_regions))
     n_pad_r = region_bucket(int(n_regions))
@@ -118,10 +156,18 @@ def _match_sharded_bidi(cur_lab, refp_lab, refn_lab, labels, perm, bounds,
     rep = P(None)
 
     def body(cur_t, refp_t, refn_t, labels_t, perm_t, bounds_t, cand_t):
-        mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
-        local_p, local_n = _integer_costs_matmul_bidi(
-            cur_t, refp_t, refn_t, labels_t, n_regions, cand_t,
-            coeff_mad, coeff_zncc, chunk, search_range // 2, mxu_dtype)
+        if method == "matmul_half":
+            local_p, local_n = _integer_costs_matmul_bidi(
+                cur_t[::2, ::2], refp_t[::2, ::2], refn_t[::2, ::2],
+                labels_t[::2, ::2], n_regions, cand_t // 2, coeff_mad,
+                coeff_zncc, chunk, -(-(search_range // 2) // 2), None)
+        else:
+            mxu_dtype = (jnp.bfloat16 if method == "matmul_bf16"
+                         else None)
+            local_p, local_n = _integer_costs_matmul_bidi(
+                cur_t, refp_t, refn_t, labels_t, n_regions, cand_t,
+                coeff_mad, coeff_zncc, chunk, search_range // 2,
+                mxu_dtype)
         # (D, n_local, n_regions) in device (= global candidate) order.
         cp = lax.all_gather(local_p, ("ty", "tx")).reshape(-1, n_regions)
         cn = lax.all_gather(local_n, ("ty", "tx")).reshape(-1, n_regions)
@@ -132,6 +178,13 @@ def _match_sharded_bidi(cur_lab, refp_lab, refn_lab, labels, perm, bounds,
         in_specs=(rep, rep, rep, rep, rep, rep, P(("ty", "tx"), None)),
         out_specs=(P(("ty", "tx"), None, None),) * 2)
     costs_pair = f(cur_lab, refp_lab, refn_lab, labels, perm, bounds, cand)
+    if _is_coarse(method):
+        return tuple(
+            _coarse_argmin_and_refine(
+                costs[0], cur_lab, ref_lab, labels, perm, bounds,
+                n_regions, search_range, subpixel_scale, coeff_mad,
+                coeff_zncc, _coarse_stride(method))
+            for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)))
     return tuple(
         _argmin_and_refine(costs[0], cur_lab, ref_lab, labels, perm,
                            bounds, n_regions, search_range,
@@ -161,8 +214,12 @@ def _match_device_sharded_bidirectional(cur_lab, refp_lab, refn_lab,
                                       coeff_mad, coeff_zncc,
                                       subpixel_scale, chunk, method))
     chunk = max(chunk, 64)
-    cand = _padded_candidates(search_range, chunk,
-                              int(np.prod(mesh.devices.shape)))
+    n_shards = int(np.prod(mesh.devices.shape))
+    if _is_coarse(method):
+        cand, _ = _coarse_padded_candidates(
+            search_range, chunk, _coarse_stride(method), n_shards)
+    else:
+        cand = _padded_candidates(search_range, chunk, n_shards)
     perm, bounds = region_reduction_plan(np.asarray(labels),
                                          int(n_regions))
     n_pad_r = region_bucket(int(n_regions))

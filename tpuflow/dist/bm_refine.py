@@ -138,7 +138,8 @@ def _gated_sharded_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
                       lambda_s: float, sigma_d: float, sigma_s: float,
                       iter_max: int, error_min_threshold: float,
                       fuse: int, external_dt: bool = False,
-                      sup_mode: str = "reference"):
+                      sup_mode: str = "reference",
+                      plateau_rtol: float = 0.0):
     from tpuflow.kernels.irls_stencil import _irls_sweeps_gated, _nb_masks
 
     blocks_per_check = max(64 // fuse, 1)
@@ -229,9 +230,17 @@ def _gated_sharded_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
                 do_check,
                 lambda: trace.at[b // blocks_per_check].set(E_new),
                 lambda: trace)
-            stop = jnp.logical_and(
-                do_check,
-                jnp.logical_or(E_new < error_min_threshold, inc_new > 3))
+            should_stop = jnp.logical_or(E_new < error_min_threshold,
+                                         inc_new > 3)
+            if plateau_rtol > 0.0:
+                # E carries the previous check's energy (0 before the
+                # first check) — bm_flow.irls_gradient_method's
+                # plateau-stop contract at the fused-block cadence.
+                should_stop = jnp.logical_or(
+                    should_stop,
+                    jnp.logical_and(
+                        E > 0, E_new >= (1.0 - plateau_rtol) * E))
+            stop = jnp.logical_and(do_check, should_stop)
             return u, v, E_new, inc_new, b + 1, stop, trace
 
         E0 = jnp.asarray(0.0, dt)
@@ -261,6 +270,7 @@ def gradient_method_flow_sharded(
     fuse: int = 8,
     mv=None,
     sup_mode: str = "reference",
+    plateau_rtol: float = 0.0,
 ):
     """Distributed OpticalFlow_GradientMethod: returns (u, v, trace).
 
@@ -302,7 +312,8 @@ def gradient_method_flow_sharded(
     f = _gated_sharded_fn(mesh, h, w, float(lambda_d), float(lambda_s),
                           float(sigma_d), float(sigma_s), int(iter_max),
                           float(error_min_threshold), int(fuse),
-                          external_dt=mv is not None, sup_mode=sup_mode)
+                          external_dt=mv is not None, sup_mode=sup_mode,
+                          plateau_rtol=float(plateau_rtol))
     return f(*args)
 
 
@@ -312,7 +323,8 @@ def _gated_sharded_batched_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
                               sigma_s: float, iter_max: int,
                               error_min_threshold: float, fuse: int,
                               n_dirs: int, external_dt: bool = False,
-                              sup_mode: str = "reference"):
+                              sup_mode: str = "reference",
+                              plateau_rtol: float = 0.0):
     """Batched variant of :func:`_gated_sharded_fn`: ``n_dirs`` reference
     frames (the flagship's two time directions,
     OpticalFlow_BlockMatching.cpp:84-93) refine against ONE interest
@@ -413,6 +425,11 @@ def _gated_sharded_batched_fn(mesh: Mesh, h: int, w: int, lambda_d: float,
                     jnp.where(stop, trace[:, k], E_new))
                 stop_new = (stop | (E_new < error_min_threshold)
                             | (inc_new > 3))
+                if plateau_rtol > 0.0:
+                    # E: previous check's energy per direction (0 before
+                    # the first check — plateau can't fire there).
+                    stop_new = stop_new | (
+                        (E > 0) & (E_new >= (1.0 - plateau_rtol) * E))
                 return E_new, inc_new, stop_new, trace
 
             E, inc, stop, trace = lax.cond(
@@ -453,6 +470,7 @@ def gradient_method_flow_sharded_bidirectional(
     fuse: int = 8,
     mvs=None,
     sup_mode: str = "reference",
+    plateau_rtol: float = 0.0,
 ):
     """Both time directions of the distributed gradient refine in ONE
     program (see :func:`_gated_sharded_batched_fn`). ``reference_labs``:
@@ -494,7 +512,7 @@ def gradient_method_flow_sharded_bidirectional(
         mesh, h, w, float(lambda_d), float(lambda_s), float(sigma_d),
         float(sigma_s), int(iter_max), float(error_min_threshold),
         int(fuse), len(reference_labs), external_dt=mvs is not None,
-        sup_mode=sup_mode)
+        sup_mode=sup_mode, plateau_rtol=float(plateau_rtol))
     u, v, trace = f(*args)
     return [(u[b], v[b]) for b in range(len(reference_labs))], trace
 

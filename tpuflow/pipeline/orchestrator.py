@@ -220,7 +220,8 @@ def process_frame(
                     kernel_intensity=mm.bm_kernel_intensity,
                     subpixel_scale=mm.bm_subpixel_scale,
                     mesh=mesh, bm_method=mm.bm_method,
-                    refine_warp=mm.bm_refine_warp)
+                    refine_warp=mm.bm_refine_warp,
+                    profile=mm.bm_profile)
             results["flow"] = out
             if write_outputs:
                 from tpuflow.pipeline.motion_compensation import compensate

@@ -175,6 +175,7 @@ def dense_flow_stream(
 def bm_flow_stream(
     frames: Iterable[np.ndarray],
     max_int: float = 255.0,
+    prewarm: bool = True,
     **driver_kwargs,
 ):
     """Streaming flagship: segmentation-BM flow over a frame iterable,
@@ -192,6 +193,15 @@ def bm_flow_stream(
     through to the driver (iter_max, search_range, kernel_spatial,
     kernel_intensity, subpixel_scale, mesh, bm_method, mode, param).
 
+    ``prewarm=True`` (default) launches a background thread after the
+    first pair that compiles the plausible neighbor region-count
+    buckets (and the steady-state bidirectional programs for the
+    current one) while the early pairs stream — real sequences drift
+    across matcher.region_bucket rungs, and each fresh rung otherwise
+    costs a 10-20 s mid-stream compile
+    (:func:`tpuflow.blockmatching.prewarm.prewarm_flagship`; the
+    reference binary never recompiles, Scratch_MeaningfulMotion.cpp:79).
+
     A capability the reference only offers for image sequences via the
     CLI — this is its VideoDenseOF-style loop for the flagship path.
     """
@@ -202,11 +212,44 @@ def bm_flow_stream(
     pending = None
     pending_frame = -1
     prev = None
+    warmed = False
     for i, frame in enumerate(frames):
         frame = np.asarray(frame)
         if prev is not None:
             finalize, state = optical_flow_block_matching_async(
                 prev, frame, max_int, state=state, **driver_kwargs)
+            if prewarm and not warmed and driver_kwargs.get("mesh") is None:
+                warmed = True
+                from tpuflow.blockmatching.prewarm import prewarm_flagship
+
+                from tpuflow.core.config import (
+                    MODE_OUTPUT_AFFINE_BLOCKMATCHING,
+                )
+
+                param = driver_kwargs.get("param")
+                # The batched zero-warp refine is the steady-state
+                # program only for the default gradient branch; the
+                # affine/refine_warp branches trace different programs.
+                plain_refine = (
+                    not driver_kwargs.get("refine_warp", False)
+                    and not (driver_kwargs.get("mode", 0)
+                             & MODE_OUTPUT_AFFINE_BLOCKMATCHING))
+                prewarm_flagship(
+                    frame.shape[:2],
+                    state.segmentations[0].n_regions,
+                    search_range=driver_kwargs.get("search_range", 61),
+                    subpixel_scale=driver_kwargs.get("subpixel_scale", 2),
+                    bm_method=driver_kwargs.get("bm_method", "matmul"),
+                    profile=driver_kwargs.get("profile"),
+                    include_refine=plain_refine,
+                    refine_iter_max=driver_kwargs.get("iter_max", 2048),
+                    error_min_threshold=(
+                        param.error_min_threshold if param is not None
+                        else 1.0e-6),
+                    refine_sup_mode=driver_kwargs.get(
+                        "refine_sup_mode", "reference"),
+                    refine_plateau_rtol=driver_kwargs.get(
+                        "refine_plateau_rtol", 0.0))
             if pending is not None:
                 out = pending()
                 tel.event("stream.bm_flow", frame=pending_frame,

@@ -47,6 +47,29 @@ from tpuflow.solvers.mestimators import geman_mcclure_psi, geman_mcclure_rho
 
 LAMBDA_D = 5.0
 LAMBDA_S = 1.0
+
+#: Named driver profiles (the ``profile=`` argument of
+#: :func:`optical_flow_block_matching`). ``"faithful"`` (== None) keeps
+#: every default bit-faithful to the reference's exhaustive search and
+#: over-damped refinement. ``"fast"`` is the documented speed operating
+#: point: the half-resolution coarse search (``matmul_half`` — the
+#: stride-2 candidate grid scored on stride-2-subsampled frames, then
+#: the full-res ±1 sorted-tap refinement), the analytic Geman-McClure
+#: Lipschitz bound in the gradient refinement (same minimizer, provably
+#: monotone, several-fold the reference bound's descent rate —
+#: :func:`_gated_sup`), and a 0.1%-per-64-iteration plateau stop with
+#: the budget capped at 1024 sweeps (the analytic descent converges
+#: well inside it; the reference's 2048 budget mostly burns plateau).
+#: Corpus quality vs the faithful profile: BASELINE.md round 5.
+PROFILES = {
+    "faithful": {},
+    "fast": {
+        "bm_method": "matmul_half",
+        "refine_sup_mode": "analytic",
+        "refine_plateau_rtol": 1.0e-3,
+        "refine_iter_max": 1024,
+    },
+}
 SIGMA_D_BM = 0.2 / math.sqrt(2.0)   # OpticalFlow_BlockMatching.cpp:47
 SIGMA_S_BM = 0.03 / math.sqrt(2.0)  # OpticalFlow_BlockMatching.cpp:48
 SIGMA_AFFINE_BM = 0.2 / math.sqrt(2.0)  # Affine_BlockMatching.cpp:17
@@ -246,13 +269,15 @@ def _gated_sup(gx, gy, lambda_d, lambda_s, sigma_d, sigma_s,
     return sup_x, sup_y
 
 
-@partial(jax.jit, static_argnames=("iter_max", "sup_mode"))
+@partial(jax.jit, static_argnames=("iter_max", "sup_mode",
+                                   "plateau_rtol"))
 def irls_gradient_method(
     gx, gy, it, labels,
     lambda_d: float, lambda_s: float, sigma_d: float, sigma_s: float,
     iter_max: int, error_min_threshold: float,
     u0=None, v0=None,
     sup_mode: str = "reference",
+    plateau_rtol: float = 0.0,
 ):
     """IRLS_OpticalFlow_GradientMethod (OpticalFlow_BlockMatching.cpp:
     412-462): Jacobi sweeps with the region-gated neighbor term, energy
@@ -260,7 +285,15 @@ def irls_gradient_method(
 
     Returns (u, v, E, n, trace): ``trace[k]`` = E after the sweep with
     n == 64 k (the E(n) telemetry cadence, OpticalFlow.cpp:261-265);
-    NaN past the stopping point. ``sup_mode``: see :func:`_gated_sup`."""
+    NaN past the stopping point. ``sup_mode``: see :func:`_gated_sup`.
+
+    ``plateau_rtol > 0`` adds a convergence stop the reference lacks
+    (its only stops are the absolute threshold and the 3-strikes
+    divergence counter, so a MONOTONE descent always burns the full
+    budget): stop once a 64-iteration check window improves the energy
+    by less than ``plateau_rtol`` relative. The fast profile pairs it
+    with ``sup_mode="analytic"`` (provably monotone, several-fold the
+    descent rate — the budget is mostly plateau there)."""
     sup_x, sup_y = _gated_sup(gx, gy, lambda_d, lambda_s, sigma_d,
                               sigma_s, sup_mode)
     n_checks = max(-(-iter_max // 64), 1)
@@ -295,9 +328,15 @@ def irls_gradient_method(
             (u, v, E, Eprev, inc))
         trace = jax.lax.cond(
             do_check, lambda: trace.at[n >> 6].set(E2), lambda: trace)
-        stop = jnp.logical_and(
-            do_check,
-            jnp.logical_or(E2 < error_min_threshold, inc2 > 3))
+        should_stop = jnp.logical_or(E2 < error_min_threshold, inc2 > 3)
+        if plateau_rtol > 0.0:
+            # Eprev2 carries the PREVIOUS check's energy (0 before the
+            # first check, so the plateau can't fire there).
+            should_stop = jnp.logical_or(
+                should_stop,
+                jnp.logical_and(Eprev2 > 0,
+                                E2 >= (1.0 - plateau_rtol) * Eprev2))
+        stop = jnp.logical_and(do_check, should_stop)
         return u, v, E2, Eprev2, inc2, n + 1, stop, trace
 
     z_u = jnp.zeros_like(gx) if u0 is None else u0
@@ -311,13 +350,15 @@ def irls_gradient_method(
     return u, v, E, n, trace
 
 
-@partial(jax.jit, static_argnames=("iter_max", "sup_mode"))
+@partial(jax.jit, static_argnames=("iter_max", "sup_mode",
+                                   "plateau_rtol"))
 def irls_gradient_method_batched(
     gx, gy, its, labels,
     lambda_d: float, lambda_s: float, sigma_d: float, sigma_s: float,
     iter_max: int, error_min_threshold: float,
     u0=None, v0=None,
     sup_mode: str = "reference",
+    plateau_rtol: float = 0.0,
 ):
     """:func:`irls_gradient_method` over a batch of temporal-difference
     fields sharing one interest frame (gx/gy/labels): the flagship's
@@ -367,6 +408,11 @@ def irls_gradient_method_batched(
             trace = trace.at[:, n >> 6].set(
                 jnp.where(stop, trace[:, n >> 6], E_new))
             stop_new = stop | (E_new < error_min_threshold) | (inc_new > 3)
+            if plateau_rtol > 0.0:
+                # E carries the previous check's energy per element (0
+                # before the first check — the plateau can't fire there).
+                stop_new = stop_new | (
+                    (E > 0) & (E_new >= (1.0 - plateau_rtol) * E))
             return E, E_new, inc_new, stop_new, trace
 
         do_check = (n & 0x3F) == 0
@@ -508,6 +554,7 @@ def gradient_method_flow(
     v0=None,
     zero_warp: bool = False,
     sup_mode: str = "reference",
+    plateau_rtol: float = 0.0,
 ):
     """OpticalFlow_GradientMethod (OpticalFlow_BlockMatching.cpp:367-409).
 
@@ -540,7 +587,7 @@ def gradient_method_flow(
             gx, gy, it, jnp.asarray(labels),
             lambda_d, lambda_s, sigma_d, sigma_s,
             int(iter_max), error_min_threshold, u0, v0,
-            sup_mode=sup_mode)
+            sup_mode=sup_mode, plateau_rtol=float(plateau_rtol))
     from tpuflow.solvers.black_anandan import _emit_energy_trace
 
     _emit_energy_trace(0, trace)
@@ -559,6 +606,7 @@ def gradient_method_flow_bidirectional(
     error_min_threshold: float = 1.0e-6,
     mvs=None,
     sup_mode: str = "reference",
+    plateau_rtol: float = 0.0,
 ):
     """Both time directions of the flagship's gradient refine
     (OpticalFlow_BlockMatching.cpp:84-93 + 367-409, zero-MV branch
@@ -591,7 +639,8 @@ def gradient_method_flow_bidirectional(
     u, v, _, _, trace = irls_gradient_method_batched(
         gx, gy, its, jnp.asarray(labels),
         lambda_d, lambda_s, sigma_d, sigma_s,
-        int(iter_max), error_min_threshold, sup_mode=sup_mode)
+        int(iter_max), error_min_threshold, sup_mode=sup_mode,
+        plateau_rtol=float(plateau_rtol))
     from tpuflow.solvers.black_anandan import _emit_energy_trace
 
     for b in range(len(reference_labs)):
@@ -825,8 +874,19 @@ def optical_flow_block_matching_async(
     refine_warp: bool = False,
     affine_normalize_steps: bool = True,
     refine_sup_mode: str = "reference",
+    refine_plateau_rtol: float = 0.0,
+    profile: str | None = None,
 ):
     """The flagship driver, split into dispatch + deferred fetch.
+
+    ``profile`` selects a named knob bundle (:data:`PROFILES`):
+    ``"fast"`` overrides ``bm_method``/``refine_sup_mode``/
+    ``refine_plateau_rtol`` and caps ``iter_max`` for the documented
+    speed operating point; ``"faithful"``/None changes nothing.
+
+    ``refine_plateau_rtol > 0`` stops the gradient refinement once a
+    64-iteration energy-check window improves less than that relative
+    fraction (see :func:`irls_gradient_method`).
 
     ``refine_sup_mode="analytic"`` takes the true Geman-McClure
     Lipschitz bound in the gradient refinement (see
@@ -890,6 +950,17 @@ def optical_flow_block_matching_async(
     from tpuflow.blockmatching.matcher import _match_device
     from tpuflow.segmentation import segment_meanshift_async
 
+    if profile is not None:
+        if profile not in PROFILES:
+            raise ValueError(f"unknown profile {profile!r}; expected one "
+                             f"of {sorted(PROFILES)}")
+        knobs = PROFILES[profile]
+        bm_method = knobs.get("bm_method", bm_method)
+        refine_sup_mode = knobs.get("refine_sup_mode", refine_sup_mode)
+        refine_plateau_rtol = knobs.get("refine_plateau_rtol",
+                                        refine_plateau_rtol)
+        if "refine_iter_max" in knobs:
+            iter_max = min(iter_max, knobs["refine_iter_max"])
     if param is None:
         param = MultipleMotionParam()
     if state is None:
@@ -1019,7 +1090,8 @@ def optical_flow_block_matching_async(
                 reference_lab, interest_lab, mv[..., 0], mv[..., 1],
                 labels_j, iter_max=iter_max,
                 error_min_threshold=param.error_min_threshold,
-                sup_mode=refine_sup_mode)
+                sup_mode=refine_sup_mode,
+                plateau_rtol=refine_plateau_rtol)
         if mesh is not None:
             from tpuflow.dist.bm_refine import gradient_method_flow_sharded
             from tpuflow.solvers.black_anandan import _emit_energy_trace
@@ -1029,14 +1101,16 @@ def optical_flow_block_matching_async(
                 iter_max=iter_max,
                 error_min_threshold=param.error_min_threshold,
                 mv=bm_uv[labels_j] if refine_warp else None,
-                sup_mode=refine_sup_mode)
+                sup_mode=refine_sup_mode,
+                plateau_rtol=refine_plateau_rtol)
             _emit_energy_trace(0, trace)
             return u, v
         return gradient_method_flow(
             reference_lab, interest_lab, zeros, zeros, labels_j,
             iter_max=iter_max,
             error_min_threshold=param.error_min_threshold,
-            zero_warp=True, sup_mode=refine_sup_mode)
+            zero_warp=True, sup_mode=refine_sup_mode,
+            plateau_rtol=refine_plateau_rtol)
 
     refs = [(ref_prev, bm_dev[0][0])]
     if bidirectional:
@@ -1054,7 +1128,8 @@ def optical_flow_block_matching_async(
                 [ref_prev, ref_next], interest_lab, labels_j,
                 iter_max=iter_max,
                 error_min_threshold=param.error_min_threshold, mvs=mvs,
-                sup_mode=refine_sup_mode)
+                sup_mode=refine_sup_mode,
+                plateau_rtol=refine_plateau_rtol)
         else:
             from tpuflow.dist.bm_refine import (
                 gradient_method_flow_sharded_bidirectional,
@@ -1068,7 +1143,8 @@ def optical_flow_block_matching_async(
                     [ref_prev, ref_next], interest_lab, seg.labels,
                     mesh, iter_max=iter_max,
                     error_min_threshold=param.error_min_threshold,
-                    mvs=mvs, sup_mode=refine_sup_mode))
+                    mvs=mvs, sup_mode=refine_sup_mode,
+                    plateau_rtol=refine_plateau_rtol))
             for b in range(2):
                 _emit_energy_trace(0, trace[b])
     else:
@@ -1134,6 +1210,8 @@ def optical_flow_block_matching(
     refine_warp: bool = False,
     affine_normalize_steps: bool = True,
     refine_sup_mode: str = "reference",
+    refine_plateau_rtol: float = 0.0,
+    profile: str | None = None,
 ) -> tuple[BMFlowOutput, BMFlowState]:
     """The flagship driver (OpticalFlow_BlockMatching.cpp:13-362) —
     synchronous wrapper of :func:`optical_flow_block_matching_async`
@@ -1146,5 +1224,6 @@ def optical_flow_block_matching(
         subpixel_scale=subpixel_scale, mesh=mesh, bm_method=bm_method,
         refine_warp=refine_warp,
         affine_normalize_steps=affine_normalize_steps,
-        refine_sup_mode=refine_sup_mode)
+        refine_sup_mode=refine_sup_mode,
+        refine_plateau_rtol=refine_plateau_rtol, profile=profile)
     return finalize(), state
