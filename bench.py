@@ -393,7 +393,8 @@ def _frames_flagship():
     return [f0, f1, f2], False
 
 
-def bench_bm_flagship(bm_method="matmul", mesh=None, with_baseline=True):
+def bench_bm_flagship(bm_method="matmul", mesh=None, with_baseline=True,
+                      profile=None):
     """Flagship driver, FULL reference defaults, PIPELINED steady state
     on REAL corpus frames: the sequence loop dispatches frame i+1 before
     finalizing frame i (optical_flow_block_matching_async), so each
@@ -418,7 +419,7 @@ def bench_bm_flagship(bm_method="matmul", mesh=None, with_baseline=True):
         for a, b in zip(frames_[:-1], frames_[1:]):
             fin, state = optical_flow_block_matching_async(
                 a, b, 255.0, iter_max=2048, state=state,
-                bm_method=bm_method, mesh=mesh)
+                bm_method=bm_method, mesh=mesh, profile=profile)
             if pending is not None:
                 pending()
             pending = fin
@@ -439,6 +440,55 @@ def bench_bm_flagship(bm_method="matmul", mesh=None, with_baseline=True):
         except Exception:
             pass
     return best, vs
+
+
+def bench_bm_flagship_seq():
+    """The number a user of the streaming API experiences (VERDICT r4
+    #8): the WHOLE bundled left corpus (62 scenes, 124 frames) as one
+    continuous sequence through the dispatch-ahead driver with the fast
+    profile and the background region-bucket prewarm. Region counts
+    drift across the real sequence, so this exercises the bucket ladder
+    + prewarm end to end. Returns the tail median s/pair; p90 and
+    mean-with-compiles ride in the unit string via the returned dict."""
+    import os
+
+    from tpuflow.blockmatching.prewarm import prewarm_flagship
+    from tpuflow.core.io import read_image
+    from tpuflow.solvers.bm_flow import optical_flow_block_matching_async
+
+    stems = sorted(p[:-7] for p in os.listdir(_CORPUS)
+                   if p.endswith("_10.png"))
+    frames = []
+    for stem in stems:
+        frames.append(read_image(
+            os.path.join(_CORPUS, f"{stem}_10.png"))[0])
+        frames.append(read_image(
+            os.path.join(_CORPUS, f"{stem}_11.png"))[0])
+
+    state, pending = None, None
+    times = []
+    warmed = False
+    t_prev = time.perf_counter()
+    for a, b in zip(frames[:-1], frames[1:]):
+        fin, state = optical_flow_block_matching_async(
+            a, b, 255.0, iter_max=2048, state=state, profile="fast")
+        if not warmed:
+            warmed = True
+            prewarm_flagship(a.shape[:2],
+                             state.segmentations[0].n_regions,
+                             profile="fast", include_refine=True)
+        if pending is not None:
+            pending()
+        pending = fin
+        now = time.perf_counter()
+        times.append(now - t_prev)
+        t_prev = now
+    pending()
+    times = np.asarray(times)
+    tail = times[min(8, len(times) // 4):]
+    return {"median": float(np.median(tail)),
+            "p90": float(np.percentile(tail, 90)),
+            "mean_all": float(times.mean())}
 
 
 def bench_hs_4k():
@@ -583,6 +633,27 @@ def main() -> None:
           "BASELINE.md r4)",
           lambda: bench_bm_flagship(bm_method="matmul_coarse",
                                     with_baseline=False))
+    guard("bm_flagship_fast_spf",
+          "s/frame-pair, same workload under profile=fast (half-res "
+          "coarse search + analytic-bound plateau-stopped refine — NOT "
+          "bit-faithful; corpus quality guard in BASELINE.md r5)",
+          lambda: bench_bm_flagship(profile="fast", with_baseline=False))
+    if on_tpu:
+        def seq_row():
+            r = bench_bm_flagship_seq()
+            emit("bm_flagship_seq_spf", r["median"],
+                 "s/frame-pair tail MEDIAN, full 62-scene real corpus "
+                 "as ONE continuous sequence (fast profile + background "
+                 "bucket prewarm; tail p90 "
+                 f"{r['p90']:.3f} s, mean incl. compiles "
+                 f"{r['mean_all']:.3f} s)")
+
+        try:
+            seq_row()
+        except Exception:
+            traceback.print_exc()
+            emit("bm_flagship_seq_spf", float("nan"),
+                 "s/frame-pair [FAILED]")
     if on_tpu:
         guard("bm_flagship_sharded_1dev_spf",
               "s/frame-pair, same workload routed through the sharded "

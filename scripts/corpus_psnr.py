@@ -63,11 +63,23 @@ def main() -> None:
                          "OpticalFlow_BlockMatching.cpp:291-293)")
     ap.add_argument("--bm_method", default="matmul",
                     choices=["matmul", "matmul_bf16", "matmul_coarse",
-                             "matmul_coarse3", "gather"],
+                             "matmul_coarse3", "matmul_half", "gather"],
                     help="integer-search evaluator (matmul_coarse: "
                          "stride-2 sweep + inclusive +-1 local "
-                         "refinement — ~1/4 the candidates, "
-                         "quality-guarded opt-in)")
+                         "refinement — ~1/4 the candidates; "
+                         "matmul_half: the stride-2 grid scored on "
+                         "stride-2-subsampled frames — ~1/16 the "
+                         "integer-sweep FLOPs; both quality-guarded "
+                         "opt-ins)")
+    ap.add_argument("--profile", choices=["faithful", "fast"],
+                    default=None,
+                    help="named driver profile (overrides bm_method/"
+                         "refine_sup: fast = matmul_half + analytic "
+                         "sup + 1e-3 plateau stop + 1024 cap)")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="pipelined mode: launch the background "
+                         "region-bucket ladder prewarm after the first "
+                         "pair (blockmatching/prewarm.py)")
     ap.add_argument("--subpixel", type=int, default=2,
                     help="BM subpixel scale (reference default x2; "
                          "higher is a tpuflow quality extension — the "
@@ -136,7 +148,8 @@ def main() -> None:
             bm_method=args.bm_method,
             subpixel_scale=args.subpixel,
             affine_normalize_steps=args.normalize_steps == "on",
-            refine_sup_mode=args.refine_sup)
+            refine_sup_mode=args.refine_sup,
+            profile=args.profile)
         t_total += time.perf_counter() - t0
         uj = jnp.asarray(out.u.astype(np.float64))
         vj = jnp.asarray(out.v.astype(np.float64))
@@ -215,11 +228,22 @@ def _pipelined_sweep(stems, corpus_dir, args, read_image) -> None:
 
     state, pending = None, None
     times = []
+    warmed = False
     t_prev = time.perf_counter()
     for a, b in zip(frames[:-1], frames[1:]):
         fin, state = optical_flow_block_matching_async(
             a, b, 255.0, iter_max=2048, state=state,
-            refine_warp=args.refine_warp)
+            refine_warp=args.refine_warp, bm_method=args.bm_method,
+            refine_sup_mode=args.refine_sup, profile=args.profile)
+        if args.prewarm and not warmed:
+            warmed = True
+            from tpuflow.blockmatching.prewarm import prewarm_flagship
+
+            prewarm_flagship(
+                a.shape[:2], state.segmentations[0].n_regions,
+                bm_method=args.bm_method, profile=args.profile,
+                include_refine=not args.refine_warp,
+                refine_sup_mode=args.refine_sup)
         if pending is not None:
             pending()
         pending = fin
@@ -234,6 +258,9 @@ def _pipelined_sweep(stems, corpus_dir, args, read_image) -> None:
         "corpus": args.corpus,
         "pipelined": True,
         "refine_warp": args.refine_warp,
+        "bm_method": args.bm_method,
+        "profile": args.profile,
+        "prewarm": args.prewarm,
         "pairs": int(len(times)),
         "mean_s_per_pair_with_compiles": round(float(times.mean()), 3),
         "tail_mean_s_per_pair": round(float(tail.mean()), 3),

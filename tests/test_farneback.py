@@ -297,3 +297,105 @@ def test_dense_warp_dispatch_branches():
     m_d = update_matrices(R, R, u_sm, v_sm, dense_warp_d=4)
     np.testing.assert_allclose(np.asarray(m_d), np.asarray(m_g),
                                rtol=1e-4, atol=1e-5)
+
+
+class TestTiledWarp:
+    """_warp_tiled (r5): per-tile integer pre-shift + bounded dense
+    residual sweep with per-tile gather fallback — the exact
+    large-motion warp path (gather eliminated on smooth tiles)."""
+
+    def _fields(self, rng, h, w):
+        import jax.numpy as jnp
+        from scipy.ndimage import gaussian_filter as gf
+
+        return [jnp.asarray(gf(rng.normal(0, 1, (h, w)), 2)
+                            .astype(np.float32)) for _ in range(5)]
+
+    def test_smooth_large_flow_matches_gather(self):
+        """Mean flow ~40 px with smooth +-2 px variation: every tile
+        takes the pre-shifted dense path; equals the gather warp to
+        weight-rounding ulps at in-bounds queries."""
+        import jax.numpy as jnp
+        from scipy.ndimage import gaussian_filter as gf
+
+        from tpuflow.solvers.farneback import (
+            _bilinear_all,
+            _pack_bilinear,
+            _warp_tiled,
+        )
+
+        rng = np.random.default_rng(5)
+        h, w = 96, 160
+        fields = self._fields(rng, h, w)
+        packed = _pack_bilinear(fields)
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        u = jnp.asarray((40 + gf(rng.normal(0, 1, (h, w)), 8) * 2)
+                        .astype(np.float32))
+        v = jnp.asarray((-25 + gf(rng.normal(0, 1, (h, w)), 8) * 2)
+                        .astype(np.float32))
+        ref = _bilinear_all(fields, xs + u, ys + v, packed=packed)
+        got = _warp_tiled(fields, u, v, packed, th=16, tw=64)
+        inb = jnp.asarray(np.asarray(
+            (xs + u >= 0) & (xs + u < w) & (ys + v >= 0) & (ys + v < h)))
+        for r, g in zip(ref, got):
+            assert float(jnp.abs(r - g)[inb].max()) < 1e-4
+
+    def test_boundary_and_overflow_tiles_fall_back_bitwise(self):
+        """A motion-boundary flow (60.3 px vs -3.7 px halves) violates
+        the per-tile residual bound at the seam; a >S flow violates the
+        shift clamp — both must fall back to the gather per tile and
+        match it (bitwise on pure-fallback tiles)."""
+        import jax.numpy as jnp
+
+        from tpuflow.solvers.farneback import (
+            _bilinear_all,
+            _pack_bilinear,
+            _warp_tiled,
+        )
+
+        rng = np.random.default_rng(6)
+        h, w = 96, 160
+        fields = self._fields(rng, h, w)
+        packed = _pack_bilinear(fields)
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        zero = jnp.zeros((h, w), jnp.float32)
+        for u in (
+            jnp.asarray(np.where(np.arange(w)[None, :] < w // 2, 60.3,
+                                 -3.7).astype(np.float32))
+            * jnp.ones((h, 1), jnp.float32),
+            jnp.asarray(np.where(np.arange(h)[:, None] < h // 2, 200.0,
+                                 10.0).astype(np.float32))
+            * jnp.ones((1, w), jnp.float32),
+        ):
+            ref = _bilinear_all(fields, xs + u, ys + zero, packed=packed)
+            got = _warp_tiled(fields, u, zero, packed, th=16, tw=64)
+            inb = jnp.asarray(np.asarray((xs + u >= 0) & (xs + u < w)))
+            for r, g in zip(ref, got):
+                assert float(jnp.abs(r - g)[inb].max()) < 1e-4
+
+    def test_update_matrices_tiled_matches_gather(self):
+        """update_matrices(tiled_warp=True) == the gather fallback on a
+        large-motion field (the M tables feed identical solves)."""
+        import jax.numpy as jnp
+        from scipy.ndimage import gaussian_filter as gf
+
+        from tpuflow.solvers.farneback import (
+            poly_expansion,
+            update_matrices,
+        )
+
+        rng = np.random.default_rng(7)
+        img = jnp.asarray(gf(rng.uniform(0, 255, (80, 128)), 2)
+                          .astype(np.float32))
+        R = poly_expansion(img, 5, 1.2, use_kernel=False)
+        u_big = jnp.full((80, 128), 17.3, jnp.float32)
+        v_big = jnp.full((80, 128), -9.1, jnp.float32)
+        m_gather = update_matrices(R, R, u_big, v_big, dense_warp_d=4,
+                                   tiled_warp=False)
+        m_tiled = update_matrices(R, R, u_big, v_big, dense_warp_d=4,
+                                  tiled_warp=True)
+        np.testing.assert_allclose(np.asarray(m_tiled),
+                                   np.asarray(m_gather),
+                                   rtol=1e-4, atol=1e-4)

@@ -186,8 +186,122 @@ def _warp_dense(R2, u, v, D: int):
     return [acc[..., i] for i in range(len(R2))]
 
 
+def _warp_tiled(R2, u, v, packed, D: int = 3, S: int = 128,
+                th: int = 32, tw: int = 256):
+    """Exact large-motion warp: per-tile integer pre-shift + bounded
+    dense residual sweep, per-tile gather fallback (VERDICT r4 #3).
+
+    The gather warp is gathered-BYTES-bound at ~2.6 GB/s (~63 ms per
+    full-res warp at 1080p) and a wider/fewer-indices reshuffle is a
+    wash — to beat it the gather must be ELIMINATED (CLAUDE.md r4
+    profile). For large motion the flow is still piecewise smooth:
+    split the frame into (th, tw) tiles, take each tile's rounded mean
+    flow as an integer pre-shift s (|s| <= S), fetch the tile's
+    pre-shifted block with ONE ``dynamic_slice`` (a contiguous DMA copy
+    at HBM speed, not a gather), and interpolate the residual r = flow
+    - s with the (2D+2)^2 hat-weight shifted-slice sweep of
+    :func:`_warp_dense` — exact whenever max|r| <= D over the tile.
+    Tiles that violate the residual bound (motion-boundary tiles — a
+    few per frame) fall back to the bitwise gather formula
+    per tile, so the result equals the full gather warp up to
+    weight-rounding ulps on smooth tiles and bitwise on fallback
+    tiles, for ARBITRARY flow magnitude.
+
+    Scanned over tile rows (hn steps) with the tile-column loop
+    unrolled: each band issues wn dynamic slices + dense sweeps — no
+    per-pixel indexing anywhere on the smooth path."""
+    h, w = u.shape
+    C = len(R2)
+    dt = u.dtype
+    if packed is None:
+        packed = _pack_bilinear(R2)
+    hn = -(-h // th)
+    wn = -(-w // tw)
+    hp, wp = hn * th, wn * tw
+    PAD = S + D + 1
+    F = jnp.stack(R2, axis=-1)
+    Fp = jnp.pad(F, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    Fp = jnp.pad(Fp, ((PAD, PAD), (PAD, PAD), (0, 0)), mode="edge")
+    up = jnp.pad(u, ((0, hp - h), (0, wp - w)), mode="edge")
+    vp = jnp.pad(v, ((0, hp - h), (0, wp - w)), mode="edge")
+    ut = up.reshape(hn, th, wn, tw).transpose(0, 2, 1, 3)  # (hn,wn,th,tw)
+    vt = vp.reshape(hn, th, wn, tw).transpose(0, 2, 1, 3)
+    s_u = jnp.clip(jnp.round(ut.mean(axis=(2, 3))), -S, S)
+    s_v = jnp.clip(jnp.round(vt.mean(axis=(2, 3))), -S, S)
+    # Residuals vs the CLIPPED shift: a tile whose true mean exceeds S
+    # shows the overflow in r and fails the bound -> gather fallback.
+    r_u = ut - s_u[:, :, None, None]
+    r_v = vt - s_v[:, :, None, None]
+    ok = ((jnp.max(jnp.abs(r_u), axis=(2, 3)) <= D)
+          & (jnp.max(jnp.abs(r_v), axis=(2, 3)) <= D))
+    s_ui = s_u.astype(jnp.int32)
+    s_vi = s_v.astype(jnp.int32)
+
+    def dense_tile(ty, su, sv, ru, rv):
+        base_y = ty * th + PAD + sv - (D + 1)
+        base_x_off = PAD + su - (D + 1)
+        return base_y, base_x_off, ru, rv
+
+    def body(_, x):
+        ty = x["ty"]
+        outs = []
+        for tx in range(wn):
+            su = x["su"][tx]
+            sv = x["sv"][tx]
+            ru = x["ru"][tx]
+            rv = x["rv"][tx]
+            ub = x["ub"][tx]
+            vb = x["vb"][tx]
+
+            def dense(su=su, sv=sv, ru=ru, rv=rv, tx=tx):
+                blk = jax.lax.dynamic_slice(
+                    Fp, (ty * th + PAD + sv - (D + 1),
+                         tx * tw + PAD + su - (D + 1), jnp.int32(0)),
+                    (th + 2 * (D + 1), tw + 2 * (D + 1), C))
+                acc = jnp.zeros((th, tw, C), dt)
+                for dy in range(-D, D + 2):
+                    wy = jnp.maximum(0.0, 1.0 - jnp.abs(rv - dy))
+                    for dx in range(-D, D + 2):
+                        wx = jnp.maximum(0.0, 1.0 - jnp.abs(ru - dx))
+                        tap = blk[D + 1 + dy : D + 1 + dy + th,
+                                  D + 1 + dx : D + 1 + dx + tw]
+                        acc = acc + (wx * wy)[..., None] * tap
+                return acc
+
+            def gather(ub=ub, vb=vb, tx=tx):
+                # Bitwise the _bilinear_all formula, restricted to the
+                # tile's global query coordinates.
+                ys_g = ty * th + jnp.arange(th, dtype=jnp.int32)[:, None]
+                xs_g = tx * tw + jnp.arange(tw, dtype=jnp.int32)[None, :]
+                xq = xs_g + ub
+                yq = ys_g + vb
+                x0 = jnp.floor(xq).astype(jnp.int32)
+                y0 = jnp.floor(yq).astype(jnp.int32)
+                fx = (xq - x0)[..., None]
+                fy = (yq - y0)[..., None]
+                idx = (jnp.clip(y0, 0, h - 1) * w
+                       + jnp.clip(x0, 0, w - 1))
+                rows = jnp.take(packed, idx.reshape(-1),
+                                axis=0).reshape(th, tw, 4 * C)
+                s00 = rows[..., :C]
+                s01 = rows[..., C:2 * C]
+                s10 = rows[..., 2 * C:3 * C]
+                s11 = rows[..., 3 * C:]
+                return ((1 - fx) * (1 - fy) * s00 + fx * (1 - fy) * s01
+                        + (1 - fx) * fy * s10 + fx * fy * s11)
+
+            outs.append(jax.lax.cond(x["ok"][tx], dense, gather))
+        return _, jnp.concatenate(outs, axis=1)  # (th, wp, C)
+
+    xs = dict(ty=jnp.arange(hn, dtype=jnp.int32), su=s_ui, sv=s_vi,
+              ok=ok, ru=r_u, rv=r_v, ub=ut, vb=vt)
+    _, bands = jax.lax.scan(body, 0, xs)
+    out = bands.reshape(hp, wp, C)[:h, :w]
+    return [out[..., i] for i in range(C)]
+
+
 def update_matrices(R1, R2, u, v, zero_flow: bool = False, packed2=None,
-                    dense_warp_d: int = 0):
+                    dense_warp_d: int = 0, tiled_warp: bool = False):
     """Accumulate the 5-channel normal-equation field M (OpenCV
     FarnebackUpdateMatrices): averaged A, flow-compensated db, border
     down-weighting.
@@ -218,17 +332,24 @@ def update_matrices(R1, R2, u, v, zero_flow: bool = False, packed2=None,
         inb = (xq >= 0) & (xq < w) & (yq >= 0) & (yq < h)
         if dense_warp_d > 0:
             # Runtime dispatch: the dense shift sweep is exact only
-            # under the displacement bound, so the gather path stays as
-            # the fallback for large motion — one cond, both branches
-            # compiled, the common small-motion frame pays no gather.
+            # under the displacement bound; large motion falls to the
+            # tiled pre-shift warp (exact for ANY flow, per-tile gather
+            # fallback only at residual-bound violations) or, with
+            # tiled_warp=False, the plain gather. One cond, both
+            # branches compiled, the common small-motion frame pays no
+            # gather.
             dmax = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
+            if tiled_warp:
+                fallback = lambda: jnp.stack(  # noqa: E731
+                    _warp_tiled(R2, u, v, packed2), axis=-1)
+            else:
+                fallback = lambda: jnp.stack(  # noqa: E731
+                    _bilinear_all(R2, xq, yq, packed=packed2), axis=-1)
             sampled = jax.lax.cond(
                 dmax <= dense_warp_d,
                 lambda: jnp.stack(_warp_dense(R2, u, v, dense_warp_d),
                                   axis=-1),
-                lambda: jnp.stack(_bilinear_all(R2, xq, yq,
-                                                packed=packed2),
-                                  axis=-1))
+                fallback)
             b1_2, b2_2, a11_2, a22_2, a12_2 = (
                 sampled[..., i] for i in range(5))
         else:
@@ -342,11 +463,11 @@ def _blur_solve(M: jnp.ndarray, winsize: int, gaussian: bool,
                                    "iterations", "poly_n", "poly_sigma",
                                    "gaussian", "use_poly_kernel",
                                    "use_blur_kernel", "min_level",
-                                   "dense_warp_d"))
+                                   "dense_warp_d", "tiled_warp"))
 def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
                     iterations, poly_n, poly_sigma, gaussian,
                     use_poly_kernel=None, use_blur_kernel=None,
-                    min_level=0, dense_warp_d=4):
+                    min_level=0, dense_warp_d=4, tiled_warp=True):
     """``min_level > 0`` stops the coarse-to-fine loop early and returns
     the flow at that level's resolution — the distributed path
     (tpuflow/dist/farneback.py) runs levels ``levels-1..1`` replicated
@@ -392,12 +513,14 @@ def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
         packed2 = None if (zero_flow and iterations <= 1) \
             else _pack_bilinear(R2)
         M = update_matrices(R1, R2, u, v, zero_flow=zero_flow,
-                            packed2=packed2, dense_warp_d=dense_warp_d)
+                            packed2=packed2, dense_warp_d=dense_warp_d,
+                            tiled_warp=tiled_warp)
         for i in range(iterations):
             u, v = _blur_solve(M, winsize, gaussian, use_blur_kernel)
             if i < iterations - 1:
                 M = update_matrices(R1, R2, u, v, packed2=packed2,
-                                    dense_warp_d=dense_warp_d)
+                                    dense_warp_d=dense_warp_d,
+                                    tiled_warp=tiled_warp)
     return u, v
 
 
@@ -415,6 +538,7 @@ def calc_optical_flow_farneback(
     use_poly_kernel: bool | None = None,
     use_blur_kernel: bool | None = None,
     dense_warp_d: int = 4,
+    tiled_warp: bool = True,
 ):
     """OpenCV-parameterized Farneback flow -> (u, v).
 
@@ -423,7 +547,11 @@ def calc_optical_flow_farneback(
     aggregation to Gaussian weighting. ``dense_warp_d`` (default 4)
     enables the runtime-adaptive dense warp (:func:`_warp_dense`):
     frames whose current flow stays within the bound skip the
-    slow gather entirely; 0 forces the gather path.
+    slow gather entirely; 0 forces the gather path. ``tiled_warp``
+    (default True) routes the LARGE-motion branch through the per-tile
+    integer pre-shift warp (:func:`_warp_tiled` — slices + bounded
+    dense sweep instead of the ~2.6 GB/s gather, exact for arbitrary
+    flow); False keeps the plain gather fallback.
     """
     prev = jnp.asarray(prev)
     nxt = jnp.asarray(nxt)
@@ -434,4 +562,5 @@ def calc_optical_flow_farneback(
     return _farneback_impl(prev, nxt, u0, v0, float(pyr_scale), levels,
                            winsize, iterations, poly_n, float(poly_sigma),
                            gaussian, use_poly_kernel, use_blur_kernel,
-                           dense_warp_d=int(dense_warp_d))
+                           dense_warp_d=int(dense_warp_d),
+                           tiled_warp=bool(tiled_warp))
