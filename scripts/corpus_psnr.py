@@ -61,9 +61,15 @@ def main() -> None:
                     help="non-debug dt-under-BM-warp refine (the "
                          "reference zeroes MV 'for DEBUG', "
                          "OpticalFlow_BlockMatching.cpp:291-293)")
+    ap.add_argument("--plateau", type=float, default=0.0,
+                    help="refine plateau-stop rtol (0 = reference "
+                         "run-to-budget; fast profile uses 1e-3)")
+    ap.add_argument("--iter_max", type=int, default=2048,
+                    help="gradient-refine sweep budget")
     ap.add_argument("--bm_method", default="matmul",
                     choices=["matmul", "matmul_bf16", "matmul_coarse",
-                             "matmul_coarse3", "matmul_half", "gather"],
+                             "matmul_coarse3", "matmul_half",
+                             "matmul_half2", "gather"],
                     help="integer-search evaluator (matmul_coarse: "
                          "stride-2 sweep + inclusive +-1 local "
                          "refinement — ~1/4 the candidates; "
@@ -143,12 +149,13 @@ def main() -> None:
         gp, gn = _gray(prev), _gray(nxt)
         t0 = time.perf_counter()
         out, _ = optical_flow_block_matching(
-            prev, nxt, 255.0, iter_max=2048, mode=mode_val,
+            prev, nxt, 255.0, iter_max=args.iter_max, mode=mode_val,
             refine_warp=args.refine_warp,
             bm_method=args.bm_method,
             subpixel_scale=args.subpixel,
             affine_normalize_steps=args.normalize_steps == "on",
             refine_sup_mode=args.refine_sup,
+            refine_plateau_rtol=args.plateau,
             profile=args.profile)
         t_total += time.perf_counter() - t0
         uj = jnp.asarray(out.u.astype(np.float64))
@@ -191,6 +198,8 @@ def main() -> None:
         "mode": args.mode,
         "refine_warp": args.refine_warp,
         "refine_sup": args.refine_sup,
+        "plateau": args.plateau,
+        "profile": args.profile,
         "bm_method": args.bm_method,
         "subpixel": args.subpixel,
         "normalize_steps": args.normalize_steps,

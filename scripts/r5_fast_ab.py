@@ -35,18 +35,23 @@ def main() -> None:
     arms = {
         "exhaustive": dict(),
         "fast": dict(profile="fast"),
+        "fast2": dict(bm_method="matmul_half2",
+                      refine_sup_mode="analytic",
+                      refine_plateau_rtol=1e-3, iter_max=1024),
         "coarse": dict(bm_method="matmul_coarse"),
     }
     states = {k: (None, None) for k in arms}
 
     def run_cycle(name, n_pairs):
         state, pending = states[name]
+        kw = dict(iter_max=2048)
+        kw.update(arms[name])
         t0 = time.perf_counter()
         for i in range(n_pairs):
             a = frames[i % cyc]
             b = frames[(i + 1) % cyc]
             fin, state = optical_flow_block_matching_async(
-                a, b, 255.0, iter_max=2048, state=state, **arms[name])
+                a, b, 255.0, state=state, **kw)
             if pending is not None:
                 pending()
             pending = fin

@@ -43,7 +43,7 @@ import numpy as np
 #: ``"matmul_fp16"`` would otherwise silently run the f32 evaluator (and
 #: any other typo the slow gather path) — validate against this first.
 METHODS = ("matmul", "matmul_bf16", "matmul_coarse", "matmul_coarse3",
-           "matmul_half", "gather")
+           "matmul_half", "matmul_half2", "gather")
 
 
 def validate_method(method: str) -> None:
@@ -308,14 +308,17 @@ def _coarse_padded_candidates(search_range: int, chunk: int,
 def _coarse_argmin_and_refine(costs, cur_lab, ref_lab, labels, perm,
                               bounds, n_regions: int, search_range: int,
                               subpixel_scale: int, coeff_mad: float,
-                              coeff_zncc: float, stride: int = 2):
+                              coeff_zncc: float, stride: int = 2,
+                              refine_radius: int = 1):
     """Scoring tail of the ``"matmul_coarse"`` method: argmin over the
-    stride-2 grid, then ONE inclusive [-1, +1]^2 local refinement at
-    1/subpixel steps (radius-1 :func:`_local_refine`) that recovers the
-    skipped odd integer cells AND subsumes the subpixel stage. Not
-    bitwise with the exhaustive search: a distant coarse cell can
-    out-score the true winner's even neighbors (quality-guarded —
-    corpus sweep in BASELINE.md)."""
+    stride-2 grid, then ONE inclusive [-r, +r]^2 local refinement at
+    1/subpixel steps (:func:`_local_refine`) that recovers the skipped
+    odd integer cells AND subsumes the subpixel stage. Not bitwise with
+    the exhaustive search: a distant coarse cell can out-score the true
+    winner's even neighbors (quality-guarded — corpus sweep in
+    BASELINE.md). ``refine_radius=2`` (the ``"matmul_half2"`` method)
+    widens the refinement to the winner's even-cell neighbors too,
+    hedging argmin errors from quarter-resolution scoring."""
     dt = cur_lab.dtype
     cand_full = jnp.asarray(coarse_candidates(search_range, stride))
     costs = costs[: cand_full.shape[0]]
@@ -330,7 +333,8 @@ def _coarse_argmin_and_refine(costs, cur_lab, ref_lab, labels, perm,
     best_d = jnp.where(jnp.isfinite(best_cost)[:, None], best_d, 0.0)
     best_d, best_cost = _local_refine(
         cur_lab, ref_lab, labels, perm, bounds, n_regions, best_d,
-        best_cost, max(subpixel_scale, 1), 1, coeff_mad, coeff_zncc)
+        best_cost, max(subpixel_scale, 1), refine_radius, coeff_mad,
+        coeff_zncc)
     uv = jnp.stack([best_d[:, 1], best_d[:, 0]], axis=-1)
     return uv, best_cost
 
@@ -794,7 +798,7 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
     (wider amortizes the gather / widens the matmul RHS)."""
     if method.startswith("matmul"):
         chunk = max(chunk, 64)
-    if method == "matmul_half":
+    if method.startswith("matmul_half"):
         # Half-resolution coarse sweep: the stride-2 full-res candidate
         # grid IS the all-integer half-res grid (d_full = 2 * d_half),
         # so the same candidate set — in the same canonical order —
@@ -802,8 +806,10 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
         # field-build + one-hot-matmul FLOPs (the evaluator's measured
         # bound at real region counts, BASELINE.md r4). The scoring tail
         # is the shared stride-2 coarse tail at FULL resolution: the
-        # inclusive +-1 sorted-tap refinement recovers the odd cells and
-        # re-scores the winner's neighborhood on the true frames.
+        # inclusive sorted-tap refinement recovers the odd cells and
+        # re-scores the winner's neighborhood on the true frames
+        # (radius 2 for "matmul_half2" — hedges quarter-res argmin
+        # errors by also re-scoring the even-cell neighbors).
         cand, _ = _coarse_padded_candidates(search_range, chunk, 2)
         costs = _integer_costs_matmul(
             cur_lab[::2, ::2], ref_lab[::2, ::2], labels[::2, ::2],
@@ -811,7 +817,8 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
             -(-(search_range // 2) // 2), None)
         return _coarse_argmin_and_refine(
             costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,
-            search_range, subpixel_scale, coeff_mad, coeff_zncc, 2)
+            search_range, subpixel_scale, coeff_mad, coeff_zncc, 2,
+            refine_radius=2 if method.endswith("2") else 1)
     if method.startswith("matmul_coarse"):
         stride = 3 if method.endswith("3") else 2
         cand, _ = _coarse_padded_candidates(search_range, chunk, stride)
@@ -850,7 +857,7 @@ def _match_two_directions(cur_lab, refp_lab, refn_lab, labels, perm,
     argmin + subpixel refinement. Each direction's output is
     bitwise-equal to its single-direction program."""
     chunk = max(chunk, 64)
-    if method == "matmul_half":
+    if method.startswith("matmul_half"):
         # Fused-bidirectional half-res sweep — see _match_one_direction.
         cand, _ = _coarse_padded_candidates(search_range, chunk, 2)
         costs_pair = _integer_costs_matmul_bidi(
@@ -860,7 +867,8 @@ def _match_two_directions(cur_lab, refp_lab, refn_lab, labels, perm,
         return tuple(
             _coarse_argmin_and_refine(
                 costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,
-                search_range, subpixel_scale, coeff_mad, coeff_zncc, 2)
+                search_range, subpixel_scale, coeff_mad, coeff_zncc, 2,
+                refine_radius=2 if method.endswith("2") else 1)
             for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)))
     if method.startswith("matmul_coarse"):
         stride = 3 if method.endswith("3") else 2

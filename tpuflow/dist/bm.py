@@ -44,11 +44,16 @@ from tpuflow.blockmatching.matcher import (
 def _is_coarse(method: str) -> bool:
     """Methods that sweep the stride-2/3 candidate subgrid and finish
     with the full-res local refinement tail."""
-    return method.startswith("matmul_coarse") or method == "matmul_half"
+    return (method.startswith("matmul_coarse")
+            or method.startswith("matmul_half"))
 
 
 def _coarse_stride(method: str) -> int:
     return 3 if method.endswith("3") else 2
+
+
+def _refine_radius(method: str) -> int:
+    return 2 if method == "matmul_half2" else 1
 
 
 def _local_costs(cur_t, ref_t, labels_t, n_regions, cand_t, coeff_mad,
@@ -56,7 +61,7 @@ def _local_costs(cur_t, ref_t, labels_t, n_regions, cand_t, coeff_mad,
     """One device's slice of the integer cost table, dispatched on
     ``method`` — the single copy of the evaluator dispatch the sharded
     single-direction body shares with the single-device matcher."""
-    if method == "matmul_half":
+    if method.startswith("matmul_half"):
         return _integer_costs_matmul(
             cur_t[::2, ::2], ref_t[::2, ::2], labels_t[::2, ::2],
             n_regions, cand_t // 2, coeff_mad, coeff_zncc, chunk,
@@ -102,7 +107,7 @@ def _match_sharded(cur_lab, ref_lab, labels, perm, bounds, cand,
         return _coarse_argmin_and_refine(
             costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,
             search_range, subpixel_scale, coeff_mad, coeff_zncc,
-            _coarse_stride(method))
+            _coarse_stride(method), _refine_radius(method))
     return _argmin_and_refine(costs, cur_lab, ref_lab, labels, perm,
                               bounds, n_regions, search_range,
                               subpixel_scale, coeff_mad, coeff_zncc)
@@ -156,7 +161,7 @@ def _match_sharded_bidi(cur_lab, refp_lab, refn_lab, labels, perm, bounds,
     rep = P(None)
 
     def body(cur_t, refp_t, refn_t, labels_t, perm_t, bounds_t, cand_t):
-        if method == "matmul_half":
+        if method.startswith("matmul_half"):
             local_p, local_n = _integer_costs_matmul_bidi(
                 cur_t[::2, ::2], refp_t[::2, ::2], refn_t[::2, ::2],
                 labels_t[::2, ::2], n_regions, cand_t // 2, coeff_mad,
@@ -183,7 +188,8 @@ def _match_sharded_bidi(cur_lab, refp_lab, refn_lab, labels, perm, bounds,
             _coarse_argmin_and_refine(
                 costs[0], cur_lab, ref_lab, labels, perm, bounds,
                 n_regions, search_range, subpixel_scale, coeff_mad,
-                coeff_zncc, _coarse_stride(method))
+                coeff_zncc, _coarse_stride(method),
+                _refine_radius(method))
             for costs, ref_lab in zip(costs_pair, (refp_lab, refn_lab)))
     return tuple(
         _argmin_and_refine(costs[0], cur_lab, ref_lab, labels, perm,
