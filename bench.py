@@ -494,8 +494,11 @@ def bench_bm_flagship_seq():
             a, b, 255.0, iter_max=2048, state=state, profile="fast")
         if not warmed:
             warmed = True
+            # +-2 rungs: corpus scenes jump region-count buckets far
+            # more than a continuous video drifts.
             prewarm_flagship(a.shape[:2],
                              state.segmentations[0].n_regions,
+                             below=2, above=2,
                              profile="fast", include_refine=True)
         if pending is not None:
             pending()

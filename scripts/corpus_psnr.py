@@ -61,6 +61,12 @@ def main() -> None:
                     help="non-debug dt-under-BM-warp refine (the "
                          "reference zeroes MV 'for DEBUG', "
                          "OpticalFlow_BlockMatching.cpp:291-293)")
+    ap.add_argument("--blend", default="",
+                    help="quality stretch (VERDICT r4 #7): comma-"
+                         "separated sigmas; gaussian-smooth the "
+                         "composed flow with each before compensation "
+                         "(soft region-boundary blending) and report "
+                         "extra columns")
     ap.add_argument("--plateau", type=float, default=0.0,
                     help="refine plateau-stop rtol (0 = reference "
                          "run-to-budget; fast profile uses 1e-3)")
@@ -175,6 +181,15 @@ def main() -> None:
             "flagship_bilinear_db": round(_psnr(comp_b, gn), 2),
             "identity_db": round(_psnr(gp, gn), 2),
         }
+        for sig in [float(s) for s in args.blend.split(",") if s]:
+            from scipy.ndimage import gaussian_filter as _gf
+
+            ub = jnp.asarray(_gf(np.asarray(uj), sig))
+            vb = jnp.asarray(_gf(np.asarray(vj), sig))
+            comp_bl = np.asarray(compensate(jnp.asarray(gp), ub, vb,
+                                            method="bilinear"))
+            row[f"flagship_blend{sig:g}_db"] = round(_psnr(comp_bl, gn),
+                                                     2)
         if cv2 is not None:
             flow = cv2.calcOpticalFlowFarneback(
                 gn.astype(np.float32), gp.astype(np.float32), None,
@@ -206,6 +221,9 @@ def main() -> None:
         "pairs": len(rows),
         "flagship": agg("flagship_db"),
         "flagship_bilinear": agg("flagship_bilinear_db"),
+        "blend": {f"sigma{s:g}": agg(f"flagship_blend{s:g}_db")
+                  for s in [float(x) for x in args.blend.split(",")
+                            if x]},
         "identity": agg("identity_db"),
         "cv2_farneback": agg("cv2_farneback_db"),
         "beats_identity": int(sum(
@@ -216,6 +234,11 @@ def main() -> None:
         "beats_cv2_bilinear": int(sum(
             r["flagship_bilinear_db"] > r.get("cv2_farneback_db", 1e9)
             for r in rows)),
+        "beats_cv2_blend": {
+            f"sigma{s:g}": int(sum(
+                r.get(f"flagship_blend{s:g}_db", -1e9)
+                > r.get("cv2_farneback_db", 1e9) for r in rows))
+            for s in [float(x) for x in args.blend.split(",") if x]},
         "driver_s_per_pair": round(t_total / max(len(rows), 1), 2),
     }
     print(json.dumps({"summary": summary}), flush=True)

@@ -666,6 +666,46 @@ class TestGatedRefineSharded:
             np.testing.assert_array_equal(np.asarray(trace_b[b]),
                                           np.asarray(tr_s))
 
+    def test_plateau_stop_contract(self):
+        """The sharded plateau stop (r5 fast profile) fires at the first
+        checkpoint whose energy-improvement ratio crosses the rtol and
+        freezes the trace from there (NaN tail) — verified against the
+        trace's own energies. (Exact field equality with the
+        single-device path is NOT expected: the fused cadence checks at
+        sweeps 64, 128, ... vs the serial 1, 65, ..., the documented
+        irls_gradient_method_fast deviation.)"""
+        import jax.numpy as jnp
+
+        from tpuflow.dist import make_mesh
+        from tpuflow.dist.bm_refine import gradient_method_flow_sharded
+
+        rng = np.random.default_rng(29)
+        mesh = make_mesh(8)
+        ty, tx = mesh.devices.shape
+        h, w = 24 * ty, 24 * tx
+        from scipy.ndimage import gaussian_filter
+
+        base = gaussian_filter(rng.uniform(0, 1, (h + 4, w + 4, 3)),
+                               (2, 2, 0))
+        interest = jnp.asarray(base[:h, :w])
+        reference = jnp.asarray(base[2 : 2 + h, 1 : 1 + w])
+        labels = ((np.add.outer(np.arange(h) // 7, np.arange(w) // 9))
+                  % 5).astype(np.int32)
+        rtol = 0.05
+        u_d, v_d, trace = gradient_method_flow_sharded(
+            reference, interest, labels, mesh, iter_max=1024,
+            error_min_threshold=0.0, fuse=8, sup_mode="analytic",
+            plateau_rtol=rtol)
+        tr = np.asarray(trace)
+        assert np.isnan(tr).any(), "plateau never fired inside budget"
+        valid = tr[~np.isnan(tr)]
+        assert len(valid) >= 2
+        # Every surviving window improved by >= rtol except the last.
+        ratios = valid[1:] / valid[:-1]
+        assert (ratios[:-1] < 1.0 - rtol).all()
+        assert ratios[-1] >= 1.0 - rtol
+        assert np.isfinite(np.asarray(u_d)).all()
+
     def test_energy_trace_cadence(self):
         import jax.numpy as jnp
 
