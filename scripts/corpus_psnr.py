@@ -70,6 +70,9 @@ def main() -> None:
     ap.add_argument("--plateau", type=float, default=0.0,
                     help="refine plateau-stop rtol (0 = reference "
                          "run-to-budget; fast profile uses 1e-3)")
+    ap.add_argument("--seg_scale", type=int, default=1,
+                    help="segment on the stride-N subsampled frame and "
+                         "replicate labels back (fast-profile lever)")
     ap.add_argument("--iter_max", type=int, default=2048,
                     help="gradient-refine sweep budget")
     ap.add_argument("--bm_method", default="matmul",
@@ -162,6 +165,7 @@ def main() -> None:
             affine_normalize_steps=args.normalize_steps == "on",
             refine_sup_mode=args.refine_sup,
             refine_plateau_rtol=args.plateau,
+            seg_scale=args.seg_scale,
             profile=args.profile)
         t_total += time.perf_counter() - t0
         uj = jnp.asarray(out.u.astype(np.float64))
@@ -215,6 +219,7 @@ def main() -> None:
         "refine_sup": args.refine_sup,
         "plateau": args.plateau,
         "profile": args.profile,
+        "seg_scale": args.seg_scale,
         "bm_method": args.bm_method,
         "subpixel": args.subpixel,
         "normalize_steps": args.normalize_steps,

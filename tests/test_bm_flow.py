@@ -1226,3 +1226,48 @@ def test_gated_analytic_sup_descends_faster():
     tr = tr[np.isfinite(tr)]
     assert (np.diff(tr) <= 1e-6).all()  # monotone at the check cadence
     assert float(e_an) < float(e_ref)   # faster descent, same budget
+
+
+class TestSegScale:
+    """seg_scale (r5 fast-profile lever): segmentation on the stride-N
+    subsampled frame, labels nearest-replicated back."""
+
+    def test_upsample_shapes_and_blockiness(self):
+        from tpuflow.segmentation import segment_meanshift
+
+        rng = np.random.default_rng(36)
+        lab = rng.uniform(0, 1, (41, 63, 3)).astype(np.float32)
+        s = segment_meanshift(lab, 8, 0.3, scale=2)
+        assert s.labels.shape == (41, 63)
+        assert s.shift_spatial.shape == (41, 63, 2)
+        # Labels constant over each 2x2 block (nearest replication).
+        assert (s.labels[0:40:2] == s.labels[1:41:2]).all()
+        assert (s.labels[:, 0:62:2] == s.labels[:, 1:63:2]).all()
+
+    def test_driver_seg_scale_runs_bidirectional(self):
+        from scipy.ndimage import gaussian_filter as gf
+
+        from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+        rng = np.random.default_rng(35)
+        base = np.clip(gf(rng.uniform(30, 220, (72, 104, 3)),
+                          (1.5, 1.5, 0)), 0, 255)
+        f0 = base[4:-6, 4:-8]
+        f1 = base[6:-4, 5:-7]
+        f2 = base[8:-2, 6:-6]
+        out, st = optical_flow_block_matching(
+            f0, f1, 255.0, iter_max=64, search_range=9, kernel_spatial=6,
+            seg_scale=2)
+        out2, _ = optical_flow_block_matching(
+            f1, f2, 255.0, iter_max=64, search_range=9, kernel_spatial=6,
+            seg_scale=2, state=st)
+        assert out2.bidirectional
+        assert np.isfinite(out2.u).all()
+        assert out2.segmentation.labels.shape == f0.shape[:2]
+
+    def test_mesh_rejects_scale(self):
+        from tpuflow.segmentation import segment_meanshift_async
+
+        lab = np.zeros((16, 16, 3), np.float32)
+        with np.testing.assert_raises(ValueError):
+            segment_meanshift_async(lab, 4, 0.1, mesh=object(), scale=2)

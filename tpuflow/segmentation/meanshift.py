@@ -432,6 +432,17 @@ def _use_ms_kernel(dtype) -> bool:
         return False
 
 
+def _upsample_segmentation(labels, n, pos, col, s: int, h: int,
+                           w: int) -> SegmentationResult:
+    """Expand a 1/s-resolution segmentation to full resolution: labels
+    nearest-replicated (each sample pixel stands for its s x s block),
+    converged positions mapped back to full-res coordinates (x s)."""
+    rep = lambda a: np.repeat(np.repeat(a, s, 0), s, 1)[:h, :w]  # noqa
+    return SegmentationResult(
+        labels=np.ascontiguousarray(rep(labels)), n_regions=n,
+        shift_spatial=rep(pos) * s, shift_color=rep(col))
+
+
 def segment_meanshift(
     lab: np.ndarray,
     kernel_spatial: int = 20,
@@ -439,6 +450,7 @@ def segment_meanshift(
     iters: int = 8,
     min_size: int = 16,
     margin: int | str | None = None,
+    scale: int = 1,
 ) -> SegmentationResult:
     """Full segmentation: device mean-shift filtering + host labeling.
 
@@ -455,8 +467,21 @@ def segment_meanshift(
     (:func:`mean_shift_filter` ``with_drift``) proves the fast pass saw
     full windows. On the bundled imagery the certificate essentially
     never holds (drift > R/2 within 8 iterations), so this is NOT the
-    default — it exists for smooth/low-drift inputs."""
+    default — it exists for smooth/low-drift inputs.
+
+    ``scale > 1`` (the fast profile's segmentation lever) runs the
+    whole segmentation on the stride-``scale`` subsampled frame with
+    the spatial kernel and min_size scaled to match (same physical
+    extents), then nearest-replicates the labels back to full
+    resolution — ~scale^4 less filter work (pixels x window offsets).
+    NOT faithful to the reference's full-res segmentation;
+    quality-guarded at corpus level (BASELINE.md r5)."""
     lab_j = jnp.asarray(lab)
+    h0, w0 = lab_j.shape[:2]
+    if scale > 1:
+        lab_j = lab_j[::scale, ::scale]
+        kernel_spatial = max(int(kernel_spatial) // scale, 1)
+        min_size = max(int(min_size) // (scale * scale), 1)
     R = int(kernel_spatial)
     if _use_ms_kernel(lab_j.dtype):
         from tpuflow.kernels.ms_filter import mean_shift_filter_pallas
@@ -479,6 +504,8 @@ def segment_meanshift(
     col = np.asarray(col)
     labels, n = _merge_labels(pos, col, float(kernel_spatial),
                               float(kernel_intensity), min_size)
+    if scale > 1:
+        return _upsample_segmentation(labels, n, pos, col, scale, h0, w0)
     return SegmentationResult(labels=labels, n_regions=n,
                               shift_spatial=pos, shift_color=col)
 
@@ -491,6 +518,7 @@ def segment_meanshift_async(
     min_size: int = 16,
     margin: int | None = None,
     mesh=None,
+    scale: int = 1,
 ):
     """:func:`segment_meanshift` split into device dispatch + deferred
     host finalize.
@@ -506,9 +534,17 @@ def segment_meanshift_async(
 
     ``mesh`` routes the filter through
     :func:`mean_shift_filter_sharded` (image tiled over the device
-    mesh); the labeling is global and stays on the host.
+    mesh); the labeling is global and stays on the host. ``scale``:
+    see :func:`segment_meanshift` (single-device only).
     """
     lab_j = jnp.asarray(lab)
+    h0, w0 = lab_j.shape[:2]
+    if scale > 1:
+        if mesh is not None:
+            raise ValueError("scale > 1 is single-device only")
+        lab_j = lab_j[::scale, ::scale]
+        kernel_spatial = max(int(kernel_spatial) // scale, 1)
+        min_size = max(int(min_size) // (scale * scale), 1)
     if mesh is not None:
         pos, col = mean_shift_filter_sharded(
             lab_j, mesh, kernel_spatial, float(kernel_intensity), iters,
@@ -528,6 +564,9 @@ def segment_meanshift_async(
         col_np = np.asarray(col)
         labels, n = _merge_labels(pos_np, col_np, float(kernel_spatial),
                                   float(kernel_intensity), min_size)
+        if scale > 1:
+            return _upsample_segmentation(labels, n, pos_np, col_np,
+                                          scale, h0, w0)
         return SegmentationResult(labels=labels, n_regions=n,
                                   shift_spatial=pos_np, shift_color=col_np)
 

@@ -875,9 +875,15 @@ def optical_flow_block_matching_async(
     affine_normalize_steps: bool = True,
     refine_sup_mode: str = "reference",
     refine_plateau_rtol: float = 0.0,
+    seg_scale: int = 1,
     profile: str | None = None,
 ):
     """The flagship driver, split into dispatch + deferred fetch.
+
+    ``seg_scale > 1`` runs the mean-shift segmentation on the
+    stride-``seg_scale`` subsampled frame (kernel extents scaled to
+    match) and replicates labels back — ~scale^4 less filter work; NOT
+    faithful (quality guard in BASELINE.md r5). Single-device only.
 
     ``profile`` selects a named knob bundle (:data:`PROFILES`):
     ``"fast"`` overrides ``bm_method``/``refine_sup_mode``/
@@ -959,6 +965,8 @@ def optical_flow_block_matching_async(
         refine_sup_mode = knobs.get("refine_sup_mode", refine_sup_mode)
         refine_plateau_rtol = knobs.get("refine_plateau_rtol",
                                         refine_plateau_rtol)
+        if mesh is None:
+            seg_scale = knobs.get("seg_scale", seg_scale)
         if "refine_iter_max" in knobs:
             iter_max = min(iter_max, knobs["refine_iter_max"])
     if param is None:
@@ -975,13 +983,15 @@ def optical_flow_block_matching_async(
     if not state.lab_frames:
         it_norm, it_lab = to_lab(np.asarray(it_rgb))
         seg_it = segment_meanshift(np.asarray(it_lab), kernel_spatial,
-                                   kernel_intensity)
+                                   kernel_intensity,
+                                   scale=int(seg_scale))
         state.push(it_lab, np.asarray(it_norm), seg_it)
     itp1_norm, itp1_lab = to_lab(np.asarray(itp1_rgb))
     # Device filter dispatched FIRST; labeling deferred until the
     # matching work below is queued behind it.
     finalize_seg = segment_meanshift_async(itp1_lab, kernel_spatial,
-                                           kernel_intensity, mesh=mesh)
+                                           kernel_intensity, mesh=mesh,
+                                           scale=int(seg_scale))
 
     if mesh is not None:
         from tpuflow.dist.bm import _match_device_sharded
@@ -1211,6 +1221,7 @@ def optical_flow_block_matching(
     affine_normalize_steps: bool = True,
     refine_sup_mode: str = "reference",
     refine_plateau_rtol: float = 0.0,
+    seg_scale: int = 1,
     profile: str | None = None,
 ) -> tuple[BMFlowOutput, BMFlowState]:
     """The flagship driver (OpticalFlow_BlockMatching.cpp:13-362) —
@@ -1225,5 +1236,6 @@ def optical_flow_block_matching(
         refine_warp=refine_warp,
         affine_normalize_steps=affine_normalize_steps,
         refine_sup_mode=refine_sup_mode,
-        refine_plateau_rtol=refine_plateau_rtol, profile=profile)
+        refine_plateau_rtol=refine_plateau_rtol, seg_scale=seg_scale,
+        profile=profile)
     return finalize(), state
