@@ -277,6 +277,25 @@ def _padded_candidates(search_range: int, chunk: int, n_shards: int = 1):
         np.concatenate([cand_np, np.zeros((pad, 2), cand_np.dtype)]))
 
 
+def _binomial3(img: jnp.ndarray) -> jnp.ndarray:
+    """Separable (1/4, 1/2, 1/4) low-pass with edge-clamped borders —
+    the anti-alias prefilter before the half-res subsample. Strict
+    stride-2 subsampling aliases high-frequency texture into the
+    quarter-sample MAD/ZNCC estimates and measurably degrades the
+    coarse argmin (corpus: -0.36 dB strict vs -0.07 full-res stride-2,
+    r5 ablation); the classic pyramid prefilter restores cost
+    fidelity. Static shift-adds — never lax.conv (pathological on this
+    chip)."""
+    p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    r = 0.25 * p[:-2] + 0.5 * p[1:-1] + 0.25 * p[2:]
+    return 0.25 * r[:, :-2] + 0.5 * r[:, 1:-1] + 0.25 * r[:, 2:]
+
+
+def _half_res(img: jnp.ndarray) -> jnp.ndarray:
+    """Anti-aliased half-resolution view of a (H, W, C) frame."""
+    return _binomial3(img)[::2, ::2]
+
+
 def coarse_candidates(search_range: int, stride: int = 2) -> np.ndarray:
     """The stride-``stride`` subgrid of :func:`search_candidates` (dy
     and dx both multiples of the stride, (0, 0) included) — ~1/stride^2
@@ -804,15 +823,17 @@ def _match_one_direction(cur_lab, ref_lab, labels, perm, bounds,
         # so the same candidate set — in the same canonical order —
         # evaluates on the stride-2-subsampled frames/labels at ~1/4 the
         # field-build + one-hot-matmul FLOPs (the evaluator's measured
-        # bound at real region counts, BASELINE.md r4). The scoring tail
-        # is the shared stride-2 coarse tail at FULL resolution: the
-        # inclusive sorted-tap refinement recovers the odd cells and
-        # re-scores the winner's neighborhood on the true frames
-        # (radius 2 for "matmul_half2" — hedges quarter-res argmin
-        # errors by also re-scoring the even-cell neighbors).
+        # bound at real region counts, BASELINE.md r4). Frames are
+        # anti-alias low-passed before the subsample (_half_res — the
+        # strict subsample cost ranked coarse cells measurably worse).
+        # The scoring tail is the shared stride-2 coarse tail at FULL
+        # resolution: the inclusive sorted-tap refinement recovers the
+        # odd cells and re-scores the winner's neighborhood on the true
+        # frames (radius 2 for "matmul_half2" — hedges quarter-res
+        # argmin errors by also re-scoring the even-cell neighbors).
         cand, _ = _coarse_padded_candidates(search_range, chunk, 2)
         costs = _integer_costs_matmul(
-            cur_lab[::2, ::2], ref_lab[::2, ::2], labels[::2, ::2],
+            _half_res(cur_lab), _half_res(ref_lab), labels[::2, ::2],
             n_regions, cand // 2, coeff_mad, coeff_zncc, chunk,
             -(-(search_range // 2) // 2), None)
         return _coarse_argmin_and_refine(
@@ -861,9 +882,10 @@ def _match_two_directions(cur_lab, refp_lab, refn_lab, labels, perm,
         # Fused-bidirectional half-res sweep — see _match_one_direction.
         cand, _ = _coarse_padded_candidates(search_range, chunk, 2)
         costs_pair = _integer_costs_matmul_bidi(
-            cur_lab[::2, ::2], refp_lab[::2, ::2], refn_lab[::2, ::2],
-            labels[::2, ::2], n_regions, cand // 2, coeff_mad,
-            coeff_zncc, chunk, -(-(search_range // 2) // 2), None)
+            _half_res(cur_lab), _half_res(refp_lab),
+            _half_res(refn_lab), labels[::2, ::2], n_regions,
+            cand // 2, coeff_mad, coeff_zncc, chunk,
+            -(-(search_range // 2) // 2), None)
         return tuple(
             _coarse_argmin_and_refine(
                 costs, cur_lab, ref_lab, labels, perm, bounds, n_regions,

@@ -29,6 +29,7 @@ from tpuflow.blockmatching.matcher import (
     BlockMatchResult,
     _coarse_argmin_and_refine,
     _coarse_padded_candidates,
+    _half_res,
     _integer_costs,
     _integer_costs_matmul,
     _integer_costs_matmul_bidi,
@@ -63,7 +64,7 @@ def _local_costs(cur_t, ref_t, labels_t, n_regions, cand_t, coeff_mad,
     single-direction body shares with the single-device matcher."""
     if method.startswith("matmul_half"):
         return _integer_costs_matmul(
-            cur_t[::2, ::2], ref_t[::2, ::2], labels_t[::2, ::2],
+            _half_res(cur_t), _half_res(ref_t), labels_t[::2, ::2],
             n_regions, cand_t // 2, coeff_mad, coeff_zncc, chunk,
             -(-(search_range // 2) // 2), None)
     mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
@@ -163,7 +164,7 @@ def _match_sharded_bidi(cur_lab, refp_lab, refn_lab, labels, perm, bounds,
     def body(cur_t, refp_t, refn_t, labels_t, perm_t, bounds_t, cand_t):
         if method.startswith("matmul_half"):
             local_p, local_n = _integer_costs_matmul_bidi(
-                cur_t[::2, ::2], refp_t[::2, ::2], refn_t[::2, ::2],
+                _half_res(cur_t), _half_res(refp_t), _half_res(refn_t),
                 labels_t[::2, ::2], n_regions, cand_t // 2, coeff_mad,
                 coeff_zncc, chunk, -(-(search_range // 2) // 2), None)
         else:
