@@ -86,7 +86,7 @@ def main() -> None:
                          "stride-2-subsampled frames — ~1/16 the "
                          "integer-sweep FLOPs; both quality-guarded "
                          "opt-ins)")
-    ap.add_argument("--profile", choices=["faithful", "fast"],
+    ap.add_argument("--profile", choices=["faithful", "fast", "turbo"],
                     default=None,
                     help="named driver profile (overrides bm_method/"
                          "refine_sup: fast = matmul_half + analytic "

@@ -35,10 +35,10 @@ def main() -> None:
     arms = {
         "exhaustive": dict(),
         "fast": dict(profile="fast"),
-        "fast2": dict(bm_method="matmul_half2",
+        "turbo": dict(profile="turbo"),
+        "half1": dict(bm_method="matmul_half",
                       refine_sup_mode="analytic",
                       refine_plateau_rtol=1e-3, iter_max=1024),
-        "coarse": dict(bm_method="matmul_coarse"),
     }
     states = {k: (None, None) for k in arms}
 

@@ -51,23 +51,35 @@ LAMBDA_S = 1.0
 #: Named driver profiles (the ``profile=`` argument of
 #: :func:`optical_flow_block_matching`). ``"faithful"`` (== None) keeps
 #: every default bit-faithful to the reference's exhaustive search and
-#: over-damped refinement. ``"fast"`` is the documented speed operating
-#: point: the half-resolution coarse search (``matmul_half`` — the
-#: stride-2 candidate grid scored on stride-2-subsampled frames, then
-#: the full-res ±1 sorted-tap refinement), the analytic Geman-McClure
-#: Lipschitz bound in the gradient refinement (same minimizer, provably
-#: monotone, several-fold the reference bound's descent rate —
-#: :func:`_gated_sup`), and a 0.1%-per-64-iteration plateau stop with
-#: the budget capped at 1024 sweeps (the analytic descent converges
-#: well inside it; the reference's 2048 budget mostly burns plateau).
-#: Corpus quality vs the faithful profile: BASELINE.md round 5.
+#: over-damped refinement.
+#:
+#: ``"fast"`` is the quality-guarded speed operating point (round-5
+#: corpus ablation, BASELINE.md): the full-res stride-2 coarse search
+#: (``matmul_coarse``, -0.07 dB corpus) + the analytic Geman-McClure
+#: Lipschitz bound with a 0.1%-per-64-sweeps plateau stop and a
+#: 1024-sweep cap in the gradient refinement (measured 0.00 dB — the
+#: reference's 2048-sweep over-damped budget mostly burns plateau).
+#:
+#: ``"turbo"`` pushes further for streaming/throughput deployments:
+#: the anti-aliased HALF-RESOLUTION sweep with the radius-2 hedged
+#: refinement (``matmul_half2``, -0.11 dB corpus alone) plus
+#: half-resolution segmentation (``seg_scale=2`` — the mean-shift
+#: filter is the fast profile's dominant stage); total quality cost
+#: documented per-corpus in BASELINE.md round 5.
 PROFILES = {
     "faithful": {},
     "fast": {
-        "bm_method": "matmul_half",
+        "bm_method": "matmul_coarse",
         "refine_sup_mode": "analytic",
         "refine_plateau_rtol": 1.0e-3,
         "refine_iter_max": 1024,
+    },
+    "turbo": {
+        "bm_method": "matmul_half2",
+        "refine_sup_mode": "analytic",
+        "refine_plateau_rtol": 1.0e-3,
+        "refine_iter_max": 1024,
+        "seg_scale": 2,
     },
 }
 SIGMA_D_BM = 0.2 / math.sqrt(2.0)   # OpticalFlow_BlockMatching.cpp:47
