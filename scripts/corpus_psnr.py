@@ -86,7 +86,8 @@ def main() -> None:
                          "stride-2-subsampled frames — ~1/16 the "
                          "integer-sweep FLOPs; both quality-guarded "
                          "opt-ins)")
-    ap.add_argument("--profile", choices=["faithful", "fast", "turbo"],
+    ap.add_argument("--profile",
+                    choices=["faithful", "fast", "turbo", "quality"],
                     default=None,
                     help="named driver profile (overrides bm_method/"
                          "refine_sup: fast = matmul_half + analytic "

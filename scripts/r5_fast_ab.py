@@ -36,9 +36,7 @@ def main() -> None:
         "exhaustive": dict(),
         "fast": dict(profile="fast"),
         "turbo": dict(profile="turbo"),
-        "half1": dict(bm_method="matmul_half",
-                      refine_sup_mode="analytic",
-                      refine_plateau_rtol=1e-3, iter_max=1024),
+        "quality": dict(profile="quality"),
     }
     states = {k: (None, None) for k in arms}
 

@@ -1271,3 +1271,28 @@ class TestSegScale:
         lab = np.zeros((16, 16, 3), np.float32)
         with np.testing.assert_raises(ValueError):
             segment_meanshift_async(lab, 4, 0.1, mesh=object(), scale=2)
+
+
+def test_quality_and_turbo_profiles_run():
+    """profile="quality" (half-res segmentation, exhaustive search) and
+    profile="turbo" (plus coarse search + plateau refine) run end-to-end
+    bidirectional and stay finite."""
+    from scipy.ndimage import gaussian_filter as gf
+
+    from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+    rng = np.random.default_rng(41)
+    base = np.clip(gf(rng.uniform(30, 220, (72, 104, 3)),
+                      (1.5, 1.5, 0)), 0, 255)
+    f0 = base[4:-6, 4:-8]
+    f1 = base[6:-4, 5:-7]
+    f2 = base[8:-2, 6:-6]
+    for profile in ("quality", "turbo"):
+        out, st = optical_flow_block_matching(
+            f0, f1, 255.0, iter_max=64, search_range=9, kernel_spatial=6,
+            profile=profile)
+        out2, _ = optical_flow_block_matching(
+            f1, f2, 255.0, iter_max=64, search_range=9, kernel_spatial=6,
+            profile=profile, state=st)
+        assert out2.bidirectional and np.isfinite(out2.u).all()
+        assert out2.segmentation.labels.shape == f0.shape[:2]

@@ -128,15 +128,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "the MXU reduction bf16 inputs with f32 accumulation "
                    "(winners can differ at near-ties; only pays at very "
                    "large region counts)")
-    p.add_argument("--bm_profile", choices=["faithful", "fast", "turbo"],
+    p.add_argument("--bm_profile",
+                   choices=["faithful", "fast", "turbo", "quality"],
                    default=None,
                    help="flagship driver profile: 'faithful' (default) "
                    "keeps every knob bit-faithful to the reference; "
                    "'fast' = stride-2 coarse search + analytic-bound "
                    "plateau-stopped refinement (-0.07 dB corpus); "
-                   "'turbo' adds the anti-aliased half-res sweep and "
-                   "half-res segmentation (documented trades, "
-                   "BASELINE.md r5)")
+                   "'quality' = half-res segmentation (finer regions; "
+                   "corpus compensation ABOVE cv2 Farneback); 'turbo' "
+                   "= both (documented trades, BASELINE.md r5)")
     p.add_argument("--refine_warp", action="store_true",
                    help="tpuflow extension: run the flagship gradient "
                    "refinement under the REAL BM warp instead of the "

@@ -60,12 +60,18 @@ LAMBDA_S = 1.0
 #: 1024-sweep cap in the gradient refinement (measured 0.00 dB — the
 #: reference's 2048-sweep over-damped budget mostly burns plateau).
 #:
-#: ``"turbo"`` pushes further for streaming/throughput deployments:
-#: the anti-aliased HALF-RESOLUTION sweep with the radius-2 hedged
-#: refinement (``matmul_half2``, -0.11 dB corpus alone) plus
-#: half-resolution segmentation (``seg_scale=2`` — the mean-shift
-#: filter is the fast profile's dominant stage); total quality cost
-#: documented per-corpus in BASELINE.md round 5.
+#: ``"quality"`` keeps the exhaustive search and reference refinement
+#: but segments on the anti-aliased half-res frame (``seg_scale=2``):
+#: the mean-shift converges to ~1.6x MORE regions there (2918 vs 1796
+#: on 000050_10), and the finer piecewise-constant flow measured
+#: +1.0 dB corpus compensation over the full-res default — ABOVE cv2
+#: Farneback's corpus mean (22.82 vs 22.02, beating it on 42/61 pairs;
+#: BASELINE.md r5). Slower (the one-hot search scales with the wider
+#: region bucket).
+#:
+#: ``"turbo"`` combines the quality profile's fine segmentation with
+#: the fast profile's coarse search + plateau refinement — measured
+#: per-corpus in BASELINE.md round 5.
 PROFILES = {
     "faithful": {},
     "fast": {
@@ -74,8 +80,11 @@ PROFILES = {
         "refine_plateau_rtol": 1.0e-3,
         "refine_iter_max": 1024,
     },
+    "quality": {
+        "seg_scale": 2,
+    },
     "turbo": {
-        "bm_method": "matmul_half2",
+        "bm_method": "matmul_coarse",
         "refine_sup_mode": "analytic",
         "refine_plateau_rtol": 1.0e-3,
         "refine_iter_max": 1024,
