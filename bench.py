@@ -663,10 +663,17 @@ def main() -> None:
           lambda: bench_bm_flagship(bm_method="matmul_coarse",
                                     with_baseline=False))
     guard("bm_flagship_fast_spf",
-          "s/frame-pair, same workload under profile=fast (half-res "
+          "s/frame-pair, same workload under profile=fast (stride-2 "
           "coarse search + analytic-bound plateau-stopped refine — NOT "
-          "bit-faithful; corpus quality guard in BASELINE.md r5)",
+          "bit-faithful; corpus quality -0.07 dB, BASELINE.md r5)",
           lambda: bench_bm_flagship(profile="fast", with_baseline=False))
+    guard("bm_flagship_turbo_spf",
+          "s/frame-pair, same workload under profile=turbo (fast + "
+          "half-res segmentation: ~1.6x more regions — corpus quality "
+          "ABOVE the faithful default AND cv2 Farneback, BASELINE.md "
+          "r5)",
+          lambda: bench_bm_flagship(profile="turbo",
+                                    with_baseline=False))
     if on_tpu:
         def seq_row():
             r = bench_bm_flagship_seq()
