@@ -23,14 +23,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from bench import H, W, _stack_pairs, timed_scan
+    from bench import H, W, _multioctave_frames, _stack_pairs, timed_scan
     from tpuflow.solvers import calc_optical_flow_farneback
 
     print("devices:", jax.devices(), flush=True)
-    rng = np.random.default_rng(9)
-    from scipy.ndimage import gaussian_filter
-
-    base = gaussian_filter(rng.uniform(0, 255, (H, W + 64)), 1.5)
+    base = _multioctave_frames(24)
     prev = base[:, :W].copy()
     nxt = base[:, 24 : 24 + W].copy()
     nxt[400:700, 300:800] = prev[392:692, 310:810]

@@ -3,6 +3,8 @@
 set -x
 export PYTHONPATH=/root/.axon_site:/root/repo
 cd /root/repo
+timeout 3000 python -u scripts/r5_fb_largemotion_ab.py > /tmp/r5_q8_fb_ab.log 2>&1
+timeout 3600 python -u scripts/r5_hs_geometry_ab.py > /tmp/r5_q8_hs_geom.log 2>&1
 timeout 3600 python -u scripts/corpus_psnr.py --seg_scale 2 --blend 1,2,4 \
     > /tmp/r5_q8_blend_quality.log 2>&1
 timeout 3600 python -u scripts/corpus_psnr.py --pipelined --profile turbo \
