@@ -47,8 +47,12 @@ def main() -> None:
         # tile slice (tile_h + 2*halo) breaks Mosaic's (8,128) tiling.
         "544x1920_p": dict(tile_h=544, tile_w=1920, fuse=10,
                            pipelined=True, roll="two_stage"),
-        "1080x1920_single": dict(tile_h=1080, tile_w=1920, fuse=10,
-                                 pipelined=False, roll="two_stage"),
+        # A whole-frame (1080, 1920) single-tile config FAILS: after a
+        # ~40 min remote Mosaic compile it exceeds VMEM — "Used 161.36M
+        # of 128.00M ... Largest allocation 93.04M: register allocator
+        # spill" — the same whole-frame-values spill that killed the
+        # r1 resident formulations. The halo-overhead hypothesis is
+        # carried by the full-width tiles above.
     }
 
     # Value check: two_stage is float-tolerance vs the solver (pairwise
