@@ -128,15 +128,16 @@ def bench_horn_schunck(on_tpu):
     if on_tpu:
         from tpuflow.kernels import horn_schunck_pallas
 
-        # Measured v5e optimum (scripts/bench_hs_kernels.py): pipelined
-        # DMA overlap + the two-stage alternating-drift box sweeps
-        # (roll="two_stage": 20.4 vs 21.6 ms/frame at device rate,
-        # interleaved scan A/B r4); frame loop scanned on device (one
-        # dispatch for the batch).
+        # Measured v5e optimum: pipelined DMA overlap + the two-stage
+        # alternating-drift box sweeps (roll="two_stage", r4) on
+        # full-width exact-divisor tiles (r5 geometry sweep,
+        # scripts/r5_hs_geometry_ab.py: 360x1920 18.8 vs 128x1024
+        # 20.4 ms/frame — one halo ring instead of two and zero row/col
+        # padding; 544 rows and whole-frame single-tile VMEM-OOM).
         pairs = jnp.asarray(_stack_pairs(prev, nxt), jnp.float32)
         dt = timed_scan(
             lambda a, b: horn_schunck_pallas(a, b, WINDOW, ITERS, ALPHA,
-                                             tile_h=128, tile_w=1024,
+                                             tile_h=360, tile_w=1920,
                                              fuse=10, pipelined=True,
                                              roll="two_stage"), pairs)
     else:
@@ -549,9 +550,11 @@ def bench_hs_4k():
     prev = rng.uniform(0, 255, (2160, 3840))
     nxt = np.roll(prev, 2, axis=1) + rng.normal(0, 1, (2160, 3840))
     pairs = jnp.asarray(_stack_pairs(prev, nxt, b=3), jnp.float32)
+    # Full-width exact-divisor tiles (r5 geometry sweep): 2160 = 6x360,
+    # 3840 = 2x1920.
     dt = timed_scan(
         lambda a, b: horn_schunck_pallas(a, b, WINDOW, ITERS, ALPHA,
-                                         tile_h=128, tile_w=1024,
+                                         tile_h=360, tile_w=1920,
                                          fuse=10, pipelined=True,
                                          roll="two_stage"), pairs,
         windows=2)
