@@ -487,10 +487,12 @@ def bench_bm_flagship(bm_method="matmul", mesh=None, with_baseline=True,
 def bench_bm_flagship_seq():
     """The number a user of the streaming API experiences (VERDICT r4
     #8): the WHOLE bundled left corpus (62 scenes, 124 frames) as one
-    continuous sequence through the dispatch-ahead driver with the fast
-    profile and the background region-bucket prewarm. Region counts
-    drift across the real sequence, so this exercises the bucket ladder
-    + prewarm end to end. Returns the tail median s/pair; p90 and
+    continuous sequence through the dispatch-ahead driver with the
+    TURBO profile (half-res segmentation + coarse search + plateau
+    refine — corpus quality ABOVE the faithful default, BASELINE.md
+    r5) and the background region-bucket prewarm. Region counts drift
+    across the real sequence, so this exercises the bucket ladder +
+    prewarm end to end. Returns the tail median s/pair; p90 and
     mean-with-compiles ride in the unit string via the returned dict."""
     import os
 
@@ -513,7 +515,7 @@ def bench_bm_flagship_seq():
     t_prev = time.perf_counter()
     for a, b in zip(frames[:-1], frames[1:]):
         fin, state = optical_flow_block_matching_async(
-            a, b, 255.0, iter_max=2048, state=state, profile="fast")
+            a, b, 255.0, iter_max=2048, state=state, profile="turbo")
         if not warmed:
             warmed = True
             # +-2 rungs: corpus scenes jump region-count buckets far
@@ -521,7 +523,7 @@ def bench_bm_flagship_seq():
             prewarm_flagship(a.shape[:2],
                              state.segmentations[0].n_regions,
                              below=2, above=2,
-                             profile="fast", include_refine=True)
+                             profile="turbo", include_refine=True)
         if pending is not None:
             pending()
         pending = fin
@@ -703,8 +705,9 @@ def main() -> None:
             r = bench_bm_flagship_seq()
             emit("bm_flagship_seq_spf", r["median"],
                  "s/frame-pair tail MEDIAN, full 62-scene real corpus "
-                 "as ONE continuous sequence (fast profile + background "
-                 "bucket prewarm; tail p90 "
+                 "as ONE continuous sequence (turbo profile + "
+                 "background bucket prewarm — corpus quality +0.9 dB "
+                 "ABOVE the faithful default, BASELINE.md r5; tail p90 "
                  f"{r['p90']:.3f} s, mean incl. compiles "
                  f"{r['mean_all']:.3f} s)")
 
