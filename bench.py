@@ -670,7 +670,9 @@ def main() -> None:
     guard("black_anandan_kitti_fps",
           "frames/s/chip (5-level fused IRLS pyramid, iter_max 512/level, "
           "1242x375; baseline: pinned f64 NumPy oracle, same budget, "
-          "op-count-extrapolated)",
+          "op-count-extrapolated — ANCHORED by a measured end-to-end "
+          "64-sweep/level oracle run: anchor/extrapolation = 0.89, "
+          "scripts/r5_oracle_anchor.py)",
           lambda: bench_black_anandan(on_tpu))
     guard("bm_flagship_kitti_spf",
           "s/frame-pair PIPELINED steady state on REAL corpus frames "
@@ -678,7 +680,10 @@ def main() -> None:
           "R=20 + bidirectional 61x61 BM + subpixel + gated IRLS, "
           "reference defaults; frame i+1 dispatched before frame i's "
           "fetch; baseline: pinned-oracle CPU proxy, op-count-"
-          "extrapolated)",
+          "extrapolated — ANCHORED by a measured FULL-budget oracle "
+          "run on a quarter-pixel crop: anchor = 1.27x the "
+          "extrapolation, i.e. the reported ratio is conservative; "
+          "scripts/r5_oracle_anchor.py)",
           bench_bm_flagship)
     guard("bm_flagship_coarse_spf",
           "s/frame-pair, same workload with the stride-2 coarse search "
