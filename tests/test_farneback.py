@@ -399,3 +399,39 @@ class TestTiledWarp:
         np.testing.assert_allclose(np.asarray(m_tiled),
                                    np.asarray(m_gather),
                                    rtol=1e-4, atol=1e-4)
+
+    def test_outlier_pixels_do_not_force_fallback(self):
+        """Degenerate-solve outlier pixels (det-clamped 2x2 solves emit
+        ±1e6 flows) query far outside the frame — every caller masks
+        them, so they must not fail their tile's residual bound. The
+        tile stays on the dense pre-shift path and all IN-FRAME queries
+        stay exact."""
+        import jax.numpy as jnp
+        from scipy.ndimage import gaussian_filter as gf
+
+        from tpuflow.solvers.farneback import (
+            _bilinear_all,
+            _pack_bilinear,
+            _warp_tiled,
+        )
+
+        rng = np.random.default_rng(8)
+        h, w = 96, 160
+        fields = self._fields(rng, h, w)
+        packed = _pack_bilinear(fields)
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        u = (np.full((h, w), 20.0, np.float32)
+             + gf(rng.normal(0, 1, (h, w)), 8).astype(np.float32))
+        v = np.full((h, w), -10.0, np.float32)
+        for yy, xx in [(10, 20), (50, 90), (70, 140), (30, 60)]:
+            u[yy, xx] = 1e6
+            v[yy, xx] = -1e6
+        u = jnp.asarray(u)
+        v = jnp.asarray(v)
+        ref = _bilinear_all(fields, xs + u, ys + v, packed=packed)
+        got = _warp_tiled(fields, u, v, packed, th=16, tw=64)
+        inb = jnp.asarray(np.asarray(
+            (xs + u >= 0) & (xs + u < w) & (ys + v >= 0) & (ys + v < h)))
+        for r, g in zip(ref, got):
+            assert float(jnp.abs(r - g)[inb].max()) < 1e-4

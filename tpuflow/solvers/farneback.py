@@ -226,12 +226,32 @@ def _warp_tiled(R2, u, v, packed, D: int = 3, S: int = 128,
     vp = jnp.pad(v, ((0, hp - h), (0, wp - w)), mode="edge")
     ut = up.reshape(hn, th, wn, tw).transpose(0, 2, 1, 3)  # (hn,wn,th,tw)
     vt = vp.reshape(hn, th, wn, tw).transpose(0, 2, 1, 3)
-    s_u = jnp.clip(jnp.round(ut.mean(axis=(2, 3))), -S, S)
-    s_v = jnp.clip(jnp.round(vt.mean(axis=(2, 3))), -S, S)
-    # Residuals vs the CLIPPED shift: a tile whose true mean exceeds S
-    # shows the overflow in r and fails the bound -> gather fallback.
-    r_u = ut - s_u[:, :, None, None]
-    r_v = vt - s_v[:, :, None, None]
+    # Pixels whose query leaves the FRAME are masked by every caller
+    # (update_matrices' `inb` — OpenCV's own convention), so their
+    # sampled values are don't-cares: exclude them from the tile's
+    # shift mean and residual bound. Without this, ONE degenerate-solve
+    # outlier pixel (the det-clamped 2x2 solve emits +-1e6 flows on
+    # flat patches) condemns its whole tile to the gather fallback —
+    # measured: real Farneback intermediate fields pushed EVERY tile
+    # to fallback and the tiled warp lost to the plain gather
+    # (BASELINE.md r5; scripts/r5_warp_probe.py).
+    cx = jnp.broadcast_to(
+        jnp.arange(wp, dtype=dt).reshape(1, wn, 1, tw), ut.shape)
+    cy = jnp.broadcast_to(
+        jnp.arange(hp, dtype=dt).reshape(hn, 1, th, 1), ut.shape)
+    xq_t = cx + ut
+    yq_t = cy + vt
+    m = ((xq_t >= 0) & (xq_t < w) & (yq_t >= 0)
+         & (yq_t < h)).astype(dt)
+    cnt = jnp.maximum(m.sum(axis=(2, 3)), 1.0)
+    s_u = jnp.clip(jnp.round((ut * m).sum(axis=(2, 3)) / cnt), -S, S)
+    s_v = jnp.clip(jnp.round((vt * m).sum(axis=(2, 3)) / cnt), -S, S)
+    # Masked residuals vs the CLIPPED shift: a tile whose true (valid-
+    # query) mean exceeds S shows the overflow in r and fails the
+    # bound -> gather fallback; out-of-frame pixels contribute zero
+    # residual (their dense taps sample garbage that the caller masks).
+    r_u = (ut - s_u[:, :, None, None]) * m
+    r_v = (vt - s_v[:, :, None, None]) * m
     ok = ((jnp.max(jnp.abs(r_u), axis=(2, 3)) <= D)
           & (jnp.max(jnp.abs(r_v), axis=(2, 3)) <= D))
     s_ui = s_u.astype(jnp.int32)
