@@ -233,13 +233,13 @@ def bench_farneback_demo3():
 
 def bench_farneback_demo3_largemotion():
     """The same multi-level config on a GENUINELY large-motion input
-    (~24 px pan + a moving block, flow far beyond the dense-warp bound
+    (~16 px pan + a moving block, flow far beyond the dense-warp bound
     at every level): the warped updates take the exact large-motion
     path — historically the 2.6 GB/s gather cliff (3.8 fps, BASELINE.md
     r4), now the per-tile integer pre-shift warp (VERDICT r4 #3)."""
-    base = _multioctave_frames(24)
+    base = _multioctave_frames(16)
     prev = base[:, :W].copy()
-    nxt = base[:, 24 : 24 + W].copy()  # 24-px global pan
+    nxt = base[:, 16 : 16 + W].copy()  # 16-px global pan
     # A counter-moving foreground block forces motion-boundary tiles
     # (the per-tile gather fallback path) into the measurement too.
     nxt[400:700, 300:800] = prev[392:692, 310:810]
@@ -661,7 +661,7 @@ def main() -> None:
           "warp)",
           bench_farneback_demo3)
     guard("farneback_demo3_largemotion_fps",
-          "frames/s/chip (same MULTI-LEVEL config, ~24 px pan + "
+          "frames/s/chip (same MULTI-LEVEL config, ~16 px pan + "
           "counter-moving block — every warped update takes the EXACT "
           "large-motion path: per-tile integer pre-shift warp with "
           "per-tile gather fallback at motion boundaries; the r4 plain "

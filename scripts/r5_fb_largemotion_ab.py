@@ -1,7 +1,7 @@
 """Interleaved A/B: Farneback exact large-motion warp, tiled vs gather.
 
 VERDICT r4 #3 measurement: the multi-level demo3 config at 1080p on a
-genuinely large-motion input (24-px pan + counter-moving block, flow
+genuinely large-motion input (16-px pan + counter-moving block, flow
 beyond the dense-warp bound at every level) with tiled_warp on/off.
 Device-rate timing (frame loop scanned on device, bench.timed_scan).
 
@@ -27,9 +27,9 @@ def main() -> None:
     from tpuflow.solvers import calc_optical_flow_farneback
 
     print("devices:", jax.devices(), flush=True)
-    base = _multioctave_frames(24)
+    base = _multioctave_frames(16)
     prev = base[:, :W].copy()
-    nxt = base[:, 24 : 24 + W].copy()
+    nxt = base[:, 16 : 16 + W].copy()
     nxt[400:700, 300:800] = prev[392:692, 310:810]
     cfg = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
                poly_n=5, poly_sigma=1.2, flags=0)
@@ -61,7 +61,7 @@ def main() -> None:
         None, tiled_warp=True, **cfg)
     print("max |du|:", float(jnp.abs(ug - ut).max()),
           "max |dv|:", float(jnp.abs(vg - vt).max()),
-          "median u (true -24):", float(jnp.median(ut)), flush=True)
+          "median u (true -16):", float(jnp.median(ut)), flush=True)
 
 
 if __name__ == "__main__":
