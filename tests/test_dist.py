@@ -1025,3 +1025,28 @@ def test_farneback_sharded_gather_fallback_matches():
                                dense_warp_d=0)
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)
+
+
+def test_turbo_profile_with_mesh_runs():
+    """profile="turbo" under a mesh: the seg_scale knob is single-device
+    only and must be skipped (the sharded filter keeps full res); the
+    search/refine knobs still apply. End-to-end driver smoke on the
+    8-device mesh."""
+    from scipy.ndimage import gaussian_filter
+
+    from tpuflow.dist import make_mesh
+    from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+    mesh = make_mesh(8)
+    ty, tx = mesh.devices.shape
+    h, w = 16 * ty, 16 * tx
+    rng_l = np.random.default_rng(44)
+    base = gaussian_filter(
+        rng_l.uniform(40, 200, (h + 4, w + 4, 3)), (2, 2, 0))
+    f0 = base[:h, :w].astype(np.float32)
+    f1 = base[2 : 2 + h, 1 : 1 + w].astype(np.float32)
+    out, _ = optical_flow_block_matching(
+        f0, f1, 255.0, iter_max=8, search_range=5, kernel_spatial=3,
+        mesh=mesh, profile="turbo")
+    assert out.u.shape == (h, w)
+    assert np.isfinite(out.u).all()
