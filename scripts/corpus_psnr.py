@@ -90,8 +90,9 @@ def main() -> None:
                     choices=["faithful", "fast", "turbo", "quality"],
                     default=None,
                     help="named driver profile (overrides bm_method/"
-                         "refine_sup: fast = matmul_half + analytic "
-                         "sup + 1e-3 plateau stop + 1024 cap)")
+                         "refine_sup — bm_flow.PROFILES: fast = coarse "
+                         "search + analytic sup + 1e-3 plateau + 1024 "
+                         "cap; quality = seg_scale 2; turbo = both)")
     ap.add_argument("--prewarm", action="store_true",
                     help="pipelined mode: launch the background "
                          "region-bucket ladder prewarm after the first "
@@ -270,9 +271,12 @@ def _pipelined_sweep(stems, corpus_dir, args, read_image) -> None:
     t_prev = time.perf_counter()
     for a, b in zip(frames[:-1], frames[1:]):
         fin, state = optical_flow_block_matching_async(
-            a, b, 255.0, iter_max=2048, state=state,
+            a, b, 255.0, iter_max=args.iter_max, state=state,
             refine_warp=args.refine_warp, bm_method=args.bm_method,
-            refine_sup_mode=args.refine_sup, profile=args.profile)
+            refine_sup_mode=args.refine_sup,
+            refine_plateau_rtol=args.plateau,
+            subpixel_scale=args.subpixel, seg_scale=args.seg_scale,
+            profile=args.profile)
         if args.prewarm and not warmed:
             warmed = True
             from tpuflow.blockmatching.prewarm import prewarm_flagship

@@ -1146,8 +1146,9 @@ class TestHalfResSearch:
         np.testing.assert_allclose(res.region_uv[1], [0.0, 0.0])
 
     def test_driver_fast_profile(self):
-        """profile="fast" = matmul_half + analytic sup + plateau stop;
-        runs end-to-end bidirectional and stays finite."""
+        """profile="fast" = coarse search + analytic sup + plateau stop
+        (bm_flow.PROFILES); runs end-to-end bidirectional and stays
+        finite."""
         from tpuflow.solvers.bm_flow import optical_flow_block_matching
 
         rng = np.random.default_rng(35)

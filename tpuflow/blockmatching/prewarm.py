@@ -160,8 +160,10 @@ def prewarm_flagship(
     process-global). Returns the thread (or None when synchronous).
 
     ``profile`` applies the same knob bundle as the driver
-    (:data:`tpuflow.solvers.bm_flow.PROFILES`), so a ``profile="fast"``
-    stream warms the half-res search programs it will actually run.
+    (:data:`tpuflow.solvers.bm_flow.PROFILES`), so a profiled stream
+    warms exactly the search/refine programs it will run (seg-side
+    knobs like ``seg_scale`` don't affect the warmed signatures — the
+    bucket hint already comes from the real segmentation).
     """
     import os
 

@@ -40,6 +40,7 @@ from tpuflow.blockmatching.matcher import (
     region_reduction_plan,
     validate_method,
 )
+from tpuflow.dist.solvers import shard_map
 
 
 def _is_coarse(method: str) -> bool:
@@ -57,23 +58,44 @@ def _refine_radius(method: str) -> int:
     return 2 if method == "matmul_half2" else 1
 
 
+def _half_radius(search_range: int) -> int:
+    """Max |displacement| of the half-res candidate grid (the reference
+    pad margin of the subsampled evaluator)."""
+    return -(-(search_range // 2) // 2)
+
+
+def _mxu_dtype(method: str):
+    return jnp.bfloat16 if method == "matmul_bf16" else None
+
+
 def _local_costs(cur_t, ref_t, labels_t, n_regions, cand_t, coeff_mad,
                  coeff_zncc, chunk, search_range, method):
     """One device's slice of the integer cost table, dispatched on
-    ``method`` — the single copy of the evaluator dispatch the sharded
-    single-direction body shares with the single-device matcher."""
+    ``method`` — the single copy of the single-direction evaluator
+    dispatch (the bidi twin is :func:`_local_costs_bidi`; both share
+    :func:`_half_radius`/:func:`_mxu_dtype`)."""
     if method.startswith("matmul_half"):
         return _integer_costs_matmul(
             _half_res(cur_t), _half_res(ref_t), labels_t[::2, ::2],
             n_regions, cand_t // 2, coeff_mad, coeff_zncc, chunk,
-            -(-(search_range // 2) // 2), None)
-    mxu_dtype = jnp.bfloat16 if method == "matmul_bf16" else None
-    if method.startswith("matmul_coarse"):
-        mxu_dtype = None
+            _half_radius(search_range), None)
     return _integer_costs_matmul(
         cur_t, ref_t, labels_t, n_regions, cand_t, coeff_mad,
-        coeff_zncc, chunk, search_range // 2, mxu_dtype)
-from tpuflow.dist.solvers import shard_map
+        coeff_zncc, chunk, search_range // 2, _mxu_dtype(method))
+
+
+def _local_costs_bidi(cur_t, refp_t, refn_t, labels_t, n_regions,
+                      cand_t, coeff_mad, coeff_zncc, chunk,
+                      search_range, method):
+    """Fused-bidirectional twin of :func:`_local_costs`."""
+    if method.startswith("matmul_half"):
+        return _integer_costs_matmul_bidi(
+            _half_res(cur_t), _half_res(refp_t), _half_res(refn_t),
+            labels_t[::2, ::2], n_regions, cand_t // 2, coeff_mad,
+            coeff_zncc, chunk, _half_radius(search_range), None)
+    return _integer_costs_matmul_bidi(
+        cur_t, refp_t, refn_t, labels_t, n_regions, cand_t, coeff_mad,
+        coeff_zncc, chunk, search_range // 2, _mxu_dtype(method))
 
 
 @functools.partial(
@@ -162,18 +184,9 @@ def _match_sharded_bidi(cur_lab, refp_lab, refn_lab, labels, perm, bounds,
     rep = P(None)
 
     def body(cur_t, refp_t, refn_t, labels_t, perm_t, bounds_t, cand_t):
-        if method.startswith("matmul_half"):
-            local_p, local_n = _integer_costs_matmul_bidi(
-                _half_res(cur_t), _half_res(refp_t), _half_res(refn_t),
-                labels_t[::2, ::2], n_regions, cand_t // 2, coeff_mad,
-                coeff_zncc, chunk, -(-(search_range // 2) // 2), None)
-        else:
-            mxu_dtype = (jnp.bfloat16 if method == "matmul_bf16"
-                         else None)
-            local_p, local_n = _integer_costs_matmul_bidi(
-                cur_t, refp_t, refn_t, labels_t, n_regions, cand_t,
-                coeff_mad, coeff_zncc, chunk, search_range // 2,
-                mxu_dtype)
+        local_p, local_n = _local_costs_bidi(
+            cur_t, refp_t, refn_t, labels_t, n_regions, cand_t,
+            coeff_mad, coeff_zncc, chunk, search_range, method)
         # (D, n_local, n_regions) in device (= global candidate) order.
         cp = lax.all_gather(local_p, ("ty", "tx")).reshape(-1, n_regions)
         cn = lax.all_gather(local_n, ("ty", "tx")).reshape(-1, n_regions)

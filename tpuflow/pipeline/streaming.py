@@ -222,34 +222,45 @@ def bm_flow_stream(
                 warmed = True
                 from tpuflow.blockmatching.prewarm import prewarm_flagship
 
+                import inspect
+
                 from tpuflow.core.config import (
                     MODE_OUTPUT_AFFINE_BLOCKMATCHING,
+                    MultipleMotionParam,
                 )
+
+                # Warmed programs must have the EXACT jit signature the
+                # driver will request — read unspecified knobs from the
+                # driver's own signature defaults instead of copying
+                # literals that could drift.
+                dflt = {k: p.default for k, p in inspect.signature(
+                    optical_flow_block_matching_async).parameters.items()}
+
+                def kw(name):
+                    return driver_kwargs.get(name, dflt[name])
 
                 param = driver_kwargs.get("param")
                 # The batched zero-warp refine is the steady-state
                 # program only for the default gradient branch; the
-                # affine/refine_warp branches trace different programs.
+                # driver picks the affine branch on EXACT mode equality
+                # (bm_flow.optical_flow_block_matching_async).
                 plain_refine = (
-                    not driver_kwargs.get("refine_warp", False)
-                    and not (driver_kwargs.get("mode", 0)
-                             & MODE_OUTPUT_AFFINE_BLOCKMATCHING))
+                    not kw("refine_warp")
+                    and kw("mode") != MODE_OUTPUT_AFFINE_BLOCKMATCHING)
                 prewarm_flagship(
                     frame.shape[:2],
                     state.segmentations[0].n_regions,
-                    search_range=driver_kwargs.get("search_range", 61),
-                    subpixel_scale=driver_kwargs.get("subpixel_scale", 2),
-                    bm_method=driver_kwargs.get("bm_method", "matmul"),
+                    search_range=kw("search_range"),
+                    subpixel_scale=kw("subpixel_scale"),
+                    bm_method=kw("bm_method"),
                     profile=driver_kwargs.get("profile"),
                     include_refine=plain_refine,
-                    refine_iter_max=driver_kwargs.get("iter_max", 2048),
+                    refine_iter_max=kw("iter_max"),
                     error_min_threshold=(
-                        param.error_min_threshold if param is not None
-                        else 1.0e-6),
-                    refine_sup_mode=driver_kwargs.get(
-                        "refine_sup_mode", "reference"),
-                    refine_plateau_rtol=driver_kwargs.get(
-                        "refine_plateau_rtol", 0.0))
+                        param if param is not None
+                        else MultipleMotionParam()).error_min_threshold,
+                    refine_sup_mode=kw("refine_sup_mode"),
+                    refine_plateau_rtol=kw("refine_plateau_rtol"))
             if pending is not None:
                 out = pending()
                 tel.event("stream.bm_flow", frame=pending_frame,

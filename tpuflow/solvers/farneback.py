@@ -257,11 +257,6 @@ def _warp_tiled(R2, u, v, packed, D: int = 3, S: int = 128,
     s_ui = s_u.astype(jnp.int32)
     s_vi = s_v.astype(jnp.int32)
 
-    def dense_tile(ty, su, sv, ru, rv):
-        base_y = ty * th + PAD + sv - (D + 1)
-        base_x_off = PAD + su - (D + 1)
-        return base_y, base_x_off, ru, rv
-
     def body(_, x):
         ty = x["ty"]
         outs = []
