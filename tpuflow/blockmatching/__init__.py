@@ -4,3 +4,7 @@ from tpuflow.blockmatching.matcher import (  # noqa: F401
     block_matching_labels,
     grid_labels,
 )
+from tpuflow.blockmatching.prewarm import (  # noqa: F401
+    neighbor_buckets,
+    prewarm_flagship,
+)
