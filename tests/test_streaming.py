@@ -215,3 +215,33 @@ class TestBucketPrewarm:
         assert len(np.unique(lab)) == 128
         with np.testing.assert_raises(ValueError):
             _synthetic_labels(8, 8, 128)
+
+
+def test_bm_stream_turbo_profile_matches_sequential():
+    """bm_flow_stream under profile="turbo" (half-res segmentation +
+    coarse search + plateau refine) == the sequential driver calls with
+    the same profile, bitwise."""
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    from tpuflow.pipeline.streaming import bm_flow_stream
+    from tpuflow.solvers.bm_flow import optical_flow_block_matching
+
+    rng = np.random.default_rng(9)
+    base = gaussian_filter(rng.uniform(0, 255, (44, 72, 3)), (2, 2, 0))
+    frames = [base[4 * i : 4 * i + 32, 2 * i : 2 * i + 56]
+              for i in range(4)]
+    kw = dict(iter_max=64, search_range=9, kernel_spatial=4,
+              kernel_intensity=0.12, profile="turbo")
+
+    stream_outs = list(bm_flow_stream(iter(frames), 255.0, **kw))
+    state = None
+    seq_outs = []
+    for a, b in zip(frames[:-1], frames[1:]):
+        out, state = optical_flow_block_matching(a, b, 255.0,
+                                                 state=state, **kw)
+        seq_outs.append(out)
+    assert len(stream_outs) == len(seq_outs) == 3
+    for o_s, o_q in zip(stream_outs, seq_outs):
+        np.testing.assert_array_equal(o_s.u, o_q.u)
+        np.testing.assert_array_equal(o_s.v, o_q.v)
