@@ -435,3 +435,31 @@ class TestTiledWarp:
             (xs + u >= 0) & (xs + u < w) & (ys + v >= 0) & (ys + v < h)))
         for r, g in zip(ref, got):
             assert float(jnp.abs(r - g)[inb].max()) < 1e-4
+
+
+def test_warp_table_bf16_tolerance():
+    """warp_table_bf16 (opt-in): bf16 packed warp table halves the
+    fallback gather's bytes; flow matches the f32 table to the
+    documented coefficient-rounding tolerance on a large-shift pair."""
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter as gf
+
+    from tpuflow.solvers.farneback import calc_optical_flow_farneback
+
+    rng = np.random.default_rng(11)
+    shape = (140, 280)
+    base = (gf(rng.uniform(0, 1, shape), 1)
+            + 2 * gf(rng.uniform(0, 1, shape), 4)
+            + 4 * gf(rng.uniform(0, 1, shape), 16))
+    base -= base.min()
+    base *= 255.0 / base.max()
+    prev = base[:, :240].astype(np.float32)
+    nxt = base[:, 12:252].astype(np.float32)
+    cfg = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+               poly_n=5, poly_sigma=1.2, flags=0)
+    u32, v32 = calc_optical_flow_farneback(prev, nxt, None, **cfg)
+    u16, v16 = calc_optical_flow_farneback(prev, nxt, None,
+                                           warp_table_bf16=True, **cfg)
+    # The pan must still be recovered and the fields close.
+    assert abs(float(jnp.median(u16)) + 12.0) < 0.2
+    assert float(jnp.median(jnp.abs(u16 - u32))) < 0.05

@@ -108,10 +108,15 @@ def poly_expansion(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     return b1, b2, a11, a22, a12
 
 
-def _pack_bilinear(fields):
+def _pack_bilinear(fields, dtype=None):
     """Pack each pixel's 2x2 clamped neighborhood of every field into one
     (H*W, 4C) row table: row i = [F(y,x), F(y,x+1), F(y+1,x),
-    F(y+1,x+1)] (neighbors edge-clamped).
+    F(y+1,x+1)] (neighbors edge-clamped). ``dtype`` (e.g. bfloat16)
+    stores the table at reduced precision — the warp gather is
+    gathered-BYTES-bound at ~2.6 GB/s, so a bf16 table halves the
+    fallback gather's cost at ~3-decimal-digit coefficient rounding
+    (documented-tolerance opt-in; interpolation runs in f32 either
+    way).
 
     Measured caveat (scripts/r4_fb_demo3_profile.py): the warp gather is
     GATHERED-BYTES-bound at ~2.6 GB/s on this chip — one (N, 20) gather
@@ -127,8 +132,9 @@ def _pack_bilinear(fields):
     Fy = jnp.concatenate([F[1:], F[-1:]], axis=0)             # y+1 clamped
     Fxy = jnp.concatenate([Fx[1:], Fx[-1:]], axis=0)
     h, w = F.shape[:2]
-    return jnp.concatenate([F, Fx, Fy, Fxy],
-                           axis=-1).reshape(h * w, 4 * len(fields))
+    out = jnp.concatenate([F, Fx, Fy, Fxy],
+                          axis=-1).reshape(h * w, 4 * len(fields))
+    return out if dtype is None else out.astype(dtype)
 
 
 def _bilinear_all(fields, xq, yq, packed=None):
@@ -149,7 +155,8 @@ def _bilinear_all(fields, xq, yq, packed=None):
     if packed is None:
         packed = _pack_bilinear(fields)
     idx = jnp.clip(y0, 0, h - 1) * w + jnp.clip(x0, 0, w - 1)
-    rows = jnp.take(packed, idx.reshape(-1), axis=0).reshape(h, w, 4 * n)
+    rows = jnp.take(packed, idx.reshape(-1),
+                    axis=0).reshape(h, w, 4 * n).astype(xq.dtype)
     s00 = rows[..., :n]
     s01 = rows[..., n:2 * n]
     s10 = rows[..., 2 * n:3 * n]
@@ -297,7 +304,7 @@ def _warp_tiled(R2, u, v, packed, D: int = 3, S: int = 128,
                 idx = (jnp.clip(y0, 0, h - 1) * w
                        + jnp.clip(x0, 0, w - 1))
                 rows = jnp.take(packed, idx.reshape(-1),
-                                axis=0).reshape(th, tw, 4 * C)
+                                axis=0).reshape(th, tw, 4 * C).astype(dt)
                 s00 = rows[..., :C]
                 s01 = rows[..., C:2 * C]
                 s10 = rows[..., 2 * C:3 * C]
@@ -478,11 +485,13 @@ def _blur_solve(M: jnp.ndarray, winsize: int, gaussian: bool,
                                    "iterations", "poly_n", "poly_sigma",
                                    "gaussian", "use_poly_kernel",
                                    "use_blur_kernel", "min_level",
-                                   "dense_warp_d", "tiled_warp"))
+                                   "dense_warp_d", "tiled_warp",
+                                   "warp_table_bf16"))
 def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
                     iterations, poly_n, poly_sigma, gaussian,
                     use_poly_kernel=None, use_blur_kernel=None,
-                    min_level=0, dense_warp_d=4, tiled_warp=True):
+                    min_level=0, dense_warp_d=4, tiled_warp=True,
+                    warp_table_bf16=False):
     """``min_level > 0`` stops the coarse-to-fine loop early and returns
     the flow at that level's resolution — the distributed path
     (tpuflow/dist/farneback.py) runs levels ``levels-1..1`` replicated
@@ -526,7 +535,8 @@ def _farneback_impl(prev, nxt, u0, v0, pyr_scale, levels, winsize,
         # Packed warp table: iteration-invariant, shared by every warped
         # update at this level (skipped when no update will warp).
         packed2 = None if (zero_flow and iterations <= 1) \
-            else _pack_bilinear(R2)
+            else _pack_bilinear(
+                R2, jnp.bfloat16 if warp_table_bf16 else None)
         M = update_matrices(R1, R2, u, v, zero_flow=zero_flow,
                             packed2=packed2, dense_warp_d=dense_warp_d,
                             tiled_warp=tiled_warp)
@@ -554,6 +564,7 @@ def calc_optical_flow_farneback(
     use_blur_kernel: bool | None = None,
     dense_warp_d: int = 4,
     tiled_warp: bool = True,
+    warp_table_bf16: bool = False,
 ):
     """OpenCV-parameterized Farneback flow -> (u, v).
 
@@ -566,7 +577,11 @@ def calc_optical_flow_farneback(
     (default True) routes the LARGE-motion branch through the per-tile
     integer pre-shift warp (:func:`_warp_tiled` — slices + bounded
     dense sweep instead of the ~2.6 GB/s gather, exact for arbitrary
-    flow); False keeps the plain gather fallback.
+    flow); False keeps the plain gather fallback. ``warp_table_bf16``
+    (opt-in) stores the packed warp table in bfloat16 — halves the
+    gathered bytes wherever a gather still runs (the ~2.6 GB/s unit is
+    bytes-bound) at ~3-decimal-digit coefficient rounding; default f32
+    keeps full precision.
     """
     prev = jnp.asarray(prev)
     nxt = jnp.asarray(nxt)
@@ -578,4 +593,5 @@ def calc_optical_flow_farneback(
                            winsize, iterations, poly_n, float(poly_sigma),
                            gaussian, use_poly_kernel, use_blur_kernel,
                            dense_warp_d=int(dense_warp_d),
-                           tiled_warp=bool(tiled_warp))
+                           tiled_warp=bool(tiled_warp),
+                           warp_table_bf16=bool(warp_table_bf16))
