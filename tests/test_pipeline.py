@@ -400,3 +400,26 @@ def test_cli_refine_warp_flag_maps_to_param():
         ["-i", "a_%04d.pgm", "-o", "b_%04d.pgm",
          "--opticalflow_blockmatching"]))
     assert opts2.multiple_motion_param.bm_refine_warp is False
+
+
+def test_cli_bm_profile_flag_runs_pipeline(tmp_path):
+    """--bm_profile maps through config into the flagship driver and the
+    pipeline runs end-to-end under the turbo profile."""
+    from tpuflow.cli.parser import build_parser, parse_args_to_options
+    from tpuflow.core.io import read_flow
+    from tpuflow.pipeline.orchestrator import run_pipeline
+
+    pattern = _write_motion_frames(tmp_path)
+    out_pattern = str(tmp_path / "tp_%04d.dat")
+    args = build_parser().parse_args(
+        ["-i", pattern, "-o", out_pattern, "-s", "0", "-e", "2",
+         "--opticalflow_blockmatching", "--bm_profile", "turbo"])
+    opts = parse_args_to_options(args)
+    assert opts.multiple_motion_param.bm_profile == "turbo"
+    mm = opts.multiple_motion_param
+    mm.irls_iter_max = 40
+    mm.bm_search_range = 7
+    mm.bm_kernel_spatial = 5
+    run_pipeline(pattern, out_pattern, 0, 2, opts)
+    u, v = read_flow(tmp_path / "tp_0001.dat")
+    assert np.isfinite(u).all() and np.isfinite(v).all()
