@@ -193,8 +193,8 @@ def _warp_dense(R2, u, v, D: int):
     return [acc[..., i] for i in range(len(R2))]
 
 
-def _warp_tiled(R2, u, v, packed, D: int = 3, S: int = 128,
-                th: int = 32, tw: int = 256):
+def _warp_tiled(R2, u, v, packed, D: int = 2, S: int = 128,
+                th: int = 64, tw: int = 256):
     """Exact large-motion warp: per-tile integer pre-shift + bounded
     dense residual sweep, per-tile gather fallback (VERDICT r4 #3).
 
@@ -216,7 +216,23 @@ def _warp_tiled(R2, u, v, packed, D: int = 3, S: int = 128,
 
     Scanned over tile rows (hn steps) with the tile-column loop
     unrolled: each band issues wn dynamic slices + dense sweeps — no
-    per-pixel indexing anywhere on the smooth path."""
+    per-pixel indexing anywhere on the smooth path.
+
+    Defaults (D=2, th=64, tw=256) come from the r5 (D, tile) sweep +
+    end-to-end A/B on the mixed pan+block flow at 1080p. Isolated-warp
+    sweep (smooth gf(8) probe flow): (2, 64, 256) 26.4 ms vs 54.6 for
+    the original (3, 32, 256); (2, 128, 256) measured even faster
+    (18.3, interleaved-confirmed — at th>=128 the sweep is
+    band-overhead-bound, D=1 == D=2 to noise, th>=216 flat). But the
+    isolated optimum does NOT transfer: in the END-TO-END multi-level
+    solve fixed th=128 LOST (152.6 ms/frame) to th=64 (138.2), and a
+    resolution-adaptive 128/64/32 schedule measured 140.9 — the
+    solver's own intermediate flow fields have more within-tile spread
+    than the probe flow, so 128-row tiles take the gather fallback too
+    often. The adopted (2, 64, 256) is the measured end-to-end best:
+    138.2 ms/frame (7.2 fps) vs the 298.7 gather cliff, 2.16x.
+    (scripts/r5_warp_param_sweep.py, scripts/r5_fb_largemotion_ab.py,
+    BASELINE.md r5)."""
     h, w = u.shape
     C = len(R2)
     dt = u.dtype
