@@ -55,25 +55,38 @@ def main() -> None:
         kw["antialias"] = False
         return orig_resize(image, shape, method, **kw)
 
-    for pan in pans:
-        nxt = np.ascontiguousarray(base[:, pan : pan + W])
-        row = [f"pan {pan:2d}:"]
-        if cv2 is not None:
+    results: dict[str, dict[int, float]] = {}
+    if cv2 is not None:
+        results["cv2"] = {}
+        for pan in pans:
+            nxt = np.ascontiguousarray(base[:, pan : pan + W])
             fl = cv2.calcOpticalFlowFarneback(
                 prev, nxt, None, 0.5, 3, 15, 3, 5, 1.2, 0)
-            row.append(f"cv2 {np.median(fl[..., 0]):+7.2f}")
-        for name, patch in (("default", None), ("no-AA", resize_no_aa)):
-            if patch is not None:
-                jax.image.resize = patch
-            try:
-                fb._farneback_impl.clear_cache()
+            results["cv2"][pan] = float(np.median(fl[..., 0]))
+            print(f"cv2 pan {pan}: {results['cv2'][pan]:+.2f}", flush=True)
+    # Variant-major so each monkeypatched resize gets exactly one fresh
+    # trace (the patch is baked in at trace time; pan changes reuse it).
+    for name, patch in (("default", None), ("no-AA", resize_no_aa)):
+        fb._farneback_impl.clear_cache()
+        if patch is not None:
+            jax.image.resize = patch
+        try:
+            results[name] = {}
+            for pan in pans:
+                nxt = np.ascontiguousarray(base[:, pan : pan + W])
                 u, _ = fb.calc_optical_flow_farneback(
                     jnp.asarray(prev, jnp.float32),
                     jnp.asarray(nxt, jnp.float32), None, **cfg)
-                row.append(f"{name} {float(jnp.median(u)):+7.2f}")
-            finally:
-                jax.image.resize = orig_resize
-        print("  ".join(row), f"(true {-pan})", flush=True)
+                results[name][pan] = float(jnp.median(u))
+                print(f"{name} pan {pan}: {results[name][pan]:+.2f}",
+                      flush=True)
+        finally:
+            jax.image.resize = orig_resize
+    print("\npan  " + "  ".join(f"{n:>8s}" for n in results), flush=True)
+    for pan in pans:
+        print(f"{pan:3d}  " + "  ".join(
+            f"{results[n][pan]:+8.2f}" for n in results),
+            f"(true {-pan})", flush=True)
 
 
 if __name__ == "__main__":
